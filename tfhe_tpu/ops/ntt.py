@@ -69,7 +69,7 @@ def _bitrev_indices(n: int) -> np.ndarray:
     return rev
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class PrimePlan:
     p: np.uint64
     p_inv_neg32: np.uint64   # -p^{-1} mod 2^32
@@ -79,7 +79,7 @@ class PrimePlan:
     n_inv_mont: np.ndarray   # N^{-1} * R mod p (scalar array)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class NttPlan:
     n: int
     primes: tuple

@@ -1,0 +1,353 @@
+"""Batched server-side compute path (JAX, exact u64 wrapping arithmetic).
+
+The TPU re-architecture of the reference's per-ciphertext hot loop
+(SURVEY.md §3.2): everything here takes a leading batch dimension and is
+jit-compilable; integer layers above coalesce all PBS of a round into one
+batched call (the XLA analog of the CUDA backend's execute_pbs_async).
+
+Algorithms (semantics match the reference exactly — results are bit-identical
+to the deterministic Karatsuba path):
+  - signed gadget decomposition: math/decomposition/decomposer.rs:156-185,
+    iter.rs:141-151 (branch-free bit tricks, directly expressible in jnp)
+  - keyswitch: algorithms/lwe_keyswitch.rs:185-225 (decompose + contraction)
+  - modulus switch: fft_impl/common.rs:10-23
+  - blind rotate: algorithms/lwe_programmable_bootstrapping/karatsuba_pbs.rs
+    180-286 (monomial rotations + external products, here via exact CRT-NTT)
+  - sample extract: algorithms/glwe_sample_extraction.rs:119-146
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ntt
+
+U64 = jnp.uint64
+
+
+def _u(x) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=U64)
+
+
+# ---------------------------------------------------------------------------
+# Signed gadget decomposition (branch-free)
+# ---------------------------------------------------------------------------
+
+
+def init_decomposer_state(x, base_log: int, levels: int, bits: int = 64):
+    """Closest-representable rounding with balanced tie-breaking.
+
+    decomposer.rs:156-185.  x: uint64 array; returns the wrapped state.
+    """
+    rep = base_log * levels
+    nonrep = bits - rep
+    res = x >> np.uint64(nonrep - 1)
+    rounding_bit = res & np.uint64(1)
+    res = (res + np.uint64(1)) >> np.uint64(1)
+    res = res & np.uint64((1 << rep) - 1)
+    # need_balance = res > B/2 || (res == B/2 && rounding_bit)
+    nb = (((res - np.uint64(1)) | (rounding_bit << np.uint64(rep - 1))) & res) >> np.uint64(rep - 1)
+    return res - (nb << np.uint64(rep))
+
+
+def _arithmetic_shr(x, shift: int):
+    return (x.astype(jnp.int64) >> np.int64(shift)).astype(U64)
+
+
+def signed_decompose(x, base_log: int, levels: int, bits: int = 64):
+    """Full decomposition: returns (levels, ...) digit array, level l first.
+
+    Digits are signed values wrapped into uint64 (|digit| <= B/2).
+    """
+    state = init_decomposer_state(x, base_log, levels, bits)
+    mask = np.uint64((1 << base_log) - 1)
+    digits = []
+    for _ in range(levels):
+        res = state & mask
+        state = _arithmetic_shr(state, base_log)
+        carry = (((res - np.uint64(1)) | state) & res) >> np.uint64(base_log - 1)
+        state = state + carry
+        digits.append(res - (carry << np.uint64(base_log)))
+    return jnp.stack(digits, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Keyswitch
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("base_log", "levels", "bits"))
+def keyswitch(ct, ksk, base_log: int, levels: int, bits: int = 64):
+    """Batched LWE keyswitch.
+
+    ct: (B, n_in+1) uint64; ksk: (n_in, l, n_out+1) uint64.
+    out = [0,...,0, body] - sum_{i,lev} digit_{i,lev} * ksk[i,lev]
+    (lwe_keyswitch.rs:185-225).  The contraction is a (B, n_in*l) x
+    (n_in*l, n_out+1) matmul in wrapping u64.
+    """
+    mask_in = ct[:, :-1]
+    body_in = ct[:, -1:]
+    digits = signed_decompose(mask_in, base_log, levels, bits)  # (l, B, n_in)
+    b = ct.shape[0]
+    d = jnp.transpose(digits, (1, 2, 0)).reshape(b, -1)  # (B, n_in*l)
+    k = ksk.reshape(-1, ksk.shape[-1])  # (n_in*l, n_out+1)
+    acc = _matmul_u64(d, k)
+    out = jnp.zeros((b, ksk.shape[-1]), dtype=U64)
+    out = out.at[:, -1].set(body_in[:, 0])
+    return out - acc
+
+
+def _matmul_u64(a, b):
+    """Wrapping u64 matmul (B, K) x (K, M) — mod 2^64 is a ring hom, so
+    wrapping partial sums are exact.
+
+    XLA:TPU's x64 rewriter does not implement u64 dot, so on non-CPU backends
+    the contraction runs as a chunked elementwise multiply-reduce in emulated
+    u64 (to be replaced by an int8-limb MXU matmul kernel).
+    """
+    if jax.default_backend() == "cpu":
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=U64)
+    kdim = a.shape[1]
+    chunk = 512
+    pad = (-kdim) % chunk
+    if pad:
+        a = jnp.pad(a, ((0, 0), (0, pad)))
+        b = jnp.pad(b, ((0, pad), (0, 0)))
+    nchunks = a.shape[1] // chunk
+    a3 = a.reshape(a.shape[0], nchunks, chunk).transpose(1, 0, 2)
+    b3 = b.reshape(nchunks, chunk, b.shape[1])
+
+    def step(acc, xs):
+        ac, bc = xs
+        return acc + jnp.sum(ac[:, :, None] * bc[None, :, :], axis=1), None
+
+    init = jnp.zeros((a.shape[0], b.shape[1]), dtype=U64)
+    out, _ = jax.lax.scan(step, init, (a3, b3))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Modulus switch
+# ---------------------------------------------------------------------------
+
+
+def modulus_switch(x, log_modulus: int, bits: int = 64):
+    """Round to the top log_modulus bits: (x + half) >> (bits - log_modulus).
+
+    fft_impl/common.rs:10-23.  Returns small uint64 values in [0, 2^log_modulus).
+    """
+    half = np.uint64(1 << (bits - log_modulus - 1))
+    return (x + half) >> np.uint64(bits - log_modulus)
+
+
+def centered_binary_ms_correction(ct, log_modulus: int, bits: int = 64):
+    """Body correction for the centered-binary modulus switch
+    (modulus_switch.rs:57-120): removes the expected value of the MS error
+    under a binary key, plus a half-case centering term.
+    """
+    mask = ct[..., :-1]
+    shift = np.uint64(bits - log_modulus)
+    rounded = modulus_switch(mask, log_modulus, bits) << shift
+    err = rounded - mask  # wrapping
+    signed_err = err.astype(jnp.int64)
+    half_err = signed_err // 2  # rust i64 division truncates toward 0
+    half_err = jnp.where(
+        (signed_err < 0) & (signed_err % 2 != 0), half_err + 1, half_err
+    )
+    halving_err_doubled = signed_err - 2 * half_err
+    sum_half = jnp.sum(half_err.astype(U64), axis=-1)
+    sum_halving_doubled = jnp.sum(halving_err_doubled, axis=-1)
+    correction = sum_half + (sum_halving_doubled // 2).astype(U64)
+    # center between redundant LUT mega-cases: subtract 1/2 post-MS scale
+    half_case = np.uint64(1 << (bits - log_modulus - 1))
+    return correction - half_case
+
+
+# ---------------------------------------------------------------------------
+# Negacyclic monomial rotations (branch-free, traced degree)
+# ---------------------------------------------------------------------------
+
+
+def monomial_mul(poly, degree):
+    """poly * X^degree (negacyclic), degree in [0, 2N).
+
+    polynomial_algorithms.rs:462-483: negate all if the full-cycle count is
+    odd; rotate right by degree % N; negate the first (degree % N) entries.
+    """
+    n = poly.shape[-1]
+    cycles = degree // n
+    r = degree % n
+    rotated = _roll_right(poly, r)
+    idx = jax.lax.broadcasted_iota(jnp.int64, poly.shape, poly.ndim - 1)
+    sign_flip = idx < r.astype(jnp.int64)
+    out = jnp.where(sign_flip, -rotated, rotated)
+    return jnp.where((cycles % 2) == 1, -out, out)
+
+
+def monomial_div(poly, degree):
+    """poly / X^degree (negacyclic): rotate left, negate the last r entries."""
+    n = poly.shape[-1]
+    cycles = degree // n
+    r = degree % n
+    rotated = _roll_right(poly, (n - r) % n)
+    idx = jax.lax.broadcasted_iota(jnp.int64, poly.shape, poly.ndim - 1)
+    sign_flip = idx >= (n - r).astype(jnp.int64) % n
+    # r == 0: no flip
+    sign_flip = sign_flip & (r != 0)
+    out = jnp.where(sign_flip, -rotated, rotated)
+    return jnp.where((cycles % 2) == 1, -out, out)
+
+
+def _roll_right(x, shift):
+    """Circular right-shift along the last axis by a traced amount."""
+    n = x.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int64, x.shape, x.ndim - 1)
+    src = (idx - shift.astype(jnp.int64)) % n
+    return jnp.take_along_axis(x, src.astype(jnp.int32), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# External product & blind rotate
+# ---------------------------------------------------------------------------
+
+
+def _digits_to_residues(digits, plan, xp=jnp):
+    """Signed wrapped digits (|d| <= B/2) -> per-prime residues.
+
+    negative (top bit set): residue = p - (2^64 - d) = p - wrapping_neg(d).
+    """
+    neg = digits >> np.uint64(63)
+    negval = (jnp.zeros_like(digits) - digits)
+    outs = []
+    for i in range(plan.num_primes):
+        p = plan.plans[i].p
+        outs.append(jnp.where(neg.astype(bool), p - negval, digits))
+    return jnp.stack(outs, axis=-2)  # (..., num_primes, N)
+
+
+def external_product_ntt(glwe, bsk_ggsw_mont, plan, base_log: int, levels: int,
+                         bits: int = 64):
+    """GGSW (x) GLWE external product, exact, batched.
+
+    glwe: (B, k+1, N) u64; bsk_ggsw_mont: (l, k+1, k+1, P, N) u32 Montgomery
+    NTT-domain GGSW.  Returns (B, k+1, N) u64 — the product to *add* to the
+    accumulator (fft64/crypto/ggsw.rs:483-600 semantics, exact arithmetic).
+    """
+    digits = signed_decompose(glwe, base_log, levels, bits)  # (l, B, k+1, N)
+    res = _digits_to_residues(digits, plan)                  # (l, B, k+1, P, N)
+    fwd = jnp.stack(
+        [ntt.ntt_forward(res[..., i, :], plan, i, jnp) for i in range(plan.num_primes)],
+        axis=-2,
+    )  # (l, B, k+1, P, N)
+    key = bsk_ggsw_mont.astype(U64)  # (l, k+1, k+1, P, N)
+    # accumulate over levels and rows for each output column c
+    # fwd: (l, B, r, P, N); key: (l, r, c, P, N) -> out (B, c, P, N)
+    acc = None
+    for lev in range(levels):
+        for r in range(key.shape[1]):
+            prod = ntt.pointwise_mul_mont(
+                fwd[lev][:, r, None, :, :], key[lev][r][None, :, :, :], plan, jnp
+            )  # (B, c, P, N)
+            acc = prod if acc is None else ntt.add_mod_all(acc, prod, plan, jnp)
+    coeffs = ntt.inverse_all(acc, plan, jnp)  # (B, c, P, N)
+    return ntt.garner_to_u64(coeffs, plan, jnp)
+
+
+def blind_rotate(msed_mask, msed_body, lut, bsk_mont, plan, base_log: int,
+                 levels: int, bits: int = 64):
+    """Batched blind rotation (karatsuba_pbs.rs:221-286, always-compute).
+
+    msed_mask: (B, n) uint64 in [0, 2N); msed_body: (B,) uint64;
+    lut: (B, k+1, N) u64; bsk_mont: (n, l, k+1, k+1, P, N) uint32.
+    Zero mask elements need no skip-branch: their CMux contribution is
+    exactly zero in exact arithmetic.
+    """
+    acc0 = monomial_div(lut, msed_body[:, None, None])
+
+    def step(acc, xs):
+        a_i, ggsw = xs  # a_i: (B,), ggsw: (l, k+1, k+1, P, N)
+        ct1 = monomial_mul(acc, a_i[:, None, None]) - acc
+        prod = external_product_ntt(ct1, ggsw, plan, base_log, levels, bits)
+        return acc + prod, None
+
+    acc, _ = jax.lax.scan(step, acc0, (msed_mask.T, bsk_mont))
+    return acc
+
+
+def sample_extract(glwe):
+    """Extract the constant coefficient as an LWE (glwe_sample_extraction.rs).
+
+    glwe: (B, k+1, N) -> (B, k*N + 1); mask out[0]=m[0], out[j]=-m[N-j].
+    """
+    b, glwe_size, n = glwe.shape
+    mask = glwe[:, :-1, :]
+    flipped = -jnp.flip(mask, axis=-1)  # -m[N-1-j]
+    # out[j] = -m[N-j] for j>=1; out[0] = m[0]
+    rolled = jnp.roll(flipped, 1, axis=-1)  # rolled[j] = -m[N-j] for j>=1, rolled[0] = -m[0]
+    out_mask = rolled.at[:, :, 0].set(mask[:, :, 0])
+    body = glwe[:, -1, 0]
+    return jnp.concatenate([out_mask.reshape(b, -1), body[:, None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Fused KS -> MS -> blind-rotate -> sample-extract pipeline
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("ks_base_log", "ks_levels", "pbs_base_log",
+                                   "pbs_levels", "plan", "bits", "centered_ms"))
+def ks_pbs_batch(ct, lut, ksk, bsk_mont, plan, ks_base_log: int, ks_levels: int,
+                 pbs_base_log: int, pbs_levels: int, bits: int = 64,
+                 centered_ms: bool = False):
+    """The TPU money path: one fused batched KS->PBS (shortint atomic pattern).
+
+    ct: (B, n_big+1) u64 LWE batch under the big key;
+    lut: (B, k+1, N) u64 (per-element LUTs — broadcast upstream for shared);
+    ksk: (n_big, l_ks, n_small+1); bsk_mont: (n_small, l_pbs, k+1, k+1, P, N).
+    Returns (B, n_big+1) bootstrapped LWEs.
+
+    Replaces the whole reference stack of SURVEY.md §3.2 (keyswitch ->
+    modulus-switch -> blind-rotate -> sample-extract) with one XLA program.
+    """
+    n_poly = lut.shape[-1]
+    log_mod = n_poly.bit_length()  # log2(N) + 1
+    ks = keyswitch(ct, ksk, ks_base_log, ks_levels, bits)
+    if centered_ms:
+        corr = centered_binary_ms_correction(ks, log_mod, bits)
+        body = modulus_switch(ks[:, -1] + corr, log_mod, bits)
+    else:
+        body = modulus_switch(ks[:, -1], log_mod, bits)
+    msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
+    acc = blind_rotate(msed_mask, body, lut, bsk_mont, plan,
+                       pbs_base_log, pbs_levels, bits)
+    return sample_extract(acc)
+
+
+# ---------------------------------------------------------------------------
+# LUT generation (host-side helper)
+# ---------------------------------------------------------------------------
+
+
+def generate_lut(polynomial_size: int, glwe_size: int, message_modulus: int,
+                 delta: int, f, bits: int = 64) -> np.ndarray:
+    """Programmable bootstrap LUT as a trivial GLWE (mod.rs:26-79).
+
+    Returns (glwe_size, N) uint64 with zero mask and the redundant-box body.
+    """
+    n = polynomial_size
+    box = n // message_modulus
+    acc = np.zeros(n, dtype=np.uint64)
+    modmask = (1 << bits) - 1
+    for i in range(message_modulus):
+        acc[i * box : (i + 1) * box] = (int(f(i)) * delta) & modmask
+    half_box = box // 2
+    acc[:half_box] = (-acc[:half_box].astype(np.int64)).astype(np.uint64) & np.uint64(modmask)
+    acc = np.roll(acc, -half_box)
+    out = np.zeros((glwe_size, n), dtype=np.uint64)
+    out[-1] = acc
+    return out
