@@ -1,12 +1,14 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware.  Must be set before importing jax.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# exercised without TPU hardware.  NOTE: the axon TPU plugin ignores the
+# JAX_PLATFORMS env var, so the platform must be forced via jax.config before
+# any backend is initialized.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,95 @@
+"""shortint layer tests with fast insecure parameters.
+
+Model: shortint/server_key/tests/ — op results vs cleartext model, degree and
+noise bookkeeping, smart-op bootstrap triggering.
+"""
+
+import pytest
+
+from tfhe_tpu import shortint
+
+
+@pytest.fixture(scope="module")
+def keys():
+    return shortint.gen_keys(shortint.TEST_PARAM_MESSAGE_2_CARRY_2, seed=0x5EED)
+
+
+def test_encrypt_decrypt(keys):
+    ck, sk = keys
+    for m in range(4):
+        assert ck.decrypt(ck.encrypt(m)) == m
+
+
+def test_unchecked_add_and_carry(keys):
+    ck, sk = keys
+    a, b = ck.encrypt(3), ck.encrypt(2)
+    s = sk.unchecked_add(a, b)
+    assert ck.decrypt_raw(s) == 5  # carry visible in full space
+    assert ck.decrypt(s) == 1      # message part
+    assert s.degree == 6
+
+
+def test_message_and_carry_extract(keys):
+    ck, sk = keys
+    a, b = ck.encrypt(3), ck.encrypt(3)
+    s = sk.unchecked_add(a, b)
+    msg = sk.message_extract(s)
+    car = sk.carry_extract(s)
+    assert ck.decrypt_raw(msg) == 2  # 6 % 4
+    assert ck.decrypt_raw(car) == 1  # 6 // 4
+    assert msg.noise_level == 1
+
+
+def test_batched_lut_apply(keys):
+    ck, sk = keys
+    cts = [ck.encrypt(m) for m in [0, 1, 2, 3]]
+    lut = sk.generate_lookup_table(lambda x: (3 * x + 2) % 16)
+    outs = sk.apply_lookup_table_batch(cts, lut)
+    for m, o in zip([0, 1, 2, 3], outs):
+        assert ck.decrypt_raw(o) == (3 * m + 2) % 16
+
+
+def test_scalar_ops(keys):
+    ck, sk = keys
+    a = ck.encrypt(2)
+    assert ck.decrypt_raw(sk.unchecked_scalar_add(a, 3)) == 5
+    assert ck.decrypt_raw(sk.unchecked_scalar_mul(a, 3)) == 6
+
+
+def test_sub_and_neg(keys):
+    ck, sk = keys
+    a, b = ck.encrypt(1), ck.encrypt(3)
+    d = sk.unchecked_sub(a, b)
+    assert ck.decrypt(sk.message_extract(d)) == (1 - 3) % 4
+    n = sk.unchecked_neg(b)
+    assert ck.decrypt(sk.message_extract(n)) == (-3) % 4
+
+
+def test_bivariate_ops(keys):
+    ck, sk = keys
+    for x, y in [(0, 0), (1, 3), (2, 2), (3, 1)]:
+        a, b = ck.encrypt(x), ck.encrypt(y)
+        assert ck.decrypt_raw(sk.mul(a, b)) == (x * y) % 4
+        assert ck.decrypt_raw(sk.bitand(a, b)) == (x & y)
+        assert ck.decrypt_raw(sk.bitxor(a, b)) == (x ^ y)
+        assert ck.decrypt_raw(sk.eq(a, b)) == int(x == y)
+        assert ck.decrypt_raw(sk.lt(a, b)) == int(x < y)
+
+
+def test_smart_add_bootstraps_when_full(keys):
+    ck, sk = keys
+    a, b = ck.encrypt(3), ck.encrypt(3)
+    acc = sk.unchecked_add(a, b)          # degree 6
+    acc = sk.unchecked_add(acc, ck.encrypt(3))  # degree 9
+    # smart_add must bootstrap (degree would exceed 15)
+    out = sk.smart_add(acc, acc)
+    assert ck.decrypt(sk.message_extract(out)) == (9 + 9) % 4 % 4
+    assert out.degree <= sk.max_degree
+
+
+def test_trivial(keys):
+    ck, sk = keys
+    t = sk.create_trivial(7)
+    assert ck.decrypt_raw(t) == 7
+    s = sk.unchecked_add(t, ck.encrypt(2))
+    assert ck.decrypt_raw(s) == 9

@@ -1,0 +1,41 @@
+"""tfhe_tpu: a TPU-native TFHE framework (JAX/XLA/Pallas).
+
+Brand-new implementation with the capabilities of zama-ai/tfhe-rs, designed
+batch-first for TPU: exact CRT-NTT polynomial arithmetic instead of f64 FFT,
+fused jitted KS->PBS pipelines instead of per-ciphertext rayon loops, and
+mesh sharding of the PBS batch axis for scale-out.
+"""
+
+import os as _os
+
+import jax as _jax
+
+# 64-bit integer torus arithmetic everywhere.
+_jax.config.update("jax_enable_x64", True)
+
+# PBS pipelines are compile-heavy (unrolled NTT stages inside lax.scan);
+# persist compiled executables across processes.
+if not _jax.config.jax_compilation_cache_dir:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("TFHE_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/tfhe_tpu_jax")),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from . import boolean, hlapi, integer, shortint  # noqa: E402,F401
+from .hlapi import (  # noqa: E402,F401
+    ClientKey,
+    CompressedServerKey,
+    Config,
+    ConfigBuilder,
+    FheBool,
+    FheUint8,
+    FheUint16,
+    FheUint32,
+    FheUint64,
+    ServerKey,
+    generate_keys,
+    set_server_key,
+)
+
+__version__ = "0.1.0"

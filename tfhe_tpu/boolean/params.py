@@ -1,0 +1,70 @@
+"""Boolean gate parameters.
+
+The reference's boolean layer runs a dedicated u32-torus parameter set
+(boolean/parameters/params.rs:10-22, n=805 k=3 N=512 Gaussian).  The TPU
+build shares the u64 exact-NTT pipeline, so boolean gates use 64-bit-torus
+parameter sets with equivalent security/noise margins; the +-1/8 encoding is
+unchanged (boolean/mod.rs:72-78 PLAINTEXT_TRUE = q/8).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..core.params import BootstrapParams, DecompParams, GlweParams, LweParams
+from ..utils.csprng import TUniform
+
+
+@dataclass(frozen=True)
+class BooleanParameters:
+    lwe_dimension: int
+    glwe_dimension: int
+    polynomial_size: int
+    lwe_noise: object
+    glwe_noise: object
+    pbs_base_log: int
+    pbs_level: int
+    ks_base_log: int
+    ks_level: int
+    bits: int = 64
+
+    @property
+    def core(self) -> BootstrapParams:
+        return BootstrapParams(
+            lwe=LweParams(self.lwe_dimension, self.lwe_noise),
+            glwe=GlweParams(self.glwe_dimension, self.polynomial_size, self.glwe_noise),
+            pbs_decomp=DecompParams(self.pbs_base_log, self.pbs_level),
+            ks_decomp=DecompParams(self.ks_base_log, self.ks_level),
+        )
+
+    @property
+    def big_lwe_dimension(self) -> int:
+        return self.glwe_dimension * self.polynomial_size
+
+
+# 128-bit-secure parameters on the u64 torus (matching the 2_2 compute set's
+# security level; boolean needs far less precision than it provides).
+DEFAULT_PARAMETERS = BooleanParameters(
+    lwe_dimension=918,
+    glwe_dimension=1,
+    polynomial_size=2048,
+    lwe_noise=TUniform(45),
+    glwe_noise=TUniform(17),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=4,
+    ks_level=4,
+)
+
+# Fast insecure parameters for unit tests.
+TEST_PARAMETERS = BooleanParameters(
+    lwe_dimension=16,
+    glwe_dimension=1,
+    polynomial_size=512,
+    lwe_noise=TUniform(3),
+    glwe_noise=TUniform(3),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=4,
+    ks_level=4,
+)

@@ -1,0 +1,94 @@
+"""Key types and generate_keys (high_level_api/keys/mod.rs:44)."""
+
+from __future__ import annotations
+
+import secrets
+
+from ..integer.client_key import ClientKey as IntegerClientKey
+from ..integer.server_key import ServerKey as IntegerServerKey
+from .config import Config
+
+
+class ClientKey:
+    def __init__(self, config: Config, seed: int | None = None):
+        self.config = config
+        self.seed = secrets.randbits(128) if seed is None else seed
+        self.integer_key = IntegerClientKey(config.shortint_params, self.seed)
+
+    @classmethod
+    def generate(cls, config: Config, seed: int | None = None) -> "ClientKey":
+        return cls(config, seed)
+
+
+class ServerKey:
+    def __init__(self, client_key: ClientKey):
+        self.integer_key = IntegerServerKey(client_key.integer_key)
+        self.config = client_key.config
+
+
+class CompressedServerKey:
+    """Compressed (seeded) server key.
+
+    The reference stores seeded BSK/KSK whose public mask halves regenerate
+    from a 128-bit seed (SeededLweBootstrapKey et al.).  The NTT-domain device
+    key is rebuilt on `decompress()`.  Current implementation retains the
+    client key reference for regeneration; the seeded-entity byte format
+    lands with the serialization subsystem.
+    """
+
+    def __init__(self, client_key: ClientKey):
+        self._client_key = client_key
+        self.seed = secrets.randbits(128)
+
+    def decompress(self) -> ServerKey:
+        return ServerKey(self._client_key)
+
+
+class PublicKey:
+    """Classic LWE public key (list of encryptions of zero).
+
+    encrypt(value) = random subset-sum of zero-encryptions + encoded message
+    (core_crypto/algorithms/lwe_public_key_generation.rs semantics).
+    """
+
+    def __init__(self, client_key: ClientKey, zero_count: int | None = None):
+        import numpy as np
+
+        from ..core.encrypt import encrypt_lwe
+
+        ck = client_key.integer_key.key
+        p = ck.params
+        # lwe_public_key_zero_encryption_count: n*ceil(log2 q)+128 in the
+        # reference; a smaller structured count keeps host keygen fast here.
+        self.zero_count = zero_count or (p.big_lwe_dimension + 128)
+        self.params = p
+        rows = []
+        for _ in range(self.zero_count):
+            rows.append(
+                encrypt_lwe(ck.encryption_key, 0, p.glwe_noise,
+                            ck.encryption_generator, p.bits).data
+            )
+        self._zeros = np.stack(rows)
+
+    def encrypt_block(self, message: int):
+        import secrets as _s
+
+        import numpy as np
+
+        from ..shortint.ciphertext import NOMINAL_NOISE, Ciphertext
+
+        p = self.params
+        mask_bits = np.frombuffer(_s.token_bytes(self.zero_count), dtype=np.uint8) & 1
+        acc = self._zeros[mask_bits.astype(bool)].sum(axis=0, dtype=np.uint64)
+        acc[-1] = acc[-1] + np.uint64((message % p.total_modulus) * p.delta)
+        return Ciphertext(acc, degree=p.message_modulus - 1,
+                          noise_level=NOMINAL_NOISE,
+                          message_modulus=p.message_modulus,
+                          carry_modulus=p.carry_modulus)
+
+
+def generate_keys(config: Config | None = None, seed: int | None = None):
+    config = config or Config()
+    ck = ClientKey(config, seed)
+    sk = ServerKey(ck)
+    return ck, sk

@@ -1,0 +1,67 @@
+"""Mesh sharding of the PBS batch axis.
+
+The reference's multi-GPU layer scatters LWE arrays round-robin across GPUs
+and gathers results (backends/tfhe-cuda-backend/cuda/include/
+helper_multi_gpu.h:1-80, integer.cuh:945-988).  The TPU-native equivalent is
+GSPMD: a 1-D device mesh with a "batch" axis, ciphertext batches sharded over
+it, keys replicated, and XLA inserting any needed collectives.  Scale-out to
+a multi-host pod slice is the same program over a bigger mesh.
+
+Axes (SURVEY.md §2.13): "batch" (data-parallel over ciphertexts) is the
+primary axis; an optional "poly" axis for sharding single huge-N polynomial
+transforms is reserved for the large-parameter (N >= 2^14) configurations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import server as srv
+
+
+def make_mesh(devices=None, axis_name: str = "batch") -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def shard_batch(mesh: Mesh, x, axis_name: str = "batch"):
+    """Place an array with leading batch dim sharded across the mesh."""
+    spec = P(axis_name, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(mesh: Mesh, x):
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def sharded_ks_pbs(mesh: Mesh, ct, lut, ksk, bsk_mont, plan,
+                   ks_base_log: int, ks_levels: int,
+                   pbs_base_log: int, pbs_levels: int,
+                   bits: int = 64, centered_ms: bool = False,
+                   axis_name: str = "batch"):
+    """Batched KS->PBS with the batch axis sharded over the mesh.
+
+    Keys are replicated (59 MB Fourier-BSK analog fits every chip's HBM);
+    each device bootstraps its shard; no cross-device communication is needed
+    in the steady state — the pure data-parallel regime that gives linear
+    PBS/s scaling.
+    """
+    ct = shard_batch(mesh, ct, axis_name)
+    lut = shard_batch(mesh, lut, axis_name)
+    ksk = replicate(mesh, ksk)
+    bsk_mont = replicate(mesh, bsk_mont)
+    out_spec = NamedSharding(mesh, P(axis_name, None))
+    f = jax.jit(
+        partial(srv.ks_pbs_batch, plan=plan,
+                ks_base_log=ks_base_log, ks_levels=ks_levels,
+                pbs_base_log=pbs_base_log, pbs_levels=pbs_levels,
+                bits=bits, centered_ms=centered_ms),
+        out_shardings=out_spec,
+    )
+    return f(ct, lut, ksk, bsk_mont)

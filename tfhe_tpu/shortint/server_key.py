@@ -1,0 +1,232 @@
+"""shortint server key: batched LUT application + the four-flavor op set.
+
+The reference applies one PBS per ciphertext inside rayon loops
+(shortint/server_key/mod.rs:974 apply_lookup_table); here the primitive is a
+*batched* LUT apply — a list of ciphertexts and per-element LUTs go through
+one fused jitted KS->MS->BR->SE program (ops/server.py ks_pbs_batch).  The
+integer layer above coalesces whole rounds of block PBS into single calls.
+
+Op flavors follow the reference convention (server_key/add.rs:41-303):
+  unchecked_* (no checks) / checked_* (error on overflow risk) /
+  smart_* (bootstraps operands when needed) / default (clean carry in/out).
+Degree/NoiseLevel bookkeeping mirrors ciphertext/common.rs.
+"""
+
+from __future__ import annotations
+
+import secrets
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import keygen as kg
+from ..ops import server as srv
+from ..utils.csprng import DeterministicSeeder, EncryptionRandomGenerator
+from .ciphertext import NOMINAL_NOISE, Ciphertext
+from .client_key import ClientKey
+from .params import MsNoiseReduction, ShortintParams
+
+
+@dataclass
+class LookupTable:
+    acc: np.ndarray  # (k+1, N) uint64 trivial GLWE accumulator
+    degree: int
+
+
+class ServerKey:
+    def __init__(self, client_key: ClientKey, seed: int | None = None):
+        p = client_key.params
+        self.params = p
+        if seed is None:
+            seed = secrets.randbits(128)
+        gen = EncryptionRandomGenerator(seed, DeterministicSeeder(seed ^ 0xB5297A4D))
+        core = p.core
+        ksk = kg.generate_lwe_keyswitch_key(
+            client_key.big_lwe_secret_key, client_key.lwe_secret_key,
+            core.ks_decomp, p.lwe_noise, gen, p.bits,
+        )
+        bsk = kg.generate_lwe_bootstrap_key(
+            client_key.lwe_secret_key, client_key.glwe_secret_key,
+            core.pbs_decomp, p.glwe_noise, gen, p.bits,
+        )
+        bsk_mont, plan = kg.bootstrap_key_to_ntt(bsk)
+        self.ksk = jnp.asarray(ksk.data)
+        self.bsk_mont = jnp.asarray(bsk_mont)
+        self.plan = plan
+        self.max_degree = p.total_modulus - 1
+        self.max_noise_level = p.max_noise_level
+        self.pbs_count = 0  # pbs-stats analog (shortint/server_key/mod.rs:69)
+
+    # ------------------------------------------------------------------
+    # Lookup tables
+    # ------------------------------------------------------------------
+
+    def generate_lookup_table(self, f) -> LookupTable:
+        p = self.params
+        total = p.total_modulus
+        outputs = [int(f(x)) % total for x in range(total)]
+        acc = srv.generate_lut(p.polynomial_size, p.glwe_dimension + 1, total,
+                               p.delta, lambda x: outputs[x], p.bits)
+        return LookupTable(acc, degree=max(outputs))
+
+    def generate_msg_lookup_table(self, f) -> LookupTable:
+        """LUT of f(x % msg) % msg (clears carries)."""
+        p = self.params
+        return self.generate_lookup_table(lambda x: int(f(x % p.message_modulus)) % p.message_modulus)
+
+    def generate_lookup_table_bivariate(self, f) -> LookupTable:
+        """Packed-operand LUT: input lhs*msg + rhs (bivariate_pbs.rs:110)."""
+        p = self.params
+        m = p.message_modulus
+
+        def packed(x):
+            return int(f((x // m) % m, x % m))
+
+        return self.generate_lookup_table(packed)
+
+    # ------------------------------------------------------------------
+    # Batched PBS primitive
+    # ------------------------------------------------------------------
+
+    def apply_lookup_table_batch(self, cts: list[Ciphertext],
+                                 luts) -> list[Ciphertext]:
+        """One fused batched KS->PBS for a list of ciphertexts.
+
+        luts: a single LookupTable (shared) or a list of per-element tables.
+        """
+        p = self.params
+        if isinstance(luts, LookupTable):
+            luts = [luts] * len(cts)
+        assert len(luts) == len(cts)
+        n_real = len(cts)
+        # bucket the batch size to powers of two: bounds the number of
+        # distinct XLA programs (compile cost), like CUDA kernel occupancy bins
+        n_pad = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+        batch = np.stack([np.asarray(c.data) for c in cts] +
+                         [np.asarray(cts[0].data)] * (n_pad - n_real))
+        lut_b = np.stack([t.acc for t in luts] + [luts[0].acc] * (n_pad - n_real))
+        batch = jnp.asarray(batch)
+        lut_b = jnp.asarray(lut_b)
+        out = srv.ks_pbs_batch(
+            batch, lut_b, self.ksk, self.bsk_mont, self.plan,
+            p.ks_base_log, p.ks_level, p.pbs_base_log, p.pbs_level, p.bits,
+            p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
+        )
+        out_np = np.asarray(out)[:n_real]
+        self.pbs_count += n_real
+        return [
+            c.with_data(out_np[i], degree=luts[i].degree, noise_level=NOMINAL_NOISE)
+            for i, c in enumerate(cts)
+        ]
+
+    def apply_lookup_table(self, ct: Ciphertext, lut: LookupTable) -> Ciphertext:
+        return self.apply_lookup_table_batch([ct], lut)[0]
+
+    # ------------------------------------------------------------------
+    # Linear (leveled) ops — no PBS
+    # ------------------------------------------------------------------
+
+    def unchecked_add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return a.with_data(a.data + b.data, degree=a.degree + b.degree,
+                           noise_level=a.noise_level + b.noise_level)
+
+    def unchecked_sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """a - b + z*msg*delta with z chosen so the result stays positive
+        (server_key/sub.rs correcting-term trick)."""
+        p = self.params
+        msg = p.message_modulus
+        z = (b.degree + msg) // msg * msg  # multiple of msg, > b.degree
+        corr = np.uint64((z * p.delta) % (1 << p.bits))
+        return a.with_data(a.data - b.data + corr, degree=a.degree + z,
+                           noise_level=a.noise_level + b.noise_level)
+
+    def unchecked_neg(self, a: Ciphertext) -> Ciphertext:
+        p = self.params
+        msg = p.message_modulus
+        z = (a.degree + msg) // msg * msg
+        corr = np.uint64((z * p.delta) % (1 << p.bits))
+        zero = np.zeros_like(np.asarray(a.data))
+        return a.with_data(zero - a.data + corr, degree=z,
+                           noise_level=a.noise_level)
+
+    def unchecked_scalar_add(self, a: Ciphertext, scalar: int) -> Ciphertext:
+        p = self.params
+        shift = np.uint64((scalar * p.delta) % (1 << p.bits))
+        data = np.array(a.data)
+        data[-1] = data[-1] + shift
+        return a.with_data(data, degree=a.degree + scalar)
+
+    def unchecked_scalar_mul(self, a: Ciphertext, scalar: int) -> Ciphertext:
+        return a.with_data(a.data * np.uint64(scalar),
+                           degree=a.degree * scalar,
+                           noise_level=a.noise_level * scalar)
+
+    def create_trivial(self, value: int) -> Ciphertext:
+        p = self.params
+        data = np.zeros(p.big_lwe_dimension + 1, dtype=np.uint64)
+        v = value % p.total_modulus
+        data[-1] = np.uint64((v * p.delta) % (1 << p.bits))
+        return Ciphertext(data, degree=v, noise_level=0,
+                          message_modulus=p.message_modulus,
+                          carry_modulus=p.carry_modulus)
+
+    # ------------------------------------------------------------------
+    # PBS-backed ops
+    # ------------------------------------------------------------------
+
+    def message_extract(self, a: Ciphertext) -> Ciphertext:
+        return self.apply_lookup_table(a, self.generate_msg_lookup_table(lambda x: x))
+
+    def carry_extract(self, a: Ciphertext) -> Ciphertext:
+        p = self.params
+        return self.apply_lookup_table(
+            a, self.generate_lookup_table(lambda x: x // p.message_modulus))
+
+    def _fits(self, degree: int, noise: int) -> bool:
+        return degree <= self.max_degree and noise <= self.max_noise_level
+
+    def smart_add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        if not self._fits(a.degree + b.degree, a.noise_level + b.noise_level):
+            a = self.message_extract(a)
+            b = self.message_extract(b)
+        return self.unchecked_add(a, b)
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """Default flavor: clean-carry output (message part only)."""
+        return self.message_extract(self.smart_add(a, b))
+
+    def unchecked_apply_bivariate(self, a: Ciphertext, b: Ciphertext, f) -> Ciphertext:
+        """packed = a*msg + b, then LUT(f) — requires b.degree < msg."""
+        p = self.params
+        packed = self.unchecked_add(self.unchecked_scalar_mul(a, p.message_modulus), b)
+        return self.apply_lookup_table(packed, self.generate_lookup_table_bivariate(f))
+
+    def smart_apply_bivariate(self, a: Ciphertext, b: Ciphertext, f) -> Ciphertext:
+        p = self.params
+        msg = p.message_modulus
+        deg = a.degree * msg + b.degree
+        noise = a.noise_level * msg + b.noise_level
+        if b.degree >= msg or not self._fits(deg, noise):
+            a = self.message_extract(a)
+            b = self.message_extract(b)
+        return self.unchecked_apply_bivariate(a, b, f)
+
+    def mul(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        p = self.params
+        return self.smart_apply_bivariate(a, b, lambda x, y: (x * y) % p.message_modulus)
+
+    def bitand(self, a, b):
+        return self.smart_apply_bivariate(a, b, lambda x, y: x & y)
+
+    def bitor(self, a, b):
+        return self.smart_apply_bivariate(a, b, lambda x, y: x | y)
+
+    def bitxor(self, a, b):
+        return self.smart_apply_bivariate(a, b, lambda x, y: x ^ y)
+
+    def eq(self, a, b):
+        return self.smart_apply_bivariate(a, b, lambda x, y: int(x == y))
+
+    def lt(self, a, b):
+        return self.smart_apply_bivariate(a, b, lambda x, y: int(x < y))
