@@ -1,0 +1,88 @@
+"""Extended integer op tests: div/rem, encrypted shifts, rotates, bit counts,
+ilog2, abs, parity."""
+
+import pytest
+
+from tfhe_tpu import integer, shortint
+
+NB = 3  # 6-bit integers keep division fast in tests
+MOD = 4 ** NB
+BITS = 6
+
+
+@pytest.fixture(scope="module")
+def keys():
+    return integer.gen_keys(shortint.TEST_PARAM_MESSAGE_2_CARRY_2, seed=0xD1F)
+
+
+def test_overflowing_sub(keys):
+    ck, sk = keys
+    for a, b in [(5, 3), (3, 5), (0, 0), (63, 1), (0, 63)]:
+        out, borrow = sk.overflowing_sub_parallelized(
+            ck.encrypt_radix(a, NB), ck.encrypt_radix(b, NB))
+        assert ck.decrypt_radix(out) == (a - b) % MOD
+        assert ck.decrypt_bool(borrow) == (a < b), (a, b)
+
+
+def test_extract_bits_roundtrip(keys):
+    ck, sk = keys
+    v = 0b101101
+    bits = sk.extract_bits(ck.encrypt_radix(v, NB))
+    got = [ck.key.decrypt_raw(b) for b in bits]
+    assert got == [(v >> i) & 1 for i in range(BITS)]
+
+
+def test_div_rem(keys):
+    ck, sk = keys
+    for a, d in [(42, 5), (63, 7), (10, 3), (5, 63), (0, 3)]:
+        q, r = sk.div_rem_parallelized(ck.encrypt_radix(a, NB), ck.encrypt_radix(d, NB))
+        assert ck.decrypt_radix(q) == a // d, (a, d)
+        assert ck.decrypt_radix(r) == a % d, (a, d)
+
+
+def test_encrypted_shifts(keys):
+    ck, sk = keys
+    for v, s in [(0b101101, 2), (63, 0), (1, 5), (32, 3)]:
+        ea = ck.encrypt_radix(v, NB)
+        es = ck.encrypt_radix(s, NB)
+        assert ck.decrypt_radix(sk.left_shift_parallelized(ea, es)) == (v << s) % MOD, (v, s)
+        assert ck.decrypt_radix(sk.right_shift_parallelized(ea, es)) == v >> s, (v, s)
+
+
+def test_rotates(keys):
+    ck, sk = keys
+
+    def rotl(v, r):
+        r %= BITS
+        return ((v << r) | (v >> (BITS - r))) % MOD if r else v
+
+    for v, r in [(0b101101, 2), (1, 5), (0b110000, 3)]:
+        ea = ck.encrypt_radix(v, NB)
+        assert ck.decrypt_radix(sk.scalar_rotate_left_parallelized(ea, r)) == rotl(v, r), (v, r)
+        assert ck.decrypt_radix(sk.scalar_rotate_right_parallelized(ea, r)) == rotl(v, BITS - r), (v, r)
+        er = ck.encrypt_radix(r, NB)
+        assert ck.decrypt_radix(sk.rotate_left_parallelized(ea, er)) == rotl(v, r), (v, r)
+
+
+def test_counts_and_ilog2(keys):
+    ck, sk = keys
+    for v in [0b101101, 0, 63, 1, 32]:
+        ea = ck.encrypt_radix(v, NB)
+        assert ck.decrypt_radix(sk.count_ones_parallelized(ea)) == bin(v).count("1"), v
+        assert ck.decrypt_radix(sk.count_zeros_parallelized(ea)) == BITS - bin(v).count("1"), v
+        lz = BITS - v.bit_length()
+        assert ck.decrypt_radix(sk.leading_zeros_parallelized(ea)) == lz, v
+        tz = BITS if v == 0 else (v & -v).bit_length() - 1
+        assert ck.decrypt_radix(sk.trailing_zeros_parallelized(ea)) == tz, v
+        if v > 0:
+            assert ck.decrypt_radix(sk.ilog2_parallelized(ea)) == v.bit_length() - 1, v
+
+
+def test_abs_and_parity(keys):
+    ck, sk = keys
+    for v in [5, -5, 0, -32, 31]:
+        ea = integer.RadixCiphertext(ck.encrypt_signed_radix(v, NB).blocks)
+        assert ck.decrypt_radix(sk.abs_parallelized(ea)) == abs(v) % MOD, v
+    ea = ck.encrypt_radix(6, NB)
+    assert ck.decrypt_bool(sk.is_even_parallelized(ea)) is True
+    assert ck.decrypt_bool(sk.is_odd_parallelized(ea)) is False

@@ -90,19 +90,26 @@ class ServerKey:
             return Ciphertext.new_trivial(not a.trivial)
         return Ciphertext(np.zeros_like(np.asarray(a.data)) - np.asarray(a.data))
 
+    @staticmethod
+    def _add_body(data: np.ndarray, offset: np.uint64) -> np.ndarray:
+        out = np.array(data)
+        out[..., -1] = out[..., -1] + offset
+        return out
+
     def _binary_lin(self, kind: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        neg = np.uint64(0) - np.uint64(1)  # -1 (wrapping)
         if kind == "and":
-            return a + b - Q8
+            return self._add_body(a + b, np.uint64(0) - Q8)
         if kind == "or":
-            return a + b + Q8
+            return self._add_body(a + b, Q8)
         if kind == "xor":
-            return (a + b) * np.uint64(2) + Q4
+            return self._add_body((a + b) * np.uint64(2), Q4)
         if kind == "nand":
-            return Q8 - (a + b)
+            return self._add_body((a + b) * neg, Q8)
         if kind == "nor":
-            return (np.uint64(0) - Q8) - (a + b)
+            return self._add_body((a + b) * neg, np.uint64(0) - Q8)
         if kind == "xnor":
-            return (a + b) * np.uint64(np.uint64(0) - np.uint64(2)) - Q4
+            return self._add_body((a + b) * (neg - np.uint64(1)), np.uint64(0) - Q4)
         raise ValueError(kind)
 
     _TRIVIAL = {

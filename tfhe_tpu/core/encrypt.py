@@ -35,11 +35,12 @@ def encrypt_lwe(
     noise = int(noise_distribution.sample(gen.noise, 1, bits)[0])
     mask = _wrap(mask, bits)
     skd = _wrap(sk.data, bits)
-    body = (
-        np.sum(mask * skd, dtype=mask.dtype)
-        + mask.dtype.type(encoded % (1 << bits))
-        + mask.dtype.type(noise % (1 << bits))
-    )
+    with np.errstate(over="ignore"):  # wrapping torus arithmetic is intended
+        body = (
+            np.sum(mask * skd, dtype=mask.dtype)
+            + mask.dtype.type(encoded % (1 << bits))
+            + mask.dtype.type(noise % (1 << bits))
+        )
     data = np.concatenate([mask, np.array([body], dtype=mask.dtype)])
     return LweCiphertext(data, bits)
 

@@ -1,0 +1,256 @@
+"""Extended radix ops: division, encrypted-amount shifts, rotates, bit
+counts, ilog2, abs/signed helpers.
+
+Mirrors integer/server_key/radix_parallel/{div_mod,shift,rotate,ilog2,
+count_zeros_ones,abs}.rs algorithm choices, re-expressed as rounds of batched
+LUT applications:
+  - div/rem: schoolbook binary long division (div_mod.rs:307-317) where each
+    iteration folds the compare into the borrow of one overflowing-sub.
+  - encrypted shifts/rotates: barrel shifter over the amount's bits
+    (shift.rs:363-517), log2(total_bits) cmux stages.
+  - count_ones/zeros: per-block popcount LUT + carry-save sum.
+  - leading/trailing zeros: prefix-AND zero scan + gated contributions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ciphertext import BooleanBlock, RadixCiphertext
+
+
+class ExtendedOpsMixin:
+    # ------------------------------------------------------------------
+    # Overflowing sub (also yields a >= b)
+    # ------------------------------------------------------------------
+
+    def overflowing_sub_parallelized(self, a: RadixCiphertext, b: RadixCiphertext):
+        """Returns (a - b mod msg^n, borrow: BooleanBlock true when a < b).
+
+        The borrow-free state adds msg^n, so the top carry bit is exactly
+        [a >= b]; borrow = NOT carry comes from the final-carry LUT.
+        """
+        a, b = self._cleaned(a), self._cleaned(b)
+        s = self._sub_state_blocks(a, b)
+        out, carry = self._propagate_carries(s, with_overflow=True)
+        not_lut = self._lut("not_bit", lambda x: 1 - (x & 1))
+        borrow = self._apply([carry.block], not_lut)[0]
+        return RadixCiphertext(out), BooleanBlock(borrow)
+
+    def _sub_and_ge(self, a: RadixCiphertext, b: RadixCiphertext):
+        """(a - b, ge = [a >= b]) in one propagation."""
+        s = self._sub_state_blocks(a, b)
+        out, carry = self._propagate_carries(s, with_overflow=True)
+        return RadixCiphertext(out), BooleanBlock(carry.block)
+
+    # ------------------------------------------------------------------
+    # Bit extraction helpers
+    # ------------------------------------------------------------------
+
+    def _msg_bits(self) -> int:
+        return (self.msg - 1).bit_length()
+
+    def extract_bits(self, a: RadixCiphertext) -> list:
+        """All bits of `a` as blocks with value in {0,1}, LSB first.
+        One batched PBS round."""
+        a = self._cleaned(a)
+        mb = self._msg_bits()
+        blocks, luts = [], []
+        for blk in a.blocks:
+            for j in range(mb):
+                blocks.append(blk)
+                luts.append(self._lut(f"bit_{j}", lambda x, j=j: (x >> j) & 1))
+        return self._apply(blocks, luts)
+
+    def _bits_to_radix(self, bits: list, num_blocks: int) -> RadixCiphertext:
+        """Pack bit blocks (LSB first) into radix blocks, linear only."""
+        mb = self._msg_bits()
+        out = []
+        for i in range(num_blocks):
+            acc = None
+            for j in range(mb):
+                idx = i * mb + j
+                if idx >= len(bits):
+                    break
+                term = bits[idx] if j == 0 else self.key.unchecked_scalar_mul(bits[idx], 1 << j)
+                acc = term if acc is None else self.key.unchecked_add(acc, term)
+            out.append(acc if acc is not None else self.key.create_trivial(0))
+        return RadixCiphertext(out)
+
+    # ------------------------------------------------------------------
+    # Division (schoolbook binary long division)
+    # ------------------------------------------------------------------
+
+    def div_rem_parallelized(self, a: RadixCiphertext, d: RadixCiphertext):
+        """Unsigned (quotient, remainder).  Division by an encrypted zero
+        returns all-ones quotient (reference convention)."""
+        a, d = self._cleaned(a), self._cleaned(d)
+        n = a.num_blocks
+        bits = self.extract_bits(a)  # LSB first
+        r = self.create_trivial_radix(0, n)
+        q_bits = [None] * len(bits)
+        for i in range(len(bits) - 1, -1, -1):
+            r = self.scalar_left_shift_parallelized(r, 1)
+            # insert numerator bit at the LSB (true value stays < msg)
+            blk0 = self.key.unchecked_add(r.blocks[0], bits[i])
+            blk0.degree = min(blk0.degree, self.msg - 1)
+            r = RadixCiphertext([blk0] + r.blocks[1:])
+            diff, ge = self._sub_and_ge(r, d)
+            r = self.if_then_else_parallelized(ge, diff, r)
+            r = RadixCiphertext(self._propagate_carries(
+                [b for b in r.blocks])) if not self._is_clean(r) else r
+            q_bits[i] = ge.block
+        q = self._bits_to_radix(q_bits, n)
+        return q, r
+
+    def div_parallelized(self, a, d):
+        return self.div_rem_parallelized(a, d)[0]
+
+    def rem_parallelized(self, a, d):
+        return self.div_rem_parallelized(a, d)[1]
+
+    # ------------------------------------------------------------------
+    # Encrypted-amount shifts / rotates (barrel shifter)
+    # ------------------------------------------------------------------
+
+    def _barrel(self, a: RadixCiphertext, amount: RadixCiphertext, op) -> RadixCiphertext:
+        total_bits = a.num_blocks * self._msg_bits()
+        stages = (total_bits - 1).bit_length()
+        amount_bits = self.extract_bits(amount)[:stages]
+        out = self._cleaned(a)
+        for j, bit in enumerate(amount_bits):
+            shifted = op(out, 1 << j)
+            out = self.if_then_else_parallelized(BooleanBlock(bit), shifted, out)
+        return out
+
+    def left_shift_parallelized(self, a, amount):
+        return self._barrel(a, amount, self.scalar_left_shift_parallelized)
+
+    def right_shift_parallelized(self, a, amount):
+        return self._barrel(a, amount, self.scalar_right_shift_parallelized)
+
+    def rotate_left_parallelized(self, a, amount):
+        return self._barrel(a, amount, self.scalar_rotate_left_parallelized)
+
+    def rotate_right_parallelized(self, a, amount):
+        return self._barrel(a, amount, self.scalar_rotate_right_parallelized)
+
+    def scalar_rotate_left_parallelized(self, a: RadixCiphertext, r: int) -> RadixCiphertext:
+        total_bits = a.num_blocks * self._msg_bits()
+        r %= total_bits
+        if r == 0:
+            return self._cleaned(a)
+        hi = self.scalar_left_shift_parallelized(a, r)
+        lo = self.scalar_right_shift_parallelized(a, total_bits - r)
+        return self.bitor_parallelized(hi, lo)
+
+    def scalar_rotate_right_parallelized(self, a: RadixCiphertext, r: int) -> RadixCiphertext:
+        total_bits = a.num_blocks * self._msg_bits()
+        r %= total_bits
+        if r == 0:
+            return self._cleaned(a)
+        lo = self.scalar_right_shift_parallelized(a, r)
+        hi = self.scalar_left_shift_parallelized(a, total_bits - r)
+        return self.bitor_parallelized(hi, lo)
+
+    # ------------------------------------------------------------------
+    # Bit counts / ilog2
+    # ------------------------------------------------------------------
+
+    def count_ones_parallelized(self, a: RadixCiphertext) -> RadixCiphertext:
+        a = self._cleaned(a)
+        pop = self._lut("popcount", lambda x: bin(x % self.msg).count("1"))
+        counts = self._apply(a.blocks, pop)
+        rows = [RadixCiphertext([c] + [self.key.create_trivial(0)] * (a.num_blocks - 1))
+                for c in counts]
+        return self.sum_ciphertexts(rows, a.num_blocks)
+
+    def count_zeros_parallelized(self, a: RadixCiphertext) -> RadixCiphertext:
+        a = self._cleaned(a)
+        czero = self._lut("popzero",
+                          lambda x: self._msg_bits() - bin(x % self.msg).count("1"))
+        counts = self._apply(a.blocks, czero)
+        rows = [RadixCiphertext([c] + [self.key.create_trivial(0)] * (a.num_blocks - 1))
+                for c in counts]
+        return self.sum_ciphertexts(rows, a.num_blocks)
+
+    def _zero_scan_contributions(self, blocks: list, per_block_count_lut,
+                                 from_top: bool) -> RadixCiphertext:
+        """Sum of per-block zero-run contributions gated by a prefix
+        all-zero flag (used by leading/trailing_zeros)."""
+        n = len(blocks)
+        is_zero = self._apply(blocks, self._lut("is_zero", lambda x: int(x % self.msg == 0)))
+        counts = self._apply(blocks, per_block_count_lut)
+        order = list(range(n - 1, -1, -1)) if from_top else list(range(n))
+        # prefix-AND scan of is_zero in scan order (Hillis-Steele)
+        flags = [is_zero[i] for i in order]
+        and_lut = self._biv_lut("bool_and", lambda x, y: x & y & 1)
+        pref = list(flags)
+        shift = 1
+        while shift < n:
+            packed = [self._pack(pref[i], pref[i - shift]) for i in range(shift, n)]
+            combined = self._apply(packed, and_lut)
+            pref = pref[:shift] + combined
+            shift *= 2
+        # gate: contribution of scan position t counts iff all earlier
+        # positions are zero (prefix up to t-1); position 0 always counts.
+        gate = self._biv_lut("gate_count", lambda f, c: c if (f & 1) else 0)
+        gated = [counts[order[0]]]
+        packed = [self._pack(pref[t - 1], counts[order[t]]) for t in range(1, n)]
+        gated += self._apply(packed, gate)
+        rows = [RadixCiphertext([g] + [self.key.create_trivial(0)] * (n - 1))
+                for g in gated]
+        return self.sum_ciphertexts(rows, n)
+
+    def leading_zeros_parallelized(self, a: RadixCiphertext) -> RadixCiphertext:
+        a = self._cleaned(a)
+        mb = self._msg_bits()
+        lut = self._lut("block_lz",
+                        lambda x: mb - (x % self.msg).bit_length())
+        return self._zero_scan_contributions(a.blocks, lut, from_top=True)
+
+    def trailing_zeros_parallelized(self, a: RadixCiphertext) -> RadixCiphertext:
+        a = self._cleaned(a)
+        mb = self._msg_bits()
+
+        def tz(x):
+            v = x % self.msg
+            if v == 0:
+                return mb
+            return (v & -v).bit_length() - 1
+
+        return self._zero_scan_contributions(a.blocks, self._lut("block_tz", tz),
+                                             from_top=False)
+
+    def ilog2_parallelized(self, a: RadixCiphertext) -> RadixCiphertext:
+        """floor(log2(a)); result for a = 0 is implementation-defined (as in
+        the reference, which pairs it with checked flags)."""
+        total_bits = a.num_blocks * self._msg_bits()
+        lz = self.leading_zeros_parallelized(a)
+        const = self.create_trivial_radix(total_bits - 1, a.num_blocks)
+        return self.sub_parallelized(const, lz)
+
+    # ------------------------------------------------------------------
+    # Signed helpers
+    # ------------------------------------------------------------------
+
+    def _sign_bit(self, a: RadixCiphertext) -> BooleanBlock:
+        a = self._cleaned(a)
+        mb = self._msg_bits()
+        lut = self._lut("top_bit", lambda x: (x >> (mb - 1)) & 1)
+        return BooleanBlock(self._apply([a.blocks[-1]], lut)[0])
+
+    def abs_parallelized(self, a: RadixCiphertext) -> RadixCiphertext:
+        """Two's-complement absolute value."""
+        neg = self.neg_parallelized(a)
+        return self.if_then_else_parallelized(self._sign_bit(a), neg, a)
+
+    def is_even_parallelized(self, a: RadixCiphertext) -> BooleanBlock:
+        a = self._cleaned(a)
+        lut = self._lut("is_even", lambda x: 1 - (x & 1))
+        return BooleanBlock(self._apply([a.blocks[0]], lut)[0])
+
+    def is_odd_parallelized(self, a: RadixCiphertext) -> BooleanBlock:
+        a = self._cleaned(a)
+        lut = self._lut("is_odd", lambda x: x & 1)
+        return BooleanBlock(self._apply([a.blocks[0]], lut)[0])

@@ -25,9 +25,10 @@ from ..shortint.ciphertext import Ciphertext
 from ..shortint.client_key import ClientKey as ShortintClientKey
 from ..shortint.server_key import LookupTable, ServerKey as ShortintServerKey
 from .ciphertext import BooleanBlock, RadixCiphertext
+from .ops_extended import ExtendedOpsMixin
 
 
-class ServerKey:
+class ServerKey(ExtendedOpsMixin):
     def __init__(self, client_key, seed: int | None = None):
         inner = client_key.key if hasattr(client_key, "key") else client_key
         self.key = ShortintServerKey(inner, seed)
@@ -179,7 +180,7 @@ class ServerKey:
         for i, (x, y) in enumerate(zip(a.blocks, b.blocks)):
             corr = msg if i == 0 else msg - 1
             corr_t = np.uint64((corr * p.delta) % (1 << p.bits))
-            data = np.asarray(x.data) - np.asarray(y.data) + corr_t
+            data = self.key._add_to_body(np.asarray(x.data) - np.asarray(y.data), corr_t)
             deg = (msg - 1) + corr
             out.append(x.with_data(data, degree=deg,
                                    noise_level=x.noise_level + y.noise_level))

@@ -84,6 +84,14 @@ class NttPlan:
     n: int
     primes: tuple
     plans: tuple  # tuple[PrimePlan]
+    # stacked per-prime constants for the prime-vectorized kernels:
+    ps: np.ndarray = None            # (P, 1) uint64
+    pinvs: np.ndarray = None         # (P, 1)
+    r2s: np.ndarray = None           # (P, 1)
+    rs: np.ndarray = None            # (P, 1)  R mod p (for lazy-sum reduction)
+    n_invs: np.ndarray = None        # (P, 1)
+    psi_br_stack: np.ndarray = None  # (P, N)
+    psi_inv_br_stack: np.ndarray = None
 
     @property
     def num_primes(self) -> int:
@@ -122,7 +130,16 @@ def make_plan(n: int, num_primes: int = 4) -> NttPlan:
                 n_inv_mont=to_mont([n_inv]),
             )
         )
-    return NttPlan(n=n, primes=primes, plans=tuple(plans))
+    return NttPlan(
+        n=n, primes=primes, plans=tuple(plans),
+        ps=np.stack([pp.p.reshape(1) for pp in plans]),
+        pinvs=np.stack([pp.p_inv_neg32.reshape(1) for pp in plans]),
+        r2s=np.stack([pp.r2.reshape(1) for pp in plans]),
+        rs=np.stack([np.uint64((1 << 32) % p).reshape(1) for p in primes]),
+        n_invs=np.stack([pp.n_inv_mont for pp in plans]),
+        psi_br_stack=np.stack([pp.psi_br_mont for pp in plans]),
+        psi_inv_br_stack=np.stack([pp.psi_inv_br_mont for pp in plans]),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -260,24 +277,28 @@ def inverse_all(x_ntt, plan: NttPlan, xp):
 
 @lru_cache(maxsize=None)
 def _garner_consts(primes: tuple):
-    """Precompute Garner mixed-radix constants for up to 4 primes."""
+    """Precompute Garner mixed-radix constants (Montgomery forms — the device
+    reconstruction is division-free; `%` lowers to emulated u64 division on
+    TPU and would dominate the external product)."""
     k = len(primes)
     consts = {}
+    r = 1 << 32
     for j in range(1, k):
         pj = primes[j]
         prod = 1
         for i in range(j):
             prod = (prod * primes[i]) % pj
-        consts[f"inv_{j}"] = _U64(pow(prod, -1, pj))
-    # partial products mod each later prime, and mod 2^64
-    consts["p_mod"] = {}
+        inv = pow(prod, -1, pj)
+        consts[f"inv_mont_{j}"] = _U64((inv * r) % pj)
+    # partial products (p0..p_{i}) mod p_j in Montgomery form
+    consts["pm_mont"] = {}
     for j in range(1, k):
         pj = primes[j]
         for i in range(j):
             prodi = 1
             for t in range(i + 1):
                 prodi = (prodi * primes[t]) % pj
-            consts["p_mod"][(i, j)] = _U64(prodi)
+            consts["pm_mont"][(i, j)] = _U64((prodi * r) % pj)
     prods64 = []
     acc = 1
     for i in range(k):
@@ -310,16 +331,24 @@ def garner_to_u64(residues, plan: NttPlan, xp):
     primes = plan.primes
     k = len(primes)
     c = _garner_consts(primes)
+
+    def cond_sub(x, p):
+        return xp.where(x >= p, x - p, x)
+
     a = [residues[..., 0, :]]
     for j in range(1, k):
         pj = _U64(primes[j])
-        # v = (a0 + a1*p0 + ... ) mod pj
-        v = a[0] % pj
+        pinv_j = plan.plans[j].p_inv_neg32
+        # v = (a0 + a1*p0 + a2*p0p1 ...) mod pj, division-free:
+        # a0 < p0 < 2*pj (primes are descending) -> one conditional subtract;
+        # higher terms via Montgomery multiplies by precomputed constants.
+        v = cond_sub(a[0], pj)
         for i in range(1, j):
-            v = (v + a[i] * c["p_mod"][(i - 1, j)]) % pj
-        r = residues[..., j, :] % pj
+            term = mont_mul(a[i], c["pm_mont"][(i - 1, j)], pj, pinv_j, xp)
+            v = cond_sub(v + term, pj)
+        r = residues[..., j, :]
         d = xp.where(r >= v, r - v, r + pj - v)
-        aj = (d * c["inv_" + str(j)]) % pj
+        aj = mont_mul(d, c["inv_mont_" + str(j)], pj, pinv_j, xp)
         a.append(aj)
     # X mod 2^64 = sum a_i * (p0..p_{i-1}) (wrapping)
     out = a[0]
@@ -332,6 +361,93 @@ def garner_to_u64(residues, plan: NttPlan, xp):
     for i in range(1, k):
         is_neg = (a[i] > h[i]) | ((a[i] == h[i]) & is_neg)
     return xp.where(is_neg, out - c["P_mod64"], out)
+
+
+# ---------------------------------------------------------------------------
+# Prime-vectorized kernels: arrays carry a primes axis at position -2, all
+# primes processed in one op stream (4x smaller HLO, better VPU vectorization)
+# ---------------------------------------------------------------------------
+
+
+def ntt_forward_stacked(x, plan: NttPlan, xp):
+    """Forward negacyclic NTT over all primes at once.
+
+    x: (..., P, N) uint64, values < p per prime lane; natural -> bit-reversed.
+    """
+    ps = xp.asarray(plan.ps)          # (P, 1)
+    pinvs = xp.asarray(plan.pinvs)
+    psi = xp.asarray(plan.psi_br_stack)  # (P, N)
+    n = plan.n
+    np_ = plan.num_primes
+    batch_shape = x.shape[:-2]
+    nb = len(batch_shape)
+    m = 1
+    t = n
+    while m < n:
+        t //= 2
+        xv = x.reshape(batch_shape + (np_, m, 2, t))
+        u = xv[..., 0, :]
+        v_in = xv[..., 1, :]
+        s = psi[:, m: 2 * m].reshape((1,) * nb + (np_, m, 1))
+        p_b = ps.reshape((1,) * nb + (np_, 1, 1))
+        pinv_b = pinvs.reshape((1,) * nb + (np_, 1, 1))
+        v = mont_mul(v_in, s, p_b, pinv_b, xp)
+        x = xp.concatenate(
+            [_add_mod(u, v, p_b, xp)[..., None, :], _sub_mod(u, v, p_b, xp)[..., None, :]],
+            axis=-2,
+        ).reshape(batch_shape + (np_, n))
+        m *= 2
+    return x
+
+
+def ntt_inverse_stacked(x, plan: NttPlan, xp):
+    """Inverse negacyclic NTT over all primes; bit-reversed -> natural."""
+    ps = xp.asarray(plan.ps)
+    pinvs = xp.asarray(plan.pinvs)
+    psi_inv = xp.asarray(plan.psi_inv_br_stack)
+    n = plan.n
+    np_ = plan.num_primes
+    batch_shape = x.shape[:-2]
+    nb = len(batch_shape)
+    t = 1
+    m = n
+    while m > 1:
+        h = m // 2
+        xv = x.reshape(batch_shape + (np_, h, 2, t))
+        u = xv[..., 0, :]
+        v = xv[..., 1, :]
+        s = psi_inv[:, h: 2 * h].reshape((1,) * nb + (np_, h, 1))
+        p_b = ps.reshape((1,) * nb + (np_, 1, 1))
+        pinv_b = pinvs.reshape((1,) * nb + (np_, 1, 1))
+        lo = _add_mod(u, v, p_b, xp)
+        hi = mont_mul(_sub_mod(u, v, p_b, xp), s, p_b, pinv_b, xp)
+        x = xp.concatenate([lo[..., None, :], hi[..., None, :]], axis=-2).reshape(
+            batch_shape + (np_, n)
+        )
+        t *= 2
+        m = h
+    return mont_mul(x, xp.asarray(plan.n_invs), xp.asarray(plan.ps),
+                    xp.asarray(plan.pinvs), xp)
+
+
+def pointwise_mul_mont_stacked(a_normal, b_mont, plan: NttPlan, xp):
+    """(..., P, N) x (..., P, N Montgomery) -> (..., P, N) normal domain."""
+    return mont_mul(a_normal, b_mont, xp.asarray(plan.ps), xp.asarray(plan.pinvs), xp)
+
+
+def add_mod_stacked(a, b, plan: NttPlan, xp):
+    return _add_mod(a, b, xp.asarray(plan.ps), xp)
+
+
+def lazy_reduce_stacked(x, plan: NttPlan, xp):
+    """Reduce lazily-summed residues x < ~2^60 back below p per prime lane,
+    division-free: y = REDC(x) = x*R^-1 mod p (valid for x < p*2^32), then
+    one Montgomery multiply by R^2 restores x mod p."""
+    ps = xp.asarray(plan.ps)
+    pinvs = xp.asarray(plan.pinvs)
+    one = _U64(1)
+    y = mont_mul(x, one, ps, pinvs, xp)          # x * R^-1 mod p
+    return mont_mul(y, xp.asarray(plan.r2s), ps, pinvs, xp)
 
 
 def negacyclic_polymul_u64(a, b, plan: NttPlan, xp):

@@ -240,21 +240,18 @@ def external_product_ntt(glwe, bsk_ggsw_mont, plan, base_log: int, levels: int,
     """
     digits = signed_decompose(glwe, base_log, levels, bits)  # (l, B, k+1, N)
     res = _digits_to_residues(digits, plan)                  # (l, B, k+1, P, N)
-    fwd = jnp.stack(
-        [ntt.ntt_forward(res[..., i, :], plan, i, jnp) for i in range(plan.num_primes)],
-        axis=-2,
-    )  # (l, B, k+1, P, N)
+    fwd = ntt.ntt_forward_stacked(res, plan, jnp)            # (l, B, k+1, P, N)
     key = bsk_ggsw_mont.astype(U64)  # (l, k+1, k+1, P, N)
     # accumulate over levels and rows for each output column c
     # fwd: (l, B, r, P, N); key: (l, r, c, P, N) -> out (B, c, P, N)
     acc = None
     for lev in range(levels):
         for r in range(key.shape[1]):
-            prod = ntt.pointwise_mul_mont(
+            prod = ntt.pointwise_mul_mont_stacked(
                 fwd[lev][:, r, None, :, :], key[lev][r][None, :, :, :], plan, jnp
             )  # (B, c, P, N)
-            acc = prod if acc is None else ntt.add_mod_all(acc, prod, plan, jnp)
-    coeffs = ntt.inverse_all(acc, plan, jnp)  # (B, c, P, N)
+            acc = prod if acc is None else ntt.add_mod_stacked(acc, prod, plan, jnp)
+    coeffs = ntt.ntt_inverse_stacked(acc, plan, jnp)  # (B, c, P, N)
     return ntt.garner_to_u64(coeffs, plan, jnp)
 
 
@@ -292,6 +289,51 @@ def sample_extract(glwe):
     out_mask = rolled.at[:, :, 0].set(mask[:, :, 0])
     body = glwe[:, -1, 0]
     return jnp.concatenate([out_mask.reshape(b, -1), body[:, None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Packing keyswitch: LWE list -> one GLWE (list compression)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("base_log", "levels", "plan", "bits"))
+def packing_keyswitch(lwes, pksk_mont, plan, base_log: int, levels: int,
+                      bits: int = 64):
+    """Pack <= N LWEs into one GLWE encrypting sum_j m_j X^j.
+
+    lwes: (B, n+1) u64 under the input LWE key; pksk_mont: (n, l, k+1, P, N)
+    uint32 — NTT-domain Montgomery GLWE encryptions of each input key element
+    (constant polynomials, scaled q/B^lev).
+
+    Algorithm (lwe_packing_keyswitch.rs semantics, NTT-batched): build mask
+    polynomials A_i(X) = sum_j a_i^(j) X^j, decompose coefficient-wise, and
+    accumulate digit-poly (*) PKSK products in the NTT domain; result =
+    (0, B(X)) - sum_{i,lev} D_{i,lev} (*) PKSK_{i,lev}.
+    """
+    b, n1 = lwes.shape
+    n_in = n1 - 1
+    n_poly = plan.n
+    k1 = pksk_mont.shape[2]
+    # A: (n_in, N) — coefficient j of A_i is lwe j's mask element i
+    a_pad = jnp.zeros((n_in, n_poly), dtype=U64)
+    a_pad = a_pad.at[:, :b].set(lwes[:, :-1].T)
+    body = jnp.zeros((n_poly,), dtype=U64).at[:b].set(lwes[:, -1])
+
+    digits = signed_decompose(a_pad, base_log, levels, bits)   # (l, n_in, N)
+    res = _digits_to_residues(digits, plan)                    # (l, n_in, P, N)
+    fwd = ntt.ntt_forward_stacked(res, plan, jnp)              # (l, n_in, P, N)
+    key = jnp.transpose(pksk_mont.astype(U64), (1, 0, 2, 3, 4))  # (l, n_in, k+1, P, N)
+    prod = ntt.pointwise_mul_mont_stacked(
+        fwd[:, :, None, :, :], key, plan, jnp
+    )  # (l, n_in, k+1, P, N)
+    # lazy sum: l*n_in values < 2^31 each — fits u64 (< 2^44); one Montgomery
+    # reduction restores residues < p without any division.
+    total = ntt.lazy_reduce_stacked(jnp.sum(prod, axis=(0, 1)), plan, jnp)
+    coeffs = ntt.ntt_inverse_stacked(total, plan, jnp)         # (k+1, P, N)
+    sub = ntt.garner_to_u64(coeffs, plan, jnp)                 # (k+1, N)
+    out = -sub
+    out = out.at[-1, :].add(body)
+    return out
 
 
 # ---------------------------------------------------------------------------

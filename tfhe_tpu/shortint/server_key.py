@@ -131,6 +131,13 @@ class ServerKey:
         return a.with_data(a.data + b.data, degree=a.degree + b.degree,
                            noise_level=a.noise_level + b.noise_level)
 
+    @staticmethod
+    def _add_to_body(data: np.ndarray, scalar: np.uint64) -> np.ndarray:
+        """Add a plaintext offset to the body element only."""
+        out = np.array(data)
+        out[..., -1] = out[..., -1] + scalar
+        return out
+
     def unchecked_sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         """a - b + z*msg*delta with z chosen so the result stays positive
         (server_key/sub.rs correcting-term trick)."""
@@ -138,7 +145,8 @@ class ServerKey:
         msg = p.message_modulus
         z = (b.degree + msg) // msg * msg  # multiple of msg, > b.degree
         corr = np.uint64((z * p.delta) % (1 << p.bits))
-        return a.with_data(a.data - b.data + corr, degree=a.degree + z,
+        data = self._add_to_body(np.asarray(a.data) - np.asarray(b.data), corr)
+        return a.with_data(data, degree=a.degree + z,
                            noise_level=a.noise_level + b.noise_level)
 
     def unchecked_neg(self, a: Ciphertext) -> Ciphertext:
@@ -147,8 +155,8 @@ class ServerKey:
         z = (a.degree + msg) // msg * msg
         corr = np.uint64((z * p.delta) % (1 << p.bits))
         zero = np.zeros_like(np.asarray(a.data))
-        return a.with_data(zero - a.data + corr, degree=z,
-                           noise_level=a.noise_level)
+        data = self._add_to_body(zero - np.asarray(a.data), corr)
+        return a.with_data(data, degree=z, noise_level=a.noise_level)
 
     def unchecked_scalar_add(self, a: Ciphertext, scalar: int) -> Ciphertext:
         p = self.params

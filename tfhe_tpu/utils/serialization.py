@@ -1,0 +1,204 @@
+"""Versioned safe serialization (layers 0d/0e of SURVEY.md).
+
+Design goals mirroring tfhe-versionable + tfhe-safe-serialize:
+  - every payload carries a format magic, a type name, and a type VERSION;
+    loading runs an explicit upgrade chain when the stored version is older
+    (Versionize/Upgrade semantics, utils/tfhe-versionable/README.md);
+  - safe_deserialize enforces a byte-size limit before parsing and a
+    conformance predicate after (ParameterSetConformant,
+    utils/tfhe-safe-serialize/src/lib.rs:1-15);
+  - wire format is CBOR (RFC 8949) so payloads are readable by any CBOR
+    library, like the reference's test vectors.
+
+Arrays are encoded as {__nd__: {dtype, shape, data(bytes, little-endian)}}.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Callable
+
+import numpy as np
+
+MAGIC = "tfhe_tpu"
+FORMAT_VERSION = 1
+
+# type registry: name -> (current_version, to_dict, from_dict, upgrades)
+_REGISTRY: dict = {}
+
+
+def register_type(name: str, version: int, to_dict: Callable, from_dict: Callable):
+    _REGISTRY.setdefault(name, {"version": version, "to": to_dict,
+                                "from": from_dict, "upgrades": {}})
+
+
+def register_upgrade(name: str, from_version: int, fn: Callable):
+    """fn(old_payload_dict) -> new_payload_dict for from_version+1."""
+    _REGISTRY[name]["upgrades"][from_version] = fn
+
+
+# ---------------------------------------------------------------------------
+# CBOR encoder (decoder lives in cbor.py)
+# ---------------------------------------------------------------------------
+
+
+def _enc_uint(major: int, n: int, out: bytearray):
+    mj = major << 5
+    if n < 24:
+        out.append(mj | n)
+    elif n < 256:
+        out += bytes([mj | 24, n])
+    elif n < 65536:
+        out += bytes([mj | 25]) + struct.pack(">H", n)
+    elif n < 2 ** 32:
+        out += bytes([mj | 26]) + struct.pack(">I", n)
+    else:
+        out += bytes([mj | 27]) + struct.pack(">Q", n)
+
+
+def _encode(obj, out: bytearray):
+    if obj is None:
+        out.append(0xF6)
+    elif obj is True:
+        out.append(0xF5)
+    elif obj is False:
+        out.append(0xF4)
+    elif isinstance(obj, (int, np.integer)):
+        obj = int(obj)
+        if obj >= 0:
+            _enc_uint(0, obj, out)
+        else:
+            _enc_uint(1, -1 - obj, out)
+    elif isinstance(obj, float):
+        out.append(0xFB)
+        out += struct.pack(">d", obj)
+    elif isinstance(obj, bytes):
+        _enc_uint(2, len(obj), out)
+        out += obj
+    elif isinstance(obj, str):
+        b = obj.encode("utf-8")
+        _enc_uint(3, len(b), out)
+        out += b
+    elif isinstance(obj, (list, tuple)):
+        _enc_uint(4, len(obj), out)
+        for v in obj:
+            _encode(v, out)
+    elif isinstance(obj, dict):
+        _enc_uint(5, len(obj), out)
+        for k, v in obj.items():
+            _encode(k, out)
+            _encode(v, out)
+    elif isinstance(obj, np.ndarray):
+        arr = np.ascontiguousarray(obj)
+        _encode({"__nd__": {"dtype": arr.dtype.str, "shape": list(arr.shape),
+                            "data": arr.astype(arr.dtype.newbyteorder("<")).tobytes()}}, out)
+    else:
+        raise TypeError(f"cannot serialize {type(obj)}")
+
+
+def cbor_dumps(obj) -> bytes:
+    out = bytearray()
+    _encode(obj, out)
+    return bytes(out)
+
+
+def _revive(obj):
+    """Recursively convert {__nd__: ...} nodes back to ndarrays."""
+    if isinstance(obj, dict):
+        if "__nd__" in obj and len(obj) == 1:
+            nd = obj["__nd__"]
+            dt = np.dtype(nd["dtype"])
+            arr = np.frombuffer(nd["data"], dtype=dt.newbyteorder("<")).astype(dt)
+            return arr.reshape(nd["shape"])
+        return {k: _revive(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_revive(v) for v in obj]
+    return obj
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def serialize(obj) -> bytes:
+    name = type(obj).__name__
+    if name not in _REGISTRY:
+        raise TypeError(f"type {name} is not registered for serialization")
+    ent = _REGISTRY[name]
+    return cbor_dumps({
+        "magic": MAGIC,
+        "format": FORMAT_VERSION,
+        "type": name,
+        "version": ent["version"],
+        "payload": ent["to"](obj),
+    })
+
+
+def deserialize(data: bytes):
+    from . import cbor
+
+    doc = _revive(cbor.loads(data))
+    if not isinstance(doc, dict) or doc.get("magic") != MAGIC:
+        raise ValueError("not a tfhe_tpu payload")
+    name = doc["type"]
+    if name not in _REGISTRY:
+        raise ValueError(f"unknown serialized type {name!r}")
+    ent = _REGISTRY[name]
+    payload, version = doc["payload"], doc["version"]
+    while version < ent["version"]:
+        if version not in ent["upgrades"]:
+            raise ValueError(f"no upgrade path for {name} v{version}")
+        payload = ent["upgrades"][version](payload)
+        version += 1
+    if version != ent["version"]:
+        raise ValueError(f"{name}: stored v{version} newer than supported v{ent['version']}")
+    return ent["from"](payload)
+
+
+def safe_serialize(obj, size_limit: int = 1 << 30) -> bytes:
+    data = serialize(obj)
+    if len(data) > size_limit:
+        raise ValueError(f"serialized size {len(data)} exceeds limit {size_limit}")
+    return data
+
+
+def safe_deserialize(data: bytes, size_limit: int = 1 << 30, conformance=None):
+    if len(data) > size_limit:
+        raise ValueError(f"payload size {len(data)} exceeds limit {size_limit}")
+    obj = deserialize(data)
+    if conformance is not None and not conformance(obj):
+        raise ValueError("deserialized object failed conformance check")
+    return obj
+
+
+# ---------------------------------------------------------------------------
+# Registrations for the core user-facing types
+# ---------------------------------------------------------------------------
+
+
+def _register_all():
+    from ..shortint.ciphertext import Ciphertext as ShortintCt
+    from ..integer.ciphertext import BooleanBlock, RadixCiphertext
+
+    register_type(
+        "Ciphertext", 0,
+        lambda c: {"data": np.asarray(c.data), "degree": c.degree,
+                   "noise_level": c.noise_level, "message_modulus": c.message_modulus,
+                   "carry_modulus": c.carry_modulus},
+        lambda p: ShortintCt(p["data"], p["degree"], p["noise_level"],
+                             p["message_modulus"], p["carry_modulus"]),
+    )
+    register_type(
+        "RadixCiphertext", 0,
+        lambda c: {"blocks": [_REGISTRY["Ciphertext"]["to"](b) for b in c.blocks]},
+        lambda p: RadixCiphertext([_REGISTRY["Ciphertext"]["from"](b) for b in p["blocks"]]),
+    )
+    register_type(
+        "BooleanBlock", 0,
+        lambda c: {"block": _REGISTRY["Ciphertext"]["to"](c.block)},
+        lambda p: BooleanBlock(_REGISTRY["Ciphertext"]["from"](p["block"])),
+    )
+
+
+_register_all()
