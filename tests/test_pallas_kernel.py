@@ -1,0 +1,72 @@
+"""Pallas CMux-step kernel parity vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tfhe_tpu.ops import ntt, pallas_ntt, server
+
+N = 256
+P = 4
+B = 4
+K1 = 2
+
+
+def _random_bsk(rng, n_in, levels):
+    plan = ntt.make_plan(N, P)
+    out = np.zeros((n_in, levels, K1, K1, P, N), dtype=np.uint32)
+    for pi in range(P):
+        out[..., pi, :] = rng.integers(0, int(plan.plans[pi].p),
+                                       (n_in, levels, K1, K1, N), dtype=np.uint64).astype(np.uint32)
+    return out, plan
+
+
+def test_mont_mul32_matches_u64():
+    rng = np.random.default_rng(0)
+    plan = ntt.make_plan(N, P)
+    p = plan.plans[0].p
+    pinv = plan.plans[0].p_inv_neg32
+    a = rng.integers(0, int(p), (8, 128), dtype=np.uint64)
+    b = rng.integers(0, int(p), (8, 128), dtype=np.uint64)
+    want = ntt.mont_mul(a, b, p, pinv, np)
+    got = pallas_ntt.mont_mul32(jnp.asarray(a.astype(np.uint32)),
+                                jnp.asarray(b.astype(np.uint32)),
+                                np.uint32(int(p)), np.uint32(int(pinv)))
+    assert np.array_equal(np.asarray(got).astype(np.uint64), want)
+
+
+def test_cmux_step_parity_interpret():
+    rng = np.random.default_rng(7)
+    n_in = 3
+    levels = 1
+    base_log = 23
+    bsk, plan = _random_bsk(rng, n_in, levels)
+    lut = rng.integers(0, 2**63, (B, K1, N), dtype=np.uint64) * 2 + 1
+    mask = rng.integers(0, 2 * N, (B, n_in), dtype=np.uint64)
+    body = rng.integers(0, 2 * N, (B,), dtype=np.uint64)
+
+    want = server.blind_rotate(jnp.asarray(mask), jnp.asarray(body),
+                               jnp.asarray(lut), jnp.asarray(bsk), plan,
+                               base_log, levels)
+    got = server.blind_rotate_pallas(jnp.asarray(mask), jnp.asarray(body),
+                                     jnp.asarray(lut), jnp.asarray(bsk), plan,
+                                     base_log, levels, tb=2, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_cmux_step_parity_two_levels():
+    rng = np.random.default_rng(8)
+    n_in = 2
+    levels = 2
+    base_log = 8
+    bsk, plan = _random_bsk(rng, n_in, levels)
+    lut = rng.integers(0, 2**63, (B, K1, N), dtype=np.uint64)
+    mask = rng.integers(0, 2 * N, (B, n_in), dtype=np.uint64)
+    body = rng.integers(0, 2 * N, (B,), dtype=np.uint64)
+    want = server.blind_rotate(jnp.asarray(mask), jnp.asarray(body),
+                               jnp.asarray(lut), jnp.asarray(bsk), plan,
+                               base_log, levels)
+    got = server.blind_rotate_pallas(jnp.asarray(mask), jnp.asarray(body),
+                                     jnp.asarray(lut), jnp.asarray(bsk), plan,
+                                     base_log, levels, tb=4, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(want))

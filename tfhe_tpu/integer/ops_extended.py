@@ -231,6 +231,105 @@ class ExtendedOpsMixin:
         return self.sub_parallelized(const, lz)
 
     # ------------------------------------------------------------------
+    # Scalar comparisons / bitwise (univariate LUTs — cheaper than packing)
+    # ------------------------------------------------------------------
+
+    def _scalar_digits(self, scalar: int, num_blocks: int) -> list:
+        msg = self.msg
+        scalar %= msg ** num_blocks
+        return [(scalar // msg ** i) % msg for i in range(num_blocks)]
+
+    def scalar_eq_parallelized(self, a: RadixCiphertext, scalar: int) -> BooleanBlock:
+        a = self._cleaned(a)
+        digs = self._scalar_digits(scalar, a.num_blocks)
+        luts = [self._lut(f"eq_s{d}", lambda x, d=d: int(x % self.msg == d)) for d in digs]
+        eqs = self._apply(a.blocks, luts)
+        and_lut = self._biv_lut("bool_and", lambda x, y: x & y & 1)
+        return BooleanBlock(self._tree_reduce(eqs, and_lut))
+
+    def scalar_ne_parallelized(self, a: RadixCiphertext, scalar: int) -> BooleanBlock:
+        a = self._cleaned(a)
+        digs = self._scalar_digits(scalar, a.num_blocks)
+        luts = [self._lut(f"ne_s{d}", lambda x, d=d: int(x % self.msg != d)) for d in digs]
+        nes = self._apply(a.blocks, luts)
+        or_lut = self._biv_lut("bool_or", lambda x, y: (x | y) & 1)
+        return BooleanBlock(self._tree_reduce(nes, or_lut))
+
+    def _scalar_cmp_state(self, a: RadixCiphertext, scalar: int):
+        a = self._cleaned(a)
+        digs = self._scalar_digits(scalar, a.num_blocks)
+        luts = [
+            self._lut(f"cmp_s{d}",
+                      lambda x, d=d: 0 if x % self.msg < d else (1 if x % self.msg == d else 2))
+            for d in digs
+        ]
+        states = self._apply(a.blocks, luts)[::-1]  # MSB first
+        comb = self._biv_lut("cmp_combine", lambda hi, lo: lo if hi == 1 else hi)
+        return self._tree_reduce(states, comb)
+
+    def scalar_lt_parallelized(self, a, scalar) -> BooleanBlock:
+        st = self._scalar_cmp_state(a, scalar)
+        return BooleanBlock(self._apply([st], self._lut("is_lt", lambda x: int(x == 0)))[0])
+
+    def scalar_le_parallelized(self, a, scalar) -> BooleanBlock:
+        st = self._scalar_cmp_state(a, scalar)
+        return BooleanBlock(self._apply([st], self._lut("is_le", lambda x: int(x != 2)))[0])
+
+    def scalar_gt_parallelized(self, a, scalar) -> BooleanBlock:
+        st = self._scalar_cmp_state(a, scalar)
+        return BooleanBlock(self._apply([st], self._lut("is_gt", lambda x: int(x == 2)))[0])
+
+    def scalar_ge_parallelized(self, a, scalar) -> BooleanBlock:
+        st = self._scalar_cmp_state(a, scalar)
+        return BooleanBlock(self._apply([st], self._lut("is_ge", lambda x: int(x != 0)))[0])
+
+    def scalar_bitand_parallelized(self, a: RadixCiphertext, scalar: int) -> RadixCiphertext:
+        a = self._cleaned(a)
+        digs = self._scalar_digits(scalar, a.num_blocks)
+        luts = [self._lut(f"and_s{d}", lambda x, d=d: (x % self.msg) & d) for d in digs]
+        return RadixCiphertext(self._apply(a.blocks, luts))
+
+    def scalar_bitor_parallelized(self, a: RadixCiphertext, scalar: int) -> RadixCiphertext:
+        a = self._cleaned(a)
+        digs = self._scalar_digits(scalar, a.num_blocks)
+        luts = [self._lut(f"or_s{d}", lambda x, d=d: (x % self.msg) | d) for d in digs]
+        return RadixCiphertext(self._apply(a.blocks, luts))
+
+    def scalar_bitxor_parallelized(self, a: RadixCiphertext, scalar: int) -> RadixCiphertext:
+        a = self._cleaned(a)
+        digs = self._scalar_digits(scalar, a.num_blocks)
+        luts = [self._lut(f"xor_s{d}", lambda x, d=d: (x % self.msg) ^ d) for d in digs]
+        return RadixCiphertext(self._apply(a.blocks, luts))
+
+    # ------------------------------------------------------------------
+    # Boolean-block algebra helpers (for circuits above: strings, kv store)
+    # ------------------------------------------------------------------
+
+    def boolean_and(self, a: BooleanBlock, b: BooleanBlock) -> BooleanBlock:
+        lut = self._biv_lut("bool_and", lambda x, y: x & y & 1)
+        return BooleanBlock(self._apply([self._pack(a.block, b.block)], lut)[0])
+
+    def boolean_or(self, a: BooleanBlock, b: BooleanBlock) -> BooleanBlock:
+        lut = self._biv_lut("bool_or", lambda x, y: (x | y) & 1)
+        return BooleanBlock(self._apply([self._pack(a.block, b.block)], lut)[0])
+
+    def boolean_xor(self, a: BooleanBlock, b: BooleanBlock) -> BooleanBlock:
+        lut = self._biv_lut("bool_xor", lambda x, y: (x ^ y) & 1)
+        return BooleanBlock(self._apply([self._pack(a.block, b.block)], lut)[0])
+
+    def boolean_not(self, a: BooleanBlock) -> BooleanBlock:
+        lut = self._lut("not_bit", lambda x: 1 - (x & 1))
+        return BooleanBlock(self._apply([a.block], lut)[0])
+
+    def boolean_and_many(self, bools: list) -> BooleanBlock:
+        and_lut = self._biv_lut("bool_and", lambda x, y: x & y & 1)
+        return BooleanBlock(self._tree_reduce([b.block for b in bools], and_lut))
+
+    def boolean_or_many(self, bools: list) -> BooleanBlock:
+        or_lut = self._biv_lut("bool_or", lambda x, y: (x | y) & 1)
+        return BooleanBlock(self._tree_reduce([b.block for b in bools], or_lut))
+
+    # ------------------------------------------------------------------
     # Signed helpers
     # ------------------------------------------------------------------
 

@@ -1,0 +1,445 @@
+"""Pallas TPU kernel for the blind-rotation CMux step (external product core).
+
+Motivation (measured on v5e): the XLA-level NTT runs each inverse stage as a
+separate HBM pass (~0.4 ms per INTT at B=256) because fusion breaks across
+the stage loop; the monomial rotation lowers to a slow gather.  This kernel
+keeps the whole CMux step in VMEM:
+
+  acc' = acc + ExternalProduct(GGSW_i, acc * X^{a_i} - acc)
+
+with the negacyclic CRT-NTT running entirely on u32 lanes:
+  - 64-bit torus values travel as (lo, hi) u32 pairs (Mosaic has no u64);
+  - 32x32->64 products via 16-bit limb splits; Montgomery REDC32 mod each
+    31-bit prime;
+  - NTT stages with butterfly distance >= 128 pair sublane rows (free
+    reshapes); distances < 128 pair lanes via pltpu.roll + masks;
+  - the monomial rotation uses a doubled (negated) buffer and one dynamic
+    slice per batch element — no gathers.
+
+Layouts: polynomials are (R, 128) tiles with R = N/128; twiddle tables are
+precomputed per (prime, stage) on the host in exactly the layout the
+butterflies consume.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ntt as ntt_mod
+
+LANES = 128
+
+U32 = jnp.uint32
+_u32 = np.uint32
+
+
+# ---------------------------------------------------------------------------
+# u32-pair (64-bit) helpers — all values little-endian (lo, hi)
+# ---------------------------------------------------------------------------
+
+
+def mulwide(a, b):
+    """32x32 -> 64 product as (lo, hi) u32 via 16-bit limbs."""
+    a0 = a & U32(0xFFFF)
+    a1 = a >> U32(16)
+    b0 = b & U32(0xFFFF)
+    b1 = b >> U32(16)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = p01 + p10
+    carry_mid = (mid < p01).astype(U32)
+    lo = p00 + (mid << U32(16))
+    carry_lo = (lo < p00).astype(U32)
+    hi = p11 + (mid >> U32(16)) + (carry_mid << U32(16)) + carry_lo
+    return lo, hi
+
+
+def add64(alo, ahi, blo, bhi):
+    lo = alo + blo
+    carry = (lo < alo).astype(U32)
+    return lo, ahi + bhi + carry
+
+
+def sub64(alo, ahi, blo, bhi):
+    lo = alo - blo
+    borrow = (alo < blo).astype(U32)
+    return lo, ahi - bhi - borrow
+
+
+def neg64(lo, hi):
+    zlo = jnp.zeros_like(lo)
+    return sub64(zlo, zlo, lo, hi)
+
+
+def shr64_to32(lo, hi, s: int):
+    """(x >> s) truncated to u32, for static 0 <= s < 64."""
+    if s == 0:
+        return lo
+    if s < 32:
+        return (lo >> U32(s)) | (hi << U32(32 - s))
+    if s == 32:
+        return hi
+    return hi >> U32(s - 32)
+
+
+def mont_mul32(a, b_mont, p: np.uint32, p_inv_neg: np.uint32):
+    """a * b mod p (b in Montgomery form), all u32; result < p."""
+    tlo, thi = mulwide(a, b_mont)
+    m = tlo * _u32(p_inv_neg)  # low 32 bits
+    mplo, mphi = mulwide(m, U32(p))
+    carry = (tlo != U32(0)).astype(U32)  # tlo + mplo is 0 or 2^32
+    u = thi + mphi + carry
+    return jnp.where(u >= U32(p), u - U32(p), u)
+
+
+def add_mod32(a, b, p: np.uint32):
+    s = a + b
+    return jnp.where(s >= U32(p), s - U32(p), s)
+
+
+def sub_mod32(a, b, p: np.uint32):
+    d = a + U32(p) - b
+    return jnp.where(d >= U32(p), d - U32(p), d)
+
+
+# ---------------------------------------------------------------------------
+# Host-side stage tables
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True, eq=False)
+class StageTables:
+    """Per-prime butterfly twiddles laid out per stage.
+
+    Forward (CT, natural -> bitrev) stage with m blocks of size 2t:
+      fwd[stage] shape (P, N): twiddle for every position (same value across
+      each block's 2t positions — position j uses psi_br[m + j // (2t)]).
+    Inverse (GS, bitrev -> natural) stage with h blocks of size 2t:
+      inv[stage] similarly from psi_inv_br[h + j // (2t)].
+    """
+
+    n: int
+    num_primes: int
+    fwd: tuple   # tuple[np.ndarray (P, N) u32] per stage, t = N/2 .. 1
+    inv: tuple   # per stage, t = 1 .. N/2
+    n_inv_mont: np.ndarray  # (P, 1) u32
+    ps: np.ndarray          # (P, 1) u32
+    pinvs: np.ndarray       # (P, 1) u32
+
+
+@lru_cache(maxsize=None)
+def make_stage_tables(n: int, num_primes: int = 4) -> StageTables:
+    plan = ntt_mod.make_plan(n, num_primes)
+    num_stages = n.bit_length() - 1
+    fwd, inv = [], []
+    idx = np.arange(n)
+    # forward: m = 1, 2, ..., N/2 ; t = N/2 ... 1 ; block = j // t_pair
+    m = 1
+    t = n
+    while m < n:
+        t //= 2
+        per_prime = []
+        for pi in range(num_primes):
+            tab = plan.plans[pi].psi_br_mont.astype(np.uint32)
+            per_prime.append(tab[m + idx // (2 * t)])
+        fwd.append(np.stack(per_prime))
+        m *= 2
+    # inverse: t = 1, 2, ...; h = N/2 ...
+    t = 1
+    m = n
+    while m > 1:
+        h = m // 2
+        per_prime = []
+        for pi in range(num_primes):
+            tab = plan.plans[pi].psi_inv_br_mont.astype(np.uint32)
+            per_prime.append(tab[h + idx // (2 * t)])
+        inv.append(np.stack(per_prime))
+        t *= 2
+        m = h
+    return StageTables(
+        n=n, num_primes=num_primes,
+        fwd=tuple(np.ascontiguousarray(f) for f in fwd),
+        inv=tuple(np.ascontiguousarray(f) for f in inv),
+        n_inv_mont=np.stack([p.n_inv_mont.astype(np.uint32) for p in plan.plans]),
+        ps=plan.ps.astype(np.uint32),
+        pinvs=plan.pinvs.astype(np.uint32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-kernel NTT over a (..., N) u32 array for one prime
+# ---------------------------------------------------------------------------
+
+
+def _butterfly_ct(x, s_vec, t: int, p, pinv):
+    """One CT stage on (..., N): pairs (j, j+t) within blocks of 2t."""
+    n = x.shape[-1]
+    if t >= LANES or x.ndim == 1:
+        shape = x.shape[:-1] + (n // (2 * t), 2, t)
+        xv = x.reshape(shape)
+        u = xv[..., 0, :]
+        vin = xv[..., 1, :]
+        sv = s_vec.reshape(n // (2 * t), 2, t)[..., 0, :]
+        v = mont_mul32(vin, sv, p, pinv)
+        out = jnp.concatenate(
+            [(add_mod32(u, v, p))[..., None, :], (sub_mod32(u, v, p))[..., None, :]],
+            axis=-2,
+        )
+        return out.reshape(x.shape)
+    # lane-level stage: partner via roll along the last axis
+    rolled_m = pltpu.roll(x, n - t, axis=x.ndim - 1)  # x[j+t] at j
+    rolled_p = pltpu.roll(x, t, axis=x.ndim - 1)   # x[j-t] at j
+    j = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    is_lo = ((j // t) % 2) == 0
+    # twiddle for the pair lives at the lo position; s_vec is constant across
+    # each 2t block so s_vec[j] works for both positions.
+    v_for_lo = mont_mul32(rolled_m, s_vec, p, pinv)   # v * s at lo positions
+    v_for_hi = mont_mul32(x, s_vec, p, pinv)          # (this position is v)
+    lo_out = add_mod32(x, v_for_lo, p)
+    hi_out = sub_mod32(rolled_p, v_for_hi, p)
+    return jnp.where(is_lo, lo_out, hi_out)
+
+
+def _butterfly_gs(x, s_vec, t: int, p, pinv):
+    """One GS stage on (..., N): out_lo = u+v, out_hi = (u-v)*s."""
+    n = x.shape[-1]
+    if t >= LANES or x.ndim == 1:
+        shape = x.shape[:-1] + (n // (2 * t), 2, t)
+        xv = x.reshape(shape)
+        u = xv[..., 0, :]
+        v = xv[..., 1, :]
+        sv = s_vec.reshape(n // (2 * t), 2, t)[..., 0, :]
+        lo = add_mod32(u, v, p)
+        hi = mont_mul32(sub_mod32(u, v, p), sv, p, pinv)
+        out = jnp.concatenate([lo[..., None, :], hi[..., None, :]], axis=-2)
+        return out.reshape(x.shape)
+    rolled_m = pltpu.roll(x, n - t, axis=x.ndim - 1)
+    rolled_p = pltpu.roll(x, t, axis=x.ndim - 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    is_lo = ((j // t) % 2) == 0
+    lo_out = add_mod32(x, rolled_m, p)
+    hi_out = mont_mul32(sub_mod32(rolled_p, x, p), s_vec, p, pinv)
+    return jnp.where(is_lo, lo_out, hi_out)
+
+
+def ntt_fwd_inkernel(x, tables: StageTables, prime_idx: int, fwd_refs):
+    p = _u32(tables.ps[prime_idx, 0])
+    pinv = _u32(tables.pinvs[prime_idx, 0])
+    n = tables.n
+    t = n
+    for s_i in range(len(tables.fwd)):
+        t //= 2
+        s_vec = fwd_refs[s_i][prime_idx]
+        x = _butterfly_ct(x, s_vec, t, p, pinv)
+    return x
+
+
+def ntt_inv_inkernel(x, tables: StageTables, prime_idx: int, inv_refs):
+    p = _u32(tables.ps[prime_idx, 0])
+    pinv = _u32(tables.pinvs[prime_idx, 0])
+    t = 1
+    for s_i in range(len(tables.inv)):
+        s_vec = inv_refs[s_i][prime_idx]
+        x = _butterfly_gs(x, s_vec, t, p, pinv)
+        t *= 2
+    ninv = _u32(tables.n_inv_mont[prime_idx, 0])
+    return mont_mul32(x, jnp.full(x.shape, ninv, dtype=U32), p, _u32(tables.pinvs[prime_idx, 0]))
+
+
+# ---------------------------------------------------------------------------
+# The fused CMux step kernel
+# ---------------------------------------------------------------------------
+
+
+def _decompose32(lo, hi, base_log: int, levels: int):
+    """Branch-free signed decomposition on u32 pairs (rep <= 31).
+
+    Returns digits (level l first) as signed-wrapped u32, |digit| <= B/2.
+    """
+    rep = base_log * levels
+    assert rep <= 31, "pallas path supports base_log*levels <= 31"
+    nonrep = 64 - rep
+    res = shr64_to32(lo, hi, nonrep - 1)
+    rounding = res & U32(1)
+    res = (res + U32(1)) >> U32(1)
+    res = res & U32((1 << rep) - 1)
+    nb = (((res - U32(1)) | (rounding << U32(rep - 1))) & res) >> U32(rep - 1)
+    state = res - (nb << U32(rep))
+    mask = U32((1 << base_log) - 1)
+    digits = []
+    for _ in range(levels):
+        r = state & mask
+        state = (state.astype(jnp.int32) >> np.int32(base_log)).astype(U32)
+        carry = (((r - U32(1)) | state) & r) >> U32(base_log - 1)
+        state = state + carry
+        digits.append(r - (carry << U32(base_log)))
+    return digits
+
+
+def _digit_residue(d, p: np.uint32):
+    """Signed-wrapped u32 digit -> residue mod p (|d| small)."""
+    neg = d >> U32(31)
+    negval = jnp.zeros_like(d) - d
+    return jnp.where(neg.astype(bool), U32(p) - negval, d)
+
+
+@lru_cache(maxsize=None)
+def build_cmux_step(n: int, num_primes: int, base_log: int, levels: int,
+                    k1: int, tb: int, interpret: bool = False):
+    """Returns a jittable fn(acc_lo, acc_hi, adeg, bsk_slice, *tables) that
+    applies one CMux accumulation step for a whole batch.
+
+    acc_lo/hi: (B, k1, N) u32; adeg: (B,) int32 in [0, 2N);
+    bsk_slice: (l, k1, k1, P, N) u32.
+    """
+    tables = make_stage_tables(n, num_primes)
+    plan = ntt_mod.make_plan(n, num_primes)
+    gc = ntt_mod._garner_consts(plan.primes)
+    num_stages = n.bit_length() - 1
+    primes = [int(p) for p in plan.primes]
+
+    # static garner constants (u32 views)
+    inv_mont = [int(gc[f"inv_mont_{j}"]) for j in range(1, num_primes)]
+    pm_mont = {k: int(v) for k, v in gc["pm_mont"].items()}
+    prods64 = [int(v) for v in gc["prods64"]]
+    half_digits = [int(v) for v in gc["half_digits"]]
+    p_mod64 = int(gc["P_mod64"])
+
+    def kernel(*refs):
+        adeg_ref = refs[0]
+        acc_lo_ref, acc_hi_ref, bsk_ref = refs[1], refs[2], refs[3]
+        fwd_refs = refs[4 : 4 + num_stages]
+        inv_refs = refs[4 + num_stages : 4 + 2 * num_stages]
+        out_lo_ref, out_hi_ref = refs[4 + 2 * num_stages], refs[5 + 2 * num_stages]
+        rot_lo_ref, rot_hi_ref = refs[6 + 2 * num_stages], refs[7 + 2 * num_stages]
+
+        tile = pl.program_id(0)
+
+        acc_lo = acc_lo_ref[:]
+        acc_hi = acc_hi_ref[:]
+
+        # ---- per-element monomial rotation via doubled-negated buffer ----
+        # y = [x, -x, x, -x]; (x * X^a)[j] = y[(j - a) mod 2N] = y4[start + j]
+        neg_lo, neg_hi = neg64(acc_lo, acc_hi)
+        y_lo = jnp.concatenate([acc_lo, neg_lo, acc_lo, neg_lo], axis=-1)
+        y_hi = jnp.concatenate([acc_hi, neg_hi, acc_hi, neg_hi], axis=-1)
+        for el in range(tb):
+            a = adeg_ref[tile * tb + el]
+            start = (2 * n - a) % (2 * n)
+            rot_lo_ref[el] = jax.lax.dynamic_slice_in_dim(y_lo[el], start, n, axis=-1)
+            rot_hi_ref[el] = jax.lax.dynamic_slice_in_dim(y_hi[el], start, n, axis=-1)
+
+        # ct1 = rotated - acc
+        ct1_lo, ct1_hi = sub64(rot_lo_ref[:], rot_hi_ref[:], acc_lo, acc_hi)
+
+        # ---- decompose -> per-level digits ----
+        digits = _decompose32(ct1_lo, ct1_hi, base_log, levels)  # l x (TB,k1,N)
+
+        # ---- per prime: fwd NTT, pointwise-accumulate, INTT ----
+        res_primes = []
+        for pi in range(num_primes):
+            p = _u32(primes[pi])
+            pinv = _u32(int(plan.plans[pi].p_inv_neg32))
+            acc_cols = None
+            fwd_digits = []
+            for lev in range(levels):
+                d = _digit_residue(digits[lev], p)
+                fwd_digits.append(ntt_fwd_inkernel(d, tables, pi, fwd_refs))
+            for c in range(k1):
+                col = None
+                for lev in range(levels):
+                    for r in range(k1):
+                        key = bsk_ref[lev, r, c, pi]  # (N,)
+                        prod = mont_mul32(fwd_digits[lev][:, r, :], key, p, pinv)
+                        col = prod if col is None else add_mod32(col, prod, p)
+                col = ntt_inv_inkernel(col, tables, pi, inv_refs)  # (TB, N)
+                acc_cols = col[:, None, :] if acc_cols is None else jnp.concatenate(
+                    [acc_cols, col[:, None, :]], axis=1)
+            res_primes.append(acc_cols)  # (TB, k1, N) residues < p
+
+        # ---- Garner CRT -> u64 pair, with sign correction ----
+        a_digits = [res_primes[0]]
+        for j in range(1, num_primes):
+            pj = _u32(primes[j])
+            pinv_j = _u32(int(plan.plans[j].p_inv_neg32))
+            v = jnp.where(a_digits[0] >= pj, a_digits[0] - pj, a_digits[0])
+            for i in range(1, j):
+                term = mont_mul32(a_digits[i], jnp.full(v.shape, _u32(pm_mont[(i - 1, j)]), U32), pj, pinv_j)
+                vv = v + term
+                v = jnp.where(vv >= pj, vv - pj, vv)
+            r = res_primes[j]
+            d = jnp.where(r >= v, r - v, r + pj - v)
+            a_digits.append(
+                mont_mul32(d, jnp.full(d.shape, _u32(inv_mont[j - 1]), U32), pj, pinv_j))
+        out_lo = a_digits[0]
+        out_hi = jnp.zeros_like(out_lo)
+        for i in range(1, num_primes):
+            c = prods64[i]
+            c_lo, c_hi = _u32(c & 0xFFFFFFFF), _u32((c >> 32) & 0xFFFFFFFF)
+            t_lo, t_hi = mulwide(a_digits[i], jnp.full(out_lo.shape, c_lo, U32))
+            t_hi = t_hi + a_digits[i] * c_hi
+            out_lo, out_hi = add64(out_lo, out_hi, t_lo, t_hi)
+        # sign: lexicographic compare of mixed-radix digits vs floor(P/2)
+        is_neg = a_digits[0] > _u32(half_digits[0])
+        for i in range(1, num_primes):
+            hd = _u32(half_digits[i])
+            is_neg = (a_digits[i] > hd) | ((a_digits[i] == hd) & is_neg)
+        pm_lo, pm_hi = _u32(p_mod64 & 0xFFFFFFFF), _u32((p_mod64 >> 32) & 0xFFFFFFFF)
+        corr_lo, corr_hi = sub64(out_lo, out_hi,
+                                 jnp.full(out_lo.shape, pm_lo, U32),
+                                 jnp.full(out_lo.shape, pm_hi, U32))
+        out_lo = jnp.where(is_neg, corr_lo, out_lo)
+        out_hi = jnp.where(is_neg, corr_hi, out_hi)
+
+        # acc' = acc + external product
+        new_lo, new_hi = add64(acc_lo, acc_hi, out_lo, out_hi)
+        out_lo_ref[:] = new_lo
+        out_hi_ref[:] = new_hi
+
+    def make(batch: int):
+        grid = (batch // tb,)
+        acc_spec = pl.BlockSpec((tb, k1, n), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        full = lambda *shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape),
+                                           memory_space=pltpu.VMEM)
+        in_specs = [
+            acc_spec, acc_spec,
+            full(levels, k1, k1, num_primes, n),
+        ]
+        in_specs += [full(num_primes, n)] * (2 * num_stages)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[acc_spec, acc_spec],
+            scratch_shapes=[pltpu.VMEM((tb, k1, n), U32)] * 2,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((batch, k1, n), U32)] * 2,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )
+
+    fwd_tabs = [jnp.asarray(t) for t in tables.fwd]
+    inv_tabs = [jnp.asarray(t) for t in tables.inv]
+
+    def step(acc_lo, acc_hi, adeg, bsk_slice):
+        call = make(acc_lo.shape[0])
+        out_lo, out_hi = call(adeg, acc_lo, acc_hi, bsk_slice,
+                              *fwd_tabs, *inv_tabs)
+        return out_lo, out_hi
+
+    return step

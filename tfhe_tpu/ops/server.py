@@ -276,6 +276,34 @@ def blind_rotate(msed_mask, msed_body, lut, bsk_mont, plan, base_log: int,
     return acc
 
 
+def blind_rotate_pallas(msed_mask, msed_body, lut, bsk_mont, plan, base_log: int,
+                        levels: int, tb: int = 8, interpret: bool = False):
+    """Blind rotation with the fused Pallas CMux-step kernel (pallas_ntt.py).
+
+    Same semantics as blind_rotate; the accumulator travels as u32 (lo, hi)
+    pairs and each scan step is one VMEM-resident kernel launch.
+    """
+    from . import pallas_ntt
+
+    b, k1, n = lut.shape
+    acc0 = monomial_div(lut, msed_body[:, None, None])
+    acc_lo = (acc0 & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    acc_hi = (acc0 >> np.uint64(32)).astype(jnp.uint32)
+    step = pallas_ntt.build_cmux_step(n, plan.num_primes, base_log, levels,
+                                      k1, tb, interpret)
+
+    def body(carry, xs):
+        lo, hi = carry
+        adeg, bsk_slice = xs
+        lo, hi = step(lo, hi, adeg, bsk_slice)
+        return (lo, hi), None
+
+    adegs = msed_mask.T.astype(jnp.int32)  # (n_in, B)
+    (acc_lo, acc_hi), _ = jax.lax.scan(body, (acc_lo, acc_hi),
+                                       (adegs, bsk_mont))
+    return acc_lo.astype(U64) | (acc_hi.astype(U64) << np.uint64(32))
+
+
 def sample_extract(glwe):
     """Extract the constant coefficient as an LWE (glwe_sample_extraction.rs).
 
