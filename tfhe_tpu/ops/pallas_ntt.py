@@ -196,10 +196,10 @@ def _butterfly_ct(x, s_vec, t: int, p, pinv):
         )
         return out.reshape(x.shape)
     # lane-level stage: partner via roll along the last axis
-    rolled_m = pltpu.roll(x, n - t, axis=x.ndim - 1)  # x[j+t] at j
-    rolled_p = pltpu.roll(x, t, axis=x.ndim - 1)   # x[j-t] at j
+    rolled_m = pltpu.roll(x, np.int32(n - t), axis=x.ndim - 1)  # x[j+t] at j
+    rolled_p = pltpu.roll(x, np.int32(t), axis=x.ndim - 1)   # x[j-t] at j
     j = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    is_lo = ((j // t) % 2) == 0
+    is_lo = ((j // np.int32(t)) % np.int32(2)) == np.int32(0)
     # twiddle for the pair lives at the lo position; s_vec is constant across
     # each 2t block so s_vec[j] works for both positions.
     v_for_lo = mont_mul32(rolled_m, s_vec, p, pinv)   # v * s at lo positions
@@ -222,10 +222,10 @@ def _butterfly_gs(x, s_vec, t: int, p, pinv):
         hi = mont_mul32(sub_mod32(u, v, p), sv, p, pinv)
         out = jnp.concatenate([lo[..., None, :], hi[..., None, :]], axis=-2)
         return out.reshape(x.shape)
-    rolled_m = pltpu.roll(x, n - t, axis=x.ndim - 1)
-    rolled_p = pltpu.roll(x, t, axis=x.ndim - 1)
+    rolled_m = pltpu.roll(x, np.int32(n - t), axis=x.ndim - 1)
+    rolled_p = pltpu.roll(x, np.int32(t), axis=x.ndim - 1)
     j = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    is_lo = ((j // t) % 2) == 0
+    is_lo = ((j // np.int32(t)) % np.int32(2)) == np.int32(0)
     lo_out = add_mod32(x, rolled_m, p)
     hi_out = mont_mul32(sub_mod32(rolled_p, x, p), s_vec, p, pinv)
     return jnp.where(is_lo, lo_out, hi_out)
@@ -322,21 +322,20 @@ def build_cmux_step(n: int, num_primes: int, base_log: int, levels: int,
         out_lo_ref, out_hi_ref = refs[4 + 2 * num_stages], refs[5 + 2 * num_stages]
         rot_lo_ref, rot_hi_ref = refs[6 + 2 * num_stages], refs[7 + 2 * num_stages]
 
-        tile = pl.program_id(0)
-
         acc_lo = acc_lo_ref[:]
         acc_hi = acc_hi_ref[:]
 
         # ---- per-element monomial rotation via doubled-negated buffer ----
         # y = [x, -x, x, -x]; (x * X^a)[j] = y[(j - a) mod 2N] = y4[start + j]
+        # (x * X^a)[j] = y[(j - a) mod 2N] with y = [x, -x]: a dynamic circular
+        # roll right by a (tpu.dynamic_rotate), then keep the first N lanes.
         neg_lo, neg_hi = neg64(acc_lo, acc_hi)
-        y_lo = jnp.concatenate([acc_lo, neg_lo, acc_lo, neg_lo], axis=-1)
-        y_hi = jnp.concatenate([acc_hi, neg_hi, acc_hi, neg_hi], axis=-1)
+        y_lo = jnp.concatenate([acc_lo, neg_lo], axis=-1)  # (TB, k1, 2N)
+        y_hi = jnp.concatenate([acc_hi, neg_hi], axis=-1)
         for el in range(tb):
-            a = adeg_ref[tile * tb + el]
-            start = (2 * n - a) % (2 * n)
-            rot_lo_ref[el] = jax.lax.dynamic_slice_in_dim(y_lo[el], start, n, axis=-1)
-            rot_hi_ref[el] = jax.lax.dynamic_slice_in_dim(y_hi[el], start, n, axis=-1)
+            a = adeg_ref[el]
+            rot_lo_ref[el] = pltpu.roll(y_lo[el], a, axis=1)[:, :n]
+            rot_hi_ref[el] = pltpu.roll(y_hi[el], a, axis=1)[:, :n]
 
         # ct1 = rotated - acc
         ct1_lo, ct1_hi = sub64(rot_lo_ref[:], rot_hi_ref[:], acc_lo, acc_hi)
@@ -406,27 +405,19 @@ def build_cmux_step(n: int, num_primes: int, base_log: int, levels: int,
         out_hi_ref[:] = new_hi
 
     def make(batch: int):
-        grid = (batch // tb,)
-        acc_spec = pl.BlockSpec((tb, k1, n), lambda i, *_: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-        full = lambda *shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape),
-                                           memory_space=pltpu.VMEM)
-        in_specs = [
-            acc_spec, acc_spec,
-            full(levels, k1, k1, num_primes, n),
-        ]
-        in_specs += [full(num_primes, n)] * (2 * num_stages)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=[acc_spec, acc_spec],
-            scratch_shapes=[pltpu.VMEM((tb, k1, n), U32)] * 2,
-        )
+        # NOTE: this Mosaic build fails to legalize kernels with an explicit
+        # grid, so the kernel is gridless (one batch tile per launch) and the
+        # caller loops over tiles.
+        assert batch == tb
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), vmem(), vmem(), vmem()]
+        in_specs += [vmem()] * (2 * num_stages)
         return pl.pallas_call(
             kernel,
-            grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((batch, k1, n), U32)] * 2,
+            in_specs=in_specs,
+            out_specs=[vmem(), vmem()],
+            out_shape=[jax.ShapeDtypeStruct((tb, k1, n), U32)] * 2,
+            scratch_shapes=[pltpu.VMEM((tb, k1, n), U32)] * 2,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
@@ -437,9 +428,15 @@ def build_cmux_step(n: int, num_primes: int, base_log: int, levels: int,
     inv_tabs = [jnp.asarray(t) for t in tables.inv]
 
     def step(acc_lo, acc_hi, adeg, bsk_slice):
-        call = make(acc_lo.shape[0])
-        out_lo, out_hi = call(adeg, acc_lo, acc_hi, bsk_slice,
+        batch = acc_lo.shape[0]
+        call = make(tb)
+        outs_lo, outs_hi = [], []
+        for t0 in range(0, batch, tb):
+            o_lo, o_hi = call(adeg[t0 : t0 + tb], acc_lo[t0 : t0 + tb],
+                              acc_hi[t0 : t0 + tb], bsk_slice,
                               *fwd_tabs, *inv_tabs)
-        return out_lo, out_hi
+            outs_lo.append(o_lo)
+            outs_hi.append(o_hi)
+        return jnp.concatenate(outs_lo), jnp.concatenate(outs_hi)
 
     return step
