@@ -19,7 +19,7 @@ maskj, bodyj, lutj, bskj = map(jnp.asarray, (mask, body, lut, bsk))
 # small-n correctness on real hw first
 small = 4
 f_x = jax.jit(lambda m,b,l,k: server.blind_rotate(m,b,l,k,plan,BL,LEV))
-f_p = jax.jit(lambda m,b,l,k: server.blind_rotate_pallas(m,b,l,k,plan,BL,LEV,tb=8))
+f_p = jax.jit(lambda m,b,l,k: server.blind_rotate_pallas(m,b,l,k,plan,BL,LEV,tb=32))
 t0=time.time(); wx = f_x(maskj[:, :small], bodyj, lutj, bskj[:small]); wx.block_until_ready(); print("xla compile+run", time.time()-t0)
 t0=time.time(); wp = f_p(maskj[:, :small], bodyj, lutj, bskj[:small]); wp.block_until_ready(); print("pallas compile+run", time.time()-t0)
 print("match on TPU:", np.array_equal(np.asarray(wx), np.asarray(wp)))

@@ -424,8 +424,10 @@ def build_cmux_step(n: int, num_primes: int, base_log: int, levels: int,
             ),
         )
 
-    fwd_tabs = [jnp.asarray(t) for t in tables.fwd]
-    inv_tabs = [jnp.asarray(t) for t in tables.inv]
+    # keep tables as numpy: jnp constants created inside one trace must not
+    # leak into another via the lru_cache (pallas_call converts per call)
+    fwd_tabs = list(tables.fwd)
+    inv_tabs = list(tables.inv)
 
     def step(acc_lo, acc_hi, adeg, bsk_slice):
         batch = acc_lo.shape[0]

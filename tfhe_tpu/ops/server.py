@@ -276,6 +276,79 @@ def blind_rotate(msed_mask, msed_body, lut, bsk_mont, plan, base_log: int,
     return acc
 
 
+def blind_rotate_multibit(msed_mask, msed_body, lut, mb_bsk_mont, plan,
+                          base_log: int, levels: int, grouping_factor: int,
+                          bits: int = 64):
+    """Multi-bit blind rotation (core/multibit.py math), batched.
+
+    msed_mask: (B, n) u64 in [0, 2N); mb_bsk_mont: (n/g, 2^g, l, k+1, k+1,
+    P, N) u32.  Per group, the effective GGSW is assembled in the NTT domain
+    from subset GGSWs weighted by prod(X^{a_i}-1) and one full external
+    product advances the accumulator.
+    """
+    from ..core.multibit import monomial_ntt_tables
+
+    g = grouping_factor
+    b, k1, n_poly = lut.shape
+    tables, br = monomial_ntt_tables(n_poly, plan.num_primes)
+    tables_j = jnp.asarray(tables)        # (P, 4N) Montgomery
+    br_j = jnp.asarray(br)                # (N,)
+    r_mont = jnp.asarray(plan.rs)         # (P, 1) = 1 in Montgomery form
+
+    acc = monomial_div(lut, msed_body[:, None, None])
+
+    def w_of(a):
+        """NTT(X^a) in Montgomery form: (B, P, N) from a (B,) exponent."""
+        e = (2 * br_j[None, :].astype(U64) + np.uint64(1)) * a[:, None]
+        e = e & np.uint64(4 * n_poly - 1)  # mod 4N (power of two)
+        out = jnp.take(tables_j, e.astype(jnp.int32), axis=1)  # (P, B, N)
+        return jnp.transpose(out, (1, 0, 2))
+
+    def step(acc, xs):
+        a_group, ggsws = xs  # (g, B), (2^g, l, k1, k1, P, N) u32
+        key = ggsws.astype(U64)
+        diffs = [
+            _sub_mod_stacked(w_of(a_group[i]), r_mont, plan)
+            for i in range(g)
+        ]  # each (B, P, N) Montgomery (X^{a_i} - 1)
+        # subset products via DP over bitmasks
+        w = {0: None}
+        for u in range(1, 1 << g):
+            low = u & (-u)
+            rest = u ^ low
+            d = diffs[low.bit_length() - 1]
+            w[u] = d if rest == 0 else ntt.pointwise_mul_mont_stacked(
+                w[rest], d, plan, jnp)
+        # effective GGSW: (B, l, k1, k1, P, N)
+        eff = jnp.broadcast_to(key[0][None], (b,) + key.shape[1:])
+        for u in range(1, 1 << g):
+            term = ntt.pointwise_mul_mont_stacked(
+                w[u][:, None, None, None, :, :], key[u][None], plan, jnp)
+            eff = ntt.add_mod_stacked(eff, term, plan, jnp)
+        # full external product: acc <- EP(eff, acc)
+        digits = signed_decompose(acc, base_log, levels, bits)  # (l, B, k1, N)
+        res = _digits_to_residues(digits, plan)
+        fwd = ntt.ntt_forward_stacked(res, plan, jnp)           # (l, B, k1, P, N)
+        col = None
+        for lev in range(levels):
+            for r in range(k1):
+                prod = ntt.pointwise_mul_mont_stacked(
+                    fwd[lev][:, r, None, :, :], eff[:, lev, r], plan, jnp)
+                col = prod if col is None else ntt.add_mod_stacked(col, prod, plan, jnp)
+        coeffs = ntt.ntt_inverse_stacked(col, plan, jnp)
+        return ntt.garner_to_u64(coeffs, plan, jnp), None
+
+    groups = msed_mask.T.reshape(-1, g, b)  # (n/g, g, B)
+    acc, _ = jax.lax.scan(step, acc, (groups, mb_bsk_mont))
+    return acc
+
+
+def _sub_mod_stacked(a, b, plan):
+    ps = jnp.asarray(plan.ps)
+    d = a + ps - b
+    return jnp.where(d >= ps, d - ps, d)
+
+
 def blind_rotate_pallas(msed_mask, msed_body, lut, bsk_mont, plan, base_log: int,
                         levels: int, tb: int = 8, interpret: bool = False):
     """Blind rotation with the fused Pallas CMux-step kernel (pallas_ntt.py).

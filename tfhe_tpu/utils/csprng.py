@@ -35,11 +35,49 @@ BYTES_PER_AES_CALL = 16
 PER_SAMPLE_TARGET_FAILURE_PROBABILITY_LOG2 = -128.0
 
 
+def _load_native():
+    """Native AES-NI CTR kernel (native/aes_ctr.cpp), the analog of
+    tfhe-csprng's aesni backend; falls back to OpenSSL via `cryptography`."""
+    import ctypes
+    import pathlib
+
+    so = pathlib.Path(__file__).resolve().parents[2] / "native" / "libtfhe_aes.so"
+    if not so.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.tfhe_aes_ctr_blocks.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_void_p,
+        ]
+        return lib
+    except OSError:
+        return None
+
+
+_NATIVE = _load_native()
+
+
 def _aes_ecb(key_bytes: bytes, blocks: np.ndarray) -> np.ndarray:
     """Encrypt an array of 16-byte blocks (shape (n, 16) uint8) with AES-128-ECB."""
     enc = Cipher(algorithms.AES(key_bytes), modes.ECB()).encryptor()
     out = enc.update(blocks.tobytes()) + enc.finalize()
     return np.frombuffer(out, dtype=np.uint8).reshape(-1, 16)
+
+
+def _aes_ctr_blocks(key_bytes: bytes, start_ctr: int, count: int) -> np.ndarray:
+    """Keystream blocks for counters start_ctr..start_ctr+count-1 (LE128)."""
+    if _NATIVE is not None:
+        out = np.empty(count * 16, dtype=np.uint8)
+        _NATIVE.tfhe_aes_ctr_blocks(
+            key_bytes,
+            start_ctr & 0xFFFFFFFFFFFFFFFF,
+            (start_ctr >> 64) & 0xFFFFFFFFFFFFFFFF,
+            count,
+            out.ctypes.data,
+        )
+        return out.reshape(count, 16)
+    return _aes_ecb(key_bytes, _counter_blocks(start_ctr, count))
 
 
 def _counter_blocks(start_ctr: int, count: int) -> np.ndarray:
@@ -92,7 +130,8 @@ class ByteStream:
         first_block = pos // 16
         last_block = (pos + n - 1) // 16
         nblocks = last_block - first_block + 1
-        blocks = _aes_ecb(self.key_bytes, _counter_blocks((first_block + self.offset) % (1 << 128), nblocks))
+        blocks = _aes_ctr_blocks(self.key_bytes,
+                                 (first_block + self.offset) % (1 << 128), nblocks)
         flat = blocks.reshape(-1)
         off = pos - first_block * 16
         return flat[off : off + n].copy()
