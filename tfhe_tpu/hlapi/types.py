@@ -7,7 +7,7 @@ log2(message_modulus) bits (32 blocks of 2 bits for FheUint64 at 2_2).
 
 from __future__ import annotations
 
-from ..integer.ciphertext import BooleanBlock, RadixCiphertext
+from ..integer.ciphertext import BooleanBlock, RadixCiphertext, SignedRadixCiphertext
 from .global_state import internal_server_key
 
 
@@ -37,10 +37,16 @@ class FheBool:
         out = sk.key.bitxor(self.inner.block, other.inner.block)
         return FheBool(BooleanBlock(out))
 
+    def __invert__(self) -> "FheBool":
+        sk = internal_server_key().integer_key
+        return FheBool(sk.boolean_not(self.inner))
+
     def if_then_else(self, a: "FheUintBase", b: "FheUintBase"):
         sk = internal_server_key().integer_key
         out = sk.if_then_else_parallelized(self.inner, a.inner, b.inner)
         return type(a)(out)
+
+    select = if_then_else
 
 
 class FheUintBase:
@@ -124,31 +130,118 @@ class FheUintBase:
     def __invert__(self):
         return type(self)(self._sk().bitnot(self.inner))
 
-    def __lshift__(self, amount: int):
-        return type(self)(self._sk().scalar_left_shift_parallelized(self.inner, int(amount)))
+    def __floordiv__(self, other):
+        sk = self._sk()
+        o, scalar = self._coerce(other)
+        if scalar:
+            o = sk.create_trivial_radix(o, self.inner.num_blocks)
+            if isinstance(self.inner, SignedRadixCiphertext):
+                o = SignedRadixCiphertext(o.blocks)
+        return type(self)(sk.div_parallelized(self.inner, o))
 
-    def __rshift__(self, amount: int):
-        return type(self)(self._sk().scalar_right_shift_parallelized(self.inner, int(amount)))
+    __truediv__ = __floordiv__
+
+    def __mod__(self, other):
+        sk = self._sk()
+        o, scalar = self._coerce(other)
+        if scalar:
+            o = sk.create_trivial_radix(o, self.inner.num_blocks)
+            if isinstance(self.inner, SignedRadixCiphertext):
+                o = SignedRadixCiphertext(o.blocks)
+        return type(self)(sk.rem_parallelized(self.inner, o))
+
+    def div_rem(self, other):
+        sk = self._sk()
+        q, r = sk.div_rem_parallelized(self.inner, other.inner)
+        return type(self)(q), type(self)(r)
+
+    def __lshift__(self, amount):
+        sk = self._sk()
+        if isinstance(amount, FheUintBase):
+            return type(self)(sk.left_shift_parallelized(self.inner, amount.inner))
+        return type(self)(sk.scalar_left_shift_parallelized(self.inner, int(amount)))
+
+    def __rshift__(self, amount):
+        sk = self._sk()
+        if isinstance(amount, FheUintBase):
+            return type(self)(sk.right_shift_parallelized(self.inner, amount.inner))
+        return type(self)(sk.scalar_right_shift_parallelized(self.inner, int(amount)))
+
+    def rotate_left(self, amount):
+        sk = self._sk()
+        if isinstance(amount, FheUintBase):
+            return type(self)(sk.rotate_left_parallelized(self.inner, amount.inner))
+        return type(self)(sk.scalar_rotate_left_parallelized(self.inner, int(amount)))
+
+    def rotate_right(self, amount):
+        sk = self._sk()
+        if isinstance(amount, FheUintBase):
+            return type(self)(sk.rotate_right_parallelized(self.inner, amount.inner))
+        return type(self)(sk.scalar_rotate_right_parallelized(self.inner, int(amount)))
+
+    def count_ones(self):
+        return type(self)(self._sk().count_ones_parallelized(self.inner))
+
+    def count_zeros(self):
+        return type(self)(self._sk().count_zeros_parallelized(self.inner))
+
+    def leading_zeros(self):
+        return type(self)(self._sk().leading_zeros_parallelized(self.inner))
+
+    def trailing_zeros(self):
+        return type(self)(self._sk().trailing_zeros_parallelized(self.inner))
+
+    def ilog2(self):
+        return type(self)(self._sk().ilog2_parallelized(self.inner))
+
+    def is_even(self) -> "FheBool":
+        return FheBool(self._sk().is_even_parallelized(self.inner))
+
+    def is_odd(self) -> "FheBool":
+        return FheBool(self._sk().is_odd_parallelized(self.inner))
+
+    def overflowing_add(self, other):
+        sk = self._sk()
+        if isinstance(self.inner, SignedRadixCiphertext):
+            out, ovf = sk.signed_overflowing_add_parallelized(self.inner, other.inner)
+        else:
+            out, ovf = sk.overflowing_add_parallelized(self.inner, other.inner)
+        return type(self)(out), FheBool(ovf)
+
+    def overflowing_sub(self, other):
+        sk = self._sk()
+        if isinstance(self.inner, SignedRadixCiphertext):
+            out, ovf = sk.signed_overflowing_sub_parallelized(self.inner, other.inner)
+        else:
+            out, ovf = sk.overflowing_sub_parallelized(self.inner, other.inner)
+        return type(self)(out), FheBool(ovf)
 
     # -- comparisons -------------------------------------------------------
 
+    def _cmp(self, other, enc_name, scalar_name) -> FheBool:
+        sk = self._sk()
+        o, scalar = self._coerce(other)
+        if scalar:
+            return FheBool(getattr(sk, scalar_name)(self.inner, o))
+        return FheBool(getattr(sk, enc_name)(self.inner, o))
+
     def eq(self, other) -> FheBool:
-        return FheBool(self._sk().eq_parallelized(self.inner, other.inner))
+        return self._cmp(other, "eq_parallelized", "scalar_eq_parallelized")
 
     def ne(self, other) -> FheBool:
-        return FheBool(self._sk().ne_parallelized(self.inner, other.inner))
+        return self._cmp(other, "ne_parallelized", "scalar_ne_parallelized")
 
     def lt(self, other) -> FheBool:
-        return FheBool(self._sk().lt_parallelized(self.inner, other.inner))
+        return self._cmp(other, "lt_parallelized", "scalar_lt_parallelized")
 
     def le(self, other) -> FheBool:
-        return FheBool(self._sk().le_parallelized(self.inner, other.inner))
+        return self._cmp(other, "le_parallelized", "scalar_le_parallelized")
 
     def gt(self, other) -> FheBool:
-        return FheBool(self._sk().gt_parallelized(self.inner, other.inner))
+        return self._cmp(other, "gt_parallelized", "scalar_gt_parallelized")
 
     def ge(self, other) -> FheBool:
-        return FheBool(self._sk().ge_parallelized(self.inner, other.inner))
+        return self._cmp(other, "ge_parallelized", "scalar_ge_parallelized")
 
     def min(self, other):
         return type(self)(self._sk().min_parallelized(self.inner, other.inner))
@@ -185,21 +278,66 @@ class FheUint128(FheUintBase):
     NUM_BITS = 128
 
 
+class FheUint160(FheUintBase):
+    NUM_BITS = 160
+
+
+class FheUint256(FheUintBase):
+    NUM_BITS = 256
+
+
+class FheUint512(FheUintBase):
+    NUM_BITS = 512
+
+
+class FheUint1024(FheUintBase):
+    NUM_BITS = 1024
+
+
+class FheUint2048(FheUintBase):
+    NUM_BITS = 2048
+
+
+class FheUint6(FheUintBase):
+    NUM_BITS = 6
+
+
+class FheUint10(FheUintBase):
+    NUM_BITS = 10
+
+
+class FheUint12(FheUintBase):
+    NUM_BITS = 12
+
+
+class FheUint14(FheUintBase):
+    NUM_BITS = 14
+
+
 class FheIntBase(FheUintBase):
-    """Two's-complement signed integers (high_level_api/integers/signed/)."""
+    """Two's-complement signed integers (high_level_api/integers/signed/).
+
+    The inner ciphertext is a SignedRadixCiphertext, so comparisons, right
+    shifts, and division dispatch to the signed circuits in the integer layer.
+    """
 
     @classmethod
     def encrypt(cls, value: int, client_key) -> "FheIntBase":
         ik = client_key.integer_key
         n = cls.num_blocks(ik.params)
-        modulus = ik.params.message_modulus ** n
-        return cls(ik.encrypt_radix(value % modulus, n))
+        return cls(ik.encrypt_signed_radix(value, n))
+
+    @classmethod
+    def encrypt_trivial(cls, value: int) -> "FheIntBase":
+        sk = internal_server_key().integer_key
+        n = cls.num_blocks(sk.params)
+        return cls(SignedRadixCiphertext(sk.create_trivial_radix(value, n).blocks))
 
     def decrypt(self, client_key) -> int:
-        ik = client_key.integer_key
-        v = ik.decrypt_radix(self.inner)
-        modulus = ik.params.message_modulus ** self.inner.num_blocks
-        return v - modulus if v >= modulus // 2 else v
+        return client_key.integer_key.decrypt_signed_radix(self.inner)
+
+    def abs(self) -> "FheIntBase":
+        return type(self)(self._sk().abs_parallelized(self.inner))
 
 
 class FheInt8(FheIntBase):
@@ -216,3 +354,23 @@ class FheInt32(FheIntBase):
 
 class FheInt64(FheIntBase):
     NUM_BITS = 64
+
+
+class FheInt2(FheIntBase):
+    NUM_BITS = 2
+
+
+class FheInt4(FheIntBase):
+    NUM_BITS = 4
+
+
+class FheInt128(FheIntBase):
+    NUM_BITS = 128
+
+
+class FheInt160(FheIntBase):
+    NUM_BITS = 160
+
+
+class FheInt256(FheIntBase):
+    NUM_BITS = 256

@@ -82,8 +82,11 @@ class ExtendedOpsMixin:
     # ------------------------------------------------------------------
 
     def div_rem_parallelized(self, a: RadixCiphertext, d: RadixCiphertext):
-        """Unsigned (quotient, remainder).  Division by an encrypted zero
-        returns all-ones quotient (reference convention)."""
+        """(quotient, remainder); signed operands use the |.|-then-fix-signs
+        circuit (div_mod.rs:699).  Division by an encrypted zero returns an
+        all-ones quotient (reference convention)."""
+        if self._is_signed(a) or self._is_signed(d):
+            return self._signed_div_rem(a, d)
         a, d = self._cleaned(a), self._cleaned(d)
         n = a.num_blocks
         bits = self.extract_bits(a)  # LSB first
@@ -256,6 +259,7 @@ class ExtendedOpsMixin:
         return BooleanBlock(self._tree_reduce(nes, or_lut))
 
     def _scalar_cmp_state(self, a: RadixCiphertext, scalar: int):
+        signed = self._is_signed(a)
         a = self._cleaned(a)
         digs = self._scalar_digits(scalar, a.num_blocks)
         luts = [
@@ -263,6 +267,13 @@ class ExtendedOpsMixin:
                       lambda x, d=d: 0 if x % self.msg < d else (1 if x % self.msg == d else 2))
             for d in digs
         ]
+        if signed:
+            h = self.msg // 2
+            dt = digs[-1]
+            luts[-1] = self._lut(
+                f"cmp_s{dt}_signed_top",
+                lambda x, d=dt: 0 if ((x % self.msg) ^ h) < (d ^ h)
+                else (1 if (x % self.msg) == d else 2))
         states = self._apply(a.blocks, luts)[::-1]  # MSB first
         comb = self._biv_lut("cmp_combine", lambda hi, lo: lo if hi == 1 else hi)
         return self._tree_reduce(states, comb)

@@ -24,11 +24,12 @@ import numpy as np
 from ..shortint.ciphertext import Ciphertext
 from ..shortint.client_key import ClientKey as ShortintClientKey
 from ..shortint.server_key import LookupTable, ServerKey as ShortintServerKey
-from .ciphertext import BooleanBlock, RadixCiphertext
+from .ciphertext import BooleanBlock, RadixCiphertext, SignedRadixCiphertext
 from .ops_extended import ExtendedOpsMixin
+from .signed_ops import SignedOpsMixin
 
 
-class ServerKey(ExtendedOpsMixin):
+class ServerKey(ExtendedOpsMixin, SignedOpsMixin):
     def __init__(self, client_key, seed: int | None = None):
         inner = client_key.key if hasattr(client_key, "key") else client_key
         self.key = ShortintServerKey(inner, seed)
@@ -40,6 +41,26 @@ class ServerKey(ExtendedOpsMixin):
     # ------------------------------------------------------------------
     # LUT cache
     # ------------------------------------------------------------------
+
+    # ------------------------------------------------------------------
+    # Type preservation (RadixCiphertext vs SignedRadixCiphertext)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _like(ref, blocks):
+        return type(ref)(blocks)
+
+    @staticmethod
+    def _result_like(a, b, blocks):
+        """Signedness wins: result is signed if either operand is signed."""
+        cls = SignedRadixCiphertext if (
+            isinstance(a, SignedRadixCiphertext) or isinstance(b, SignedRadixCiphertext)
+        ) else RadixCiphertext
+        return cls(blocks)
+
+    @staticmethod
+    def _is_signed(ct) -> bool:
+        return isinstance(ct, SignedRadixCiphertext)
 
     def _lut(self, name, f) -> LookupTable:
         if name not in self._luts:
@@ -144,7 +165,7 @@ class ServerKey(ExtendedOpsMixin):
         s = [msgs[0]] + [
             self.key.unchecked_add(msgs[i], carries[i - 1]) for i in range(1, n)
         ]
-        return RadixCiphertext(self._propagate_carries(s))
+        return self._like(ct, self._propagate_carries(s))
 
     def _is_clean(self, ct: RadixCiphertext) -> bool:
         return all(b.degree < self.msg for b in ct.blocks)
@@ -157,20 +178,20 @@ class ServerKey(ExtendedOpsMixin):
     # ------------------------------------------------------------------
 
     def unchecked_add(self, a: RadixCiphertext, b: RadixCiphertext) -> RadixCiphertext:
-        return RadixCiphertext(
-            [self.key.unchecked_add(x, y) for x, y in zip(a.blocks, b.blocks)]
+        return self._result_like(
+            a, b, [self.key.unchecked_add(x, y) for x, y in zip(a.blocks, b.blocks)]
         )
 
     def add_parallelized(self, a: RadixCiphertext, b: RadixCiphertext) -> RadixCiphertext:
         a, b = self._cleaned(a), self._cleaned(b)
         s = [self.key.unchecked_add(x, y) for x, y in zip(a.blocks, b.blocks)]
-        return RadixCiphertext(self._propagate_carries(s))
+        return self._result_like(a, b, self._propagate_carries(s))
 
     def overflowing_add_parallelized(self, a, b):
         a, b = self._cleaned(a), self._cleaned(b)
         s = [self.key.unchecked_add(x, y) for x, y in zip(a.blocks, b.blocks)]
         out, carry = self._propagate_carries(s, with_overflow=True)
-        return RadixCiphertext(out), carry
+        return self._result_like(a, b, out), carry
 
     def _sub_state_blocks(self, a: RadixCiphertext, b: RadixCiphertext) -> list:
         """Borrow-free subtraction pre-state: values in [0, 2*msg-1]."""
@@ -188,11 +209,11 @@ class ServerKey(ExtendedOpsMixin):
 
     def sub_parallelized(self, a: RadixCiphertext, b: RadixCiphertext) -> RadixCiphertext:
         a, b = self._cleaned(a), self._cleaned(b)
-        return RadixCiphertext(self._propagate_carries(self._sub_state_blocks(a, b)))
+        return self._result_like(a, b, self._propagate_carries(self._sub_state_blocks(a, b)))
 
     def neg_parallelized(self, a: RadixCiphertext) -> RadixCiphertext:
         zero = self.create_trivial_radix(0, a.num_blocks)
-        return self.sub_parallelized(zero, a)
+        return self._like(a, self.sub_parallelized(zero, a).blocks)
 
     # ------------------------------------------------------------------
     # Scalar ops
@@ -206,7 +227,7 @@ class ServerKey(ExtendedOpsMixin):
         for i, blk in enumerate(a.blocks):
             digit = (v // msg ** i) % msg
             s.append(self.key.unchecked_scalar_add(blk, digit) if digit else blk)
-        return RadixCiphertext(self._propagate_carries(s))
+        return self._like(a, self._propagate_carries(s))
 
     def scalar_sub_parallelized(self, a: RadixCiphertext, scalar: int) -> RadixCiphertext:
         msg = self.msg
@@ -220,7 +241,7 @@ class ServerKey(ExtendedOpsMixin):
         n = a.num_blocks
         scalar %= msg ** n
         if scalar == 0:
-            return self.create_trivial_radix(0, n)
+            return self._like(a, self.create_trivial_radix(0, n).blocks)
         a = self._cleaned(a)
         rows = []
         d = scalar
@@ -235,7 +256,7 @@ class ServerKey(ExtendedOpsMixin):
                 rows.append(RadixCiphertext(shifted))
             d //= msg
             shift += 1
-        return self.sum_ciphertexts(rows, n)
+        return self._like(a, self.sum_ciphertexts(rows, n).blocks)
 
     # ------------------------------------------------------------------
     # Multi-operand sum (carry-save) and multiplication
@@ -333,7 +354,7 @@ class ServerKey(ExtendedOpsMixin):
                 for i in range(n)
             ]
             cols_ct.append(RadixCiphertext(blocks))
-        return self.sum_ciphertexts(cols_ct, n)
+        return self._result_like(a, b, self.sum_ciphertexts(cols_ct, n).blocks)
 
     # ------------------------------------------------------------------
     # Bitwise ops
@@ -343,7 +364,7 @@ class ServerKey(ExtendedOpsMixin):
         a, b = self._cleaned(a), self._cleaned(b)
         lut = self._biv_lut(name, f)
         packed = [self._pack(x, y) for x, y in zip(a.blocks, b.blocks)]
-        return RadixCiphertext(self._apply(packed, lut))
+        return self._result_like(a, b, self._apply(packed, lut))
 
     def bitand_parallelized(self, a, b):
         return self._bitwise(a, b, "bitand", lambda x, y: x & y)
@@ -358,7 +379,7 @@ class ServerKey(ExtendedOpsMixin):
         a = self._cleaned(a)
         msg = self.msg
         lut = self._lut("bitnot", lambda x: (msg - 1) - (x % msg))
-        return RadixCiphertext(self._apply(a.blocks, lut))
+        return self._like(a, self._apply(a.blocks, lut))
 
     # ------------------------------------------------------------------
     # Comparisons
@@ -393,13 +414,13 @@ class ServerKey(ExtendedOpsMixin):
 
     def _cmp_state(self, a, b) -> Ciphertext:
         """3-state lexicographic compare: 0 = lt, 1 = eq, 2 = gt
-        (comparator.rs tree reduction, batch-first)."""
+        (comparator.rs tree reduction, batch-first; signed operands flip the
+        top bit of the most significant block)."""
+        signed = self._is_signed(a) or self._is_signed(b)
         a, b = self._cleaned(a), self._cleaned(b)
-        st_lut = self._biv_lut(
-            "cmp_state", lambda x, y: 0 if x < y else (1 if x == y else 2)
-        )
+        luts = self._cmp_state_luts(a.num_blocks, signed)
         packed = [self._pack(x, y) for x, y in zip(a.blocks, b.blocks)]
-        states = self._apply(packed, st_lut)
+        states = self._apply(packed, luts)
         # most significant block first; combine(hi, lo) = hi if hi != eq else lo
         states = states[::-1]
         comb = self._biv_lut("cmp_combine", lambda hi, lo: lo if hi == 1 else hi)
@@ -437,8 +458,8 @@ class ServerKey(ExtendedOpsMixin):
         ]
         luts = [keep_if_true] * n + [keep_if_false] * n
         outs = self._apply(packed, luts)
-        return RadixCiphertext(
-            [self.key.unchecked_add(outs[i], outs[n + i]) for i in range(n)]
+        return self._result_like(
+            a, b, [self.key.unchecked_add(outs[i], outs[n + i]) for i in range(n)]
         )
 
     def min_parallelized(self, a, b) -> RadixCiphertext:
@@ -460,7 +481,7 @@ class ServerKey(ExtendedOpsMixin):
             b.copy() for b in a.blocks[: max(n - block_shift, 0)]
         ]
         if bit_shift == 0:
-            return RadixCiphertext(blocks)
+            return self._like(a, blocks)
         msg = self.msg
         lut = self._biv_lut(
             f"lshift_{bit_shift}",
@@ -470,9 +491,11 @@ class ServerKey(ExtendedOpsMixin):
         for i in range(n):
             prev = blocks[i - 1] if i > 0 else self.key.create_trivial(0)
             packed.append(self._pack(blocks[i], prev))
-        return RadixCiphertext(self._apply(packed, lut))
+        return self._like(a, self._apply(packed, lut))
 
     def scalar_right_shift_parallelized(self, a: RadixCiphertext, shift: int) -> RadixCiphertext:
+        if self._is_signed(a):
+            return self._scalar_right_shift_arithmetic(a, shift)
         a = self._cleaned(a)
         msg_bits = (self.msg - 1).bit_length()
         n = a.num_blocks
@@ -481,7 +504,7 @@ class ServerKey(ExtendedOpsMixin):
             self.key.create_trivial(0)
         ] * min(block_shift, n)
         if bit_shift == 0:
-            return RadixCiphertext(blocks)
+            return self._like(a, blocks)
         msg = self.msg
         lut = self._biv_lut(
             f"rshift_{bit_shift}",
@@ -491,4 +514,4 @@ class ServerKey(ExtendedOpsMixin):
         for i in range(n):
             nxt = blocks[i + 1] if i + 1 < n else self.key.create_trivial(0)
             packed.append(self._pack(nxt, blocks[i]))
-        return RadixCiphertext(self._apply(packed, lut))
+        return self._like(a, self._apply(packed, lut))
