@@ -13,6 +13,7 @@ class Config:
     enable_compression: bool = False
     enable_noise_squashing: bool = False
     enable_compact_public_key: bool = False
+    noise_squashing_params: object = None
 
 
 class ConfigBuilder:
@@ -31,8 +32,14 @@ class ConfigBuilder:
         self._config.enable_compression = True
         return self
 
-    def enable_noise_squashing(self) -> "ConfigBuilder":
+    def enable_noise_squashing(self, params=None) -> "ConfigBuilder":
+        from ..shortint.noise_squashing import (
+            V1_4_NOISE_SQUASHING_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
+        )
+
         self._config.enable_noise_squashing = True
+        self._config.noise_squashing_params = (
+            params or V1_4_NOISE_SQUASHING_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128)
         return self
 
     def enable_compact_public_key(self) -> "ConfigBuilder":

@@ -14,6 +14,20 @@ class ClientKey:
         self.config = config
         self.seed = secrets.randbits(128) if seed is None else seed
         self.integer_key = IntegerClientKey(config.shortint_params, self.seed)
+        self.noise_squashing_private_key = None
+        if config.enable_noise_squashing:
+            from ..integer.noise_squashing import NoiseSquashingPrivateKey
+
+            self.noise_squashing_private_key = NoiseSquashingPrivateKey(
+                config.noise_squashing_params, self.seed ^ 0x5C0A5)
+
+    def decrypt_squashed(self, ct) -> int:
+        """Decrypt a SquashedNoiseRadixCiphertext (requires noise squashing
+        enabled in the config)."""
+        if self.noise_squashing_private_key is None:
+            raise ValueError("noise squashing not enabled in Config")
+        inner = ct.inner if hasattr(ct, "inner") else ct
+        return self.noise_squashing_private_key.decrypt_radix(inner)
 
     @classmethod
     def generate(cls, config: Config, seed: int | None = None) -> "ClientKey":
@@ -24,6 +38,13 @@ class ServerKey:
     def __init__(self, client_key: ClientKey):
         self.integer_key = IntegerServerKey(client_key.integer_key)
         self.config = client_key.config
+        self.noise_squashing_key = None
+        if client_key.noise_squashing_private_key is not None:
+            from ..integer.noise_squashing import NoiseSquashingKey
+
+            self.noise_squashing_key = NoiseSquashingKey(
+                client_key.integer_key, client_key.noise_squashing_private_key,
+                client_key.seed ^ 0x5C0A6)
 
 
 class CompressedServerKey:

@@ -208,6 +208,17 @@ class FheUintBase:
             out, ovf = sk.overflowing_add_parallelized(self.inner, other.inner)
         return type(self)(out), FheBool(ovf)
 
+    def squash_noise(self):
+        """Re-encrypt on the u128 torus (high_level_api squashed-noise types);
+        decrypt with ClientKey.decrypt_squashed."""
+        from .global_state import internal_server_key
+
+        hsk = internal_server_key()
+        if getattr(hsk, "noise_squashing_key", None) is None:
+            raise ValueError("noise squashing not enabled in Config")
+        return hsk.noise_squashing_key.squash_radix_ciphertext_noise(
+            hsk.integer_key, self.inner)
+
     def overflowing_sub(self, other):
         sk = self._sk()
         if isinstance(self.inner, SignedRadixCiphertext):

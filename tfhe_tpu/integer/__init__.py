@@ -2,6 +2,7 @@
 shortint blocks (TPU batch-first analog of tfhe::integer, SURVEY.md §2.4)."""
 
 from .ciphertext import BooleanBlock, RadixCiphertext, SignedRadixCiphertext
+from .crt import CrtCiphertext, crt_reconstruct
 from .client_key import ClientKey
 from .server_key import ServerKey
 

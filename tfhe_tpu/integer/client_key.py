@@ -9,9 +9,10 @@ from __future__ import annotations
 from ..shortint.client_key import ClientKey as ShortintClientKey
 from ..shortint.params import DEFAULT_PARAMS, ShortintParams
 from .ciphertext import BooleanBlock, RadixCiphertext, SignedRadixCiphertext
+from .crt import CrtClientMixin
 
 
-class ClientKey:
+class ClientKey(CrtClientMixin):
     def __init__(self, params: ShortintParams = DEFAULT_PARAMS, seed: int | None = None):
         self.key = ShortintClientKey(params, seed)
         self.params = params

@@ -25,11 +25,12 @@ from ..shortint.ciphertext import Ciphertext
 from ..shortint.client_key import ClientKey as ShortintClientKey
 from ..shortint.server_key import LookupTable, ServerKey as ShortintServerKey
 from .ciphertext import BooleanBlock, RadixCiphertext, SignedRadixCiphertext
+from .crt import CrtOpsMixin
 from .ops_extended import ExtendedOpsMixin
 from .signed_ops import SignedOpsMixin
 
 
-class ServerKey(ExtendedOpsMixin, SignedOpsMixin):
+class ServerKey(ExtendedOpsMixin, SignedOpsMixin, CrtOpsMixin):
     def __init__(self, client_key, seed: int | None = None):
         inner = client_key.key if hasattr(client_key, "key") else client_key
         self.key = ShortintServerKey(inner, seed)

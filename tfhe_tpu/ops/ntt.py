@@ -31,7 +31,12 @@ from functools import lru_cache
 import numpy as np
 
 # 31-bit NTT primes, p ≡ 1 (mod 2^24)
-PRIMES = (2130706433, 2113929217, 2013265921, 1811939329)
+# NTT-friendly 31-bit primes (p - 1 divisible by 2^14, descending — the
+# Garner reconstruction relies on p_0 < 2 * p_j).  First 4 cover exact u64
+# external products (124 bits > 2^98 bound); 6 cover u128 noise squashing
+# (185 bits > 2^166); 8 cover u128 packing keyswitch (246 bits > 2^199).
+PRIMES = (2130706433, 2113929217, 2013265921, 1811939329,
+          1811742721, 1811496961, 1811415041, 1811218433)
 
 _U64 = np.uint64
 _MASK32 = _U64(0xFFFFFFFF)
@@ -314,6 +319,17 @@ def _garner_consts(primes: tuple):
         half_digits.append(_U64(half % primes[i]))
         half //= primes[i]
     consts["half_digits"] = half_digits
+    # 128-bit variants (for the u128 torus of noise squashing): partial
+    # products and P as (lo, hi) u64 pairs mod 2^128
+    prods128 = []
+    acc = 1
+    for i in range(k):
+        prods128.append((_U64(acc & 0xFFFFFFFFFFFFFFFF),
+                         _U64((acc >> 64) & 0xFFFFFFFFFFFFFFFF)))
+        acc *= primes[i]
+    consts["prods128"] = prods128
+    consts["P_mod128"] = (_U64(acc & 0xFFFFFFFFFFFFFFFF),
+                          _U64((acc >> 64) & 0xFFFFFFFFFFFFFFFF))
     return consts
 
 
@@ -463,3 +479,113 @@ def negacyclic_polymul_u64(a, b, plan: NttPlan, xp):
     prod = pointwise_mul_mont(fa, fb_m, plan, xp)
     coeffs = inverse_all(prod, plan, xp)
     return garner_to_u64(coeffs, plan, xp)
+
+
+# ---------------------------------------------------------------------------
+# u128 support: values travel as (lo, hi) u64 pairs (no u128 dtype on
+# numpy/TPU).  Used by the noise-squashing PBS (fft128 analog — the reference
+# uses split-double f64 arithmetic, fft_impl/fft128/; here the same exact
+# CRT-NTT engine covers u128 with 6+ primes).
+# ---------------------------------------------------------------------------
+
+
+def add128(alo, ahi, blo, bhi, xp):
+    lo = alo + blo
+    carry = (lo < alo).astype(alo.dtype)
+    return lo, ahi + bhi + carry
+
+
+def sub128(alo, ahi, blo, bhi, xp):
+    lo = alo - blo
+    borrow = (alo < blo).astype(alo.dtype)
+    return lo, ahi - bhi - borrow
+
+
+def neg128(lo, hi, xp):
+    zlo = xp.zeros_like(lo)
+    return sub128(zlo, zlo, lo, hi, xp)
+
+
+def mul_u32_by_u128(a, c_lo, c_hi, xp):
+    """a (u64 array, values < 2^32) times constant pair (c_lo, c_hi) mod 2^128."""
+    c_ll = _U64(int(c_lo) & 0xFFFFFFFF)
+    c_lh = _U64(int(c_lo) >> 32)
+    t0 = a * c_ll
+    t1 = a * c_lh
+    lo = t0 + ((t1 & _MASK32) << _R_BITS)
+    carry = (lo < t0).astype(a.dtype)
+    hi = (t1 >> _R_BITS) + a * _U64(c_hi) + carry
+    return lo, hi
+
+
+def to_residues_u128(lo, hi, plan: NttPlan, xp):
+    """(lo, hi) u64 pairs (..., N) -> (..., num_primes, N) residues."""
+    outs = []
+    for i in range(plan.num_primes):
+        p = plan.plans[i].p
+        two64 = _U64((1 << 64) % int(p))
+        r = ((hi % p) * two64 + lo % p) % p
+        outs.append(r)
+    return xp.stack(outs, axis=-2)
+
+
+def forward_all_u128(lo, hi, plan: NttPlan, xp):
+    res = to_residues_u128(lo, hi, plan, xp)
+    outs = [ntt_forward(res[..., i, :], plan, i, xp) for i in range(plan.num_primes)]
+    return xp.stack(outs, axis=-2)
+
+
+def garner_to_u128(residues, plan: NttPlan, xp):
+    """CRT reconstruction mod 2^128 of a signed exact integer (|X| < P/2).
+
+    Same mixed-radix digits as garner_to_u64; accumulation and sign
+    correction carried out on (lo, hi) u64 pairs.
+    """
+    primes = plan.primes
+    k = len(primes)
+    c = _garner_consts(primes)
+
+    def cond_sub(x, p):
+        return xp.where(x >= p, x - p, x)
+
+    a = [residues[..., 0, :]]
+    for j in range(1, k):
+        pj = _U64(primes[j])
+        pinv_j = plan.plans[j].p_inv_neg32
+        v = cond_sub(a[0], pj)
+        for i in range(1, j):
+            term = mont_mul(a[i], c["pm_mont"][(i - 1, j)], pj, pinv_j, xp)
+            v = cond_sub(v + term, pj)
+        r = residues[..., j, :]
+        d = xp.where(r >= v, r - v, r + pj - v)
+        a.append(mont_mul(d, c["inv_mont_" + str(j)], pj, pinv_j, xp))
+    out_lo = a[0]
+    out_hi = xp.zeros_like(out_lo)
+    for i in range(1, k):
+        p_lo, p_hi = c["prods128"][i]
+        t_lo, t_hi = mul_u32_by_u128(a[i], p_lo, p_hi, xp)
+        out_lo, out_hi = add128(out_lo, out_hi, t_lo, t_hi, xp)
+    h = c["half_digits"]
+    is_neg = a[0] > h[0]
+    for i in range(1, k):
+        is_neg = (a[i] > h[i]) | ((a[i] == h[i]) & is_neg)
+    pm_lo, pm_hi = c["P_mod128"]
+    c_lo, c_hi = sub128(out_lo, out_hi,
+                        xp.full(out_lo.shape, pm_lo, out_lo.dtype),
+                        xp.full(out_hi.shape, pm_hi, out_hi.dtype), xp)
+    return xp.where(is_neg, c_lo, out_lo), xp.where(is_neg, c_hi, out_hi)
+
+
+def negacyclic_polymul_u128(a_lo, a_hi, b_lo, b_hi, plan: NttPlan, xp):
+    """Exact negacyclic (X^N + 1) product of u128 polynomials, mod 2^128.
+
+    Requires a plan whose prime product exceeds 2 * N * 2^128 * max|b| —
+    use >= 6 primes when one operand is a binary key (|b| <= 1: 2^140),
+    8 primes for general u128 x small-digit products.
+    """
+    fa = forward_all_u128(a_lo, a_hi, plan, xp)
+    fb = forward_all_u128(b_lo, b_hi, plan, xp)
+    fb_m = to_mont_all(fb, plan, xp)
+    prod = pointwise_mul_mont(fa, fb_m, plan, xp)
+    coeffs = inverse_all(prod, plan, xp)
+    return garner_to_u128(coeffs, plan, xp)
