@@ -48,21 +48,30 @@ class ServerKey:
 
 
 class CompressedServerKey:
-    """Compressed (seeded) server key.
-
-    The reference stores seeded BSK/KSK whose public mask halves regenerate
-    from a 128-bit seed (SeededLweBootstrapKey et al.).  The NTT-domain device
-    key is rebuilt on `decompress()`.  Current implementation retains the
-    client key reference for regeneration; the seeded-entity byte format
-    lands with the serialization subsystem.
+    """Compressed (seeded) server key: stores seeded BSK/KSK bodies whose
+    public mask halves regenerate from 128-bit seeds
+    (SeededLweBootstrapKey / SeededLweKeyswitchKey, seeded_*_decompression.rs).
     """
 
-    def __init__(self, client_key: ClientKey):
-        self._client_key = client_key
-        self.seed = secrets.randbits(128)
+    def __init__(self, client_key: ClientKey, seed: int | None = None):
+        from ..shortint.compressed_key import CompressedServerKey as ShortintCompressed
+
+        self.config = client_key.config
+        self._compressed = ShortintCompressed(client_key.integer_key.key, seed)
 
     def decompress(self) -> ServerKey:
-        return ServerKey(self._client_key)
+        from ..integer.server_key import ServerKey as IntegerServerKey
+
+        obj = ServerKey.__new__(ServerKey)
+        obj.config = self.config
+        obj.noise_squashing_key = None
+        inner = IntegerServerKey.__new__(IntegerServerKey)
+        inner.key = self._compressed.decompress()
+        inner.params = inner.key.params
+        inner.msg = inner.params.message_modulus
+        inner._luts = {}
+        obj.integer_key = inner
+        return obj
 
 
 class PublicKey:

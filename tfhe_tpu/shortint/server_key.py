@@ -37,7 +37,6 @@ class LookupTable:
 class ServerKey:
     def __init__(self, client_key: ClientKey, seed: int | None = None):
         p = client_key.params
-        self.params = p
         if seed is None:
             seed = secrets.randbits(128)
         gen = EncryptionRandomGenerator(seed, DeterministicSeeder(seed ^ 0xB5297A4D))
@@ -50,8 +49,23 @@ class ServerKey:
             client_key.lwe_secret_key, client_key.glwe_secret_key,
             core.pbs_decomp, p.glwe_noise, gen, p.bits,
         )
+        self._init_from_raw(p, ksk.data, bsk.data)
+
+    @classmethod
+    def from_raw_keys(cls, params: ShortintParams, ksk_data, bsk_data) -> "ServerKey":
+        """Build from standard-domain KSK/BSK arrays (decompression path)."""
+        obj = cls.__new__(cls)
+        obj._init_from_raw(params, ksk_data, bsk_data)
+        return obj
+
+    def _init_from_raw(self, p: ShortintParams, ksk_data, bsk_data) -> None:
+        from ..core.entities import LweBootstrapKey
+
+        self.params = p
+        bsk = (bsk_data if isinstance(bsk_data, LweBootstrapKey)
+               else LweBootstrapKey(np.asarray(bsk_data), p.core.pbs_decomp, p.bits))
         bsk_mont, plan = kg.bootstrap_key_to_ntt(bsk)
-        self.ksk = jnp.asarray(ksk.data)
+        self.ksk = jnp.asarray(np.asarray(ksk_data))
         self.bsk_mont = jnp.asarray(bsk_mont)
         self.plan = plan
         self.max_degree = p.total_modulus - 1
