@@ -1,0 +1,63 @@
+"""XofKeySet, Tag, arrays, integer-level casting."""
+
+import pytest
+
+import tfhe_tpu as t
+from tfhe_tpu import shortint
+from tfhe_tpu.hlapi import CompressedXofKeySet, FheUintArray, Tag
+
+
+@pytest.fixture(scope="module")
+def keyset():
+    cfg = t.ConfigBuilder().use_custom_parameters(shortint.TEST_PARAM_MESSAGE_2_CARRY_2).build()
+    ks = CompressedXofKeySet(cfg, master_seed=0xBEEF).expand()
+    t.set_server_key(ks.server_key)
+    return ks
+
+
+def test_xof_keyset_deterministic(keyset):
+    cfg = keyset.client_key.config
+    ks2 = CompressedXofKeySet(cfg, master_seed=0xBEEF).expand()
+    a = t.FheUint8.encrypt(7, keyset.client_key)
+    # the re-derived client key decrypts ciphertexts of the first expansion
+    assert a.decrypt(ks2.client_key) == 7
+
+
+def test_xof_keyset_compute(keyset):
+    a = t.FheUint8.encrypt(100, keyset.client_key)
+    b = t.FheUint8.encrypt(55, keyset.client_key)
+    assert (a + b).decrypt(keyset.client_key) == 155
+
+
+def test_tag():
+    tag = Tag.from_u64(42)
+    assert tag.as_u64() == 42
+    assert Tag(b"x") != Tag(b"y")
+    assert not Tag()
+
+
+def test_array_ops(keyset):
+    ck = keyset.client_key
+    a = FheUintArray.encrypt([[1, 2], [3, 250]], t.FheUint8, ck)
+    b = FheUintArray.encrypt([[10, 20], [30, 40]], t.FheUint8, ck)
+    s = a + b
+    assert (s.decrypt(ck) == [[11, 22], [33, (250 + 40) % 256]]).all()
+    assert (a & b).decrypt(ck)[0][1] == 2 & 20
+    tot = a.sum()
+    assert tot.decrypt(ck) == (1 + 2 + 3 + 250) % 256
+    assert a[1, 0].decrypt(ck) == 3
+
+
+def test_integer_casting_radix(keyset):
+    import dataclasses
+
+    from tfhe_tpu import integer
+    from tfhe_tpu.integer.key_switching_key import KeySwitchingKey
+
+    other = dataclasses.replace(shortint.TEST_PARAM_MESSAGE_2_CARRY_2,
+                                lwe_dimension=24, polynomial_size=256)
+    ck2 = integer.ClientKey(other, seed=0xAA)
+    ksk = KeySwitchingKey(ck2.key, keyset.client_key.integer_key.key, seed=0xAB)
+    src = ck2.encrypt_radix(201, 4)
+    dst = ksk.cast(src)
+    assert keyset.client_key.integer_key.decrypt_radix(dst) == 201

@@ -6,6 +6,9 @@ with Python operator overloads dispatching to the batched integer backend.
 """
 
 from .config import Config, ConfigBuilder
+from .array import FheUintArray
+from .tag import Tag
+from .xof_key_set import CompressedXofKeySet, XofKeySet
 from .keys import ClientKey, CompressedServerKey, PublicKey, ServerKey, generate_keys
 from .global_state import set_server_key, unset_server_key
 from .types import (
@@ -40,6 +43,7 @@ from .types import (
 __all__ = [
     "Config", "ConfigBuilder", "ClientKey", "ServerKey", "CompressedServerKey",
     "PublicKey", "generate_keys", "set_server_key", "unset_server_key",
+    "FheUintArray", "Tag", "CompressedXofKeySet", "XofKeySet",
     "FheBool", "FheUint2", "FheUint4", "FheUint6", "FheUint8", "FheUint10",
     "FheUint12", "FheUint14", "FheUint16", "FheUint32",
     "FheUint64", "FheUint128", "FheUint160", "FheUint256", "FheUint512",

@@ -492,7 +492,9 @@ def build_blind_rotate(n: int, num_primes: int, base_log: int, levels: int,
         acc_lo = acc_lo_s[:]
         acc_hi = acc_hi_s[:]
 
-        # per-element monomial rotation via doubled-negated buffer
+        # per-element monomial rotation via doubled-negated buffer.  (A
+        # bit-gated barrel of static full-tile rolls was tried and measured
+        # SLOWER — lane-crossing rolls dominate either way on this Mosaic.)
         neg_lo, neg_hi = neg64(acc_lo, acc_hi)
         y_lo = jnp.concatenate([acc_lo, neg_lo], axis=-1)
         y_hi = jnp.concatenate([acc_hi, neg_hi], axis=-1)
