@@ -612,3 +612,279 @@ def build_blind_rotate(n: int, num_primes: int, base_log: int, levels: int,
                     *fwd_tabs, *inv_tabs)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel: chunk layout (C = N/128, S = tb*k1, 128) — every elementwise op
+# runs on full (S, 128) vregs (the flat (tb, k1, N) layout left 4-8x of the
+# VPU idle: reshapes along the 2048-lane axis demote tiles to (2,128)/(1,128)
+# shapes and flattened-axis rolls cross 16 vregs).  Butterfly stages with
+# pair distance >= 128 pair CHUNKS (leading dim, free); distances < 128 stay
+# inside one 128-lane vreg (intra-vreg rolls).
+# ---------------------------------------------------------------------------
+
+
+def _bf_ct_v2(x, s_vec, t: int, p, pinv):
+    """Forward CT stage on (C, S, 128); s_vec: (C, 1, 128)."""
+    C = x.shape[0]
+    n = C * LANES
+    if t >= LANES:
+        dc = t // LANES
+        mc = C // (2 * dc)
+        xv = x.reshape(mc, 2, dc, *x.shape[1:])
+        u = xv[:, 0]
+        vin = xv[:, 1]
+        sv = s_vec.reshape(mc, 2, dc, 1, LANES)[:, 0]
+        v = mont_mul32(vin, sv, p, pinv)
+        out = jnp.concatenate([(add_mod32(u, v, p))[:, None],
+                               (sub_mod32(u, v, p))[:, None]], axis=1)
+        return out.reshape(x.shape)
+    rolled_m = pltpu.roll(x, np.int32(LANES - t), axis=2)
+    rolled_p = pltpu.roll(x, np.int32(t), axis=2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    is_lo = ((lane // np.int32(t)) % np.int32(2)) == np.int32(0)
+    v_for_lo = mont_mul32(rolled_m, s_vec, p, pinv)
+    v_for_hi = mont_mul32(x, s_vec, p, pinv)
+    lo_out = add_mod32(x, v_for_lo, p)
+    hi_out = sub_mod32(rolled_p, v_for_hi, p)
+    return jnp.where(is_lo, lo_out, hi_out)
+
+
+def _bf_gs_v2(x, s_vec, t: int, p, pinv):
+    """Inverse GS stage on (C, S, 128)."""
+    C = x.shape[0]
+    if t >= LANES:
+        dc = t // LANES
+        mc = C // (2 * dc)
+        xv = x.reshape(mc, 2, dc, *x.shape[1:])
+        u = xv[:, 0]
+        v = xv[:, 1]
+        sv = s_vec.reshape(mc, 2, dc, 1, LANES)[:, 0]
+        lo = add_mod32(u, v, p)
+        hi = mont_mul32(sub_mod32(u, v, p), sv, p, pinv)
+        out = jnp.concatenate([lo[:, None], hi[:, None]], axis=1)
+        return out.reshape(x.shape)
+    rolled_m = pltpu.roll(x, np.int32(LANES - t), axis=2)
+    rolled_p = pltpu.roll(x, np.int32(t), axis=2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    is_lo = ((lane // np.int32(t)) % np.int32(2)) == np.int32(0)
+    lo_out = add_mod32(x, rolled_m, p)
+    hi_out = mont_mul32(sub_mod32(rolled_p, x, p), s_vec, p, pinv)
+    return jnp.where(is_lo, lo_out, hi_out)
+
+
+def _ntt_fwd_v2(x, tables, prime_idx, fwd_refs):
+    p = _u32(tables.ps[prime_idx, 0])
+    pinv = _u32(tables.pinvs[prime_idx, 0])
+    n = tables.n
+    t = n
+    for s_i in range(len(tables.fwd)):
+        t //= 2
+        s_vec = fwd_refs[s_i][prime_idx][:, None, :]  # (C, 1, 128)
+        x = _bf_ct_v2(x, s_vec, t, p, pinv)
+    return x
+
+
+def _ntt_inv_v2(x, tables, prime_idx, inv_refs):
+    p = _u32(tables.ps[prime_idx, 0])
+    pinv = _u32(tables.pinvs[prime_idx, 0])
+    t = 1
+    for s_i in range(len(tables.inv)):
+        s_vec = inv_refs[s_i][prime_idx][:, None, :]
+        x = _bf_gs_v2(x, s_vec, t, p, pinv)
+        t *= 2
+    ninv = _u32(tables.n_inv_mont[prime_idx, 0])
+    return mont_mul32(x, jnp.full(x.shape, ninv, dtype=U32), p,
+                      _u32(tables.pinvs[prime_idx, 0]))
+
+
+@lru_cache(maxsize=None)
+def build_blind_rotate_v2(n: int, num_primes: int, base_log: int, levels: int,
+                          k1: int, tb: int, n_steps: int,
+                          interpret: bool = False):
+    """Chunk-layout whole-blind-rotate kernel.
+
+    Caller-side layout: acc_lo/hi (C, B*k1, 128) u32 with C = n // 128 and
+    poly coeff p of element s at [p // 128, s, p % 128]; adegs (n_steps, B)
+    i32; bsk (n_steps, l, k1, k1, P, C, 128) u32.
+    Returns (lo, hi) in the same chunk layout.
+    """
+    C = n // LANES
+    S = tb * k1
+    tables = make_stage_tables(n, num_primes)
+    plan = ntt_mod.make_plan(n, num_primes)
+    gc = ntt_mod._garner_consts(plan.primes)
+    num_stages = n.bit_length() - 1
+    primes = [int(p) for p in plan.primes]
+    inv_mont = [int(gc[f"inv_mont_{j}"]) for j in range(1, num_primes)]
+    pm_mont = {k: int(v) for k, v in gc["pm_mont"].items()}
+    prods64 = [int(v) for v in gc["prods64"]]
+    half_digits = [int(v) for v in gc["half_digits"]]
+    p_mod64 = int(gc["P_mod64"])
+
+    def kernel(*refs):
+        adeg_ref = refs[0]
+        acc_lo_in, acc_hi_in = refs[1], refs[2]
+        bsk_ref = refs[3]
+        fwd_refs = refs[4 : 4 + num_stages]
+        inv_refs = refs[4 + num_stages : 4 + 2 * num_stages]
+        out_lo_ref, out_hi_ref = refs[4 + 2 * num_stages], refs[5 + 2 * num_stages]
+        acc_lo_s, acc_hi_s = refs[6 + 2 * num_stages], refs[7 + 2 * num_stages]
+        rot_lo_ref, rot_hi_ref = refs[8 + 2 * num_stages], refs[9 + 2 * num_stages]
+
+        t = pl.program_id(0)
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            acc_lo_s[:] = acc_lo_in[:]
+            acc_hi_s[:] = acc_hi_in[:]
+
+        acc_lo = acc_lo_s[:]   # (C, S, 128)
+        acc_hi = acc_hi_s[:]
+
+        # ---- monomial rotation, chunk layout ----
+        # doubled-negated buffer along chunks: (2C, S, 128)
+        neg_lo, neg_hi = neg64(acc_lo, acc_hi)
+        y_lo = jnp.concatenate([acc_lo, neg_lo], axis=0)
+        y_hi = jnp.concatenate([acc_hi, neg_hi], axis=0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (2 * C, k1, LANES), 2)
+        for el in range(tb):
+            a = adeg_ref[0, 0, t * tb + el]
+            q_amt = jax.lax.div(a, np.int32(LANES))   # chunk shift
+            rl = jax.lax.rem(a, np.int32(LANES))       # lane shift
+            cols = slice(el * k1, (el + 1) * k1)
+            zl = pltpu.roll(y_lo[:, cols, :], rl, axis=2)
+            zh = pltpu.roll(y_hi[:, cols, :], rl, axis=2)
+            # chunk-level roll by q (+1 extra for lanes that wrapped)
+            zl_q = pltpu.roll(zl, q_amt, axis=0)
+            zh_q = pltpu.roll(zh, q_amt, axis=0)
+            zl_q1 = pltpu.roll(zl, q_amt + np.int32(1), axis=0)
+            zh_q1 = pltpu.roll(zh, q_amt + np.int32(1), axis=0)
+            sel = lane < rl
+            rot_lo_ref[:, cols, :] = jnp.where(sel, zl_q1, zl_q)[:C]
+            rot_hi_ref[:, cols, :] = jnp.where(sel, zh_q1, zh_q)[:C]
+
+        ct1_lo, ct1_hi = sub64(rot_lo_ref[:], rot_hi_ref[:], acc_lo, acc_hi)
+        digits = _decompose32(ct1_lo, ct1_hi, base_log, levels)  # l x (C,S,128)
+
+        res_primes = []
+        for pi in range(num_primes):
+            p = _u32(primes[pi])
+            pinv = _u32(int(plan.plans[pi].p_inv_neg32))
+            fwd_digits = []
+            for lev in range(levels):
+                d = _digit_residue(digits[lev], p)
+                fwd_digits.append(_ntt_fwd_v2(d, tables, pi, fwd_refs))
+            acc_cols = None
+            for c in range(k1):
+                col = None
+                for lev in range(levels):
+                    for r in range(k1):
+                        key = bsk_ref[0, lev, r, c, pi][:, None, :]  # (C,1,128)
+                        # rows of element el live at column el*k1 + r
+                        fr = fwd_digits[lev].reshape(C, tb, k1, LANES)[:, :, r, :]
+                        prod = mont_mul32(fr, key, p, pinv)  # (C, tb, 128)
+                        col = prod if col is None else add_mod32(col, prod, p)
+                col = _ntt_inv_v2(col, tables, pi, inv_refs)  # (C, tb, 128)
+                acc_cols = col[:, :, None, :] if acc_cols is None else jnp.concatenate(
+                    [acc_cols, col[:, :, None, :]], axis=2)
+            res_primes.append(acc_cols.reshape(C, S, LANES))
+
+        a_digits = [res_primes[0]]
+        for j in range(1, num_primes):
+            pj = _u32(primes[j])
+            pinv_j = _u32(int(plan.plans[j].p_inv_neg32))
+            v = jnp.where(a_digits[0] >= pj, a_digits[0] - pj, a_digits[0])
+            for i in range(1, j):
+                term = mont_mul32(a_digits[i], jnp.full(v.shape, _u32(pm_mont[(i - 1, j)]), U32), pj, pinv_j)
+                vv = v + term
+                v = jnp.where(vv >= pj, vv - pj, vv)
+            r = res_primes[j]
+            d = jnp.where(r >= v, r - v, r + pj - v)
+            a_digits.append(
+                mont_mul32(d, jnp.full(d.shape, _u32(inv_mont[j - 1]), U32), pj, pinv_j))
+        out_lo = a_digits[0]
+        out_hi = jnp.zeros_like(out_lo)
+        for i in range(1, num_primes):
+            cc = prods64[i]
+            c_lo, c_hi = _u32(cc & 0xFFFFFFFF), _u32((cc >> 32) & 0xFFFFFFFF)
+            t_lo, t_hi = mulwide(a_digits[i], jnp.full(out_lo.shape, c_lo, U32))
+            t_hi = t_hi + a_digits[i] * c_hi
+            out_lo, out_hi = add64(out_lo, out_hi, t_lo, t_hi)
+        is_neg = a_digits[0] > _u32(half_digits[0])
+        for i in range(1, num_primes):
+            hd = _u32(half_digits[i])
+            is_neg = (a_digits[i] > hd) | ((a_digits[i] == hd) & is_neg)
+        pm_lo, pm_hi = _u32(p_mod64 & 0xFFFFFFFF), _u32((p_mod64 >> 32) & 0xFFFFFFFF)
+        corr_lo, corr_hi = sub64(out_lo, out_hi,
+                                 jnp.full(out_lo.shape, pm_lo, U32),
+                                 jnp.full(out_lo.shape, pm_hi, U32))
+        out_lo = jnp.where(is_neg, corr_lo, out_lo)
+        out_hi = jnp.where(is_neg, corr_hi, out_hi)
+
+        new_lo, new_hi = add64(acc_lo, acc_hi, out_lo, out_hi)
+        acc_lo_s[:] = new_lo
+        acc_hi_s[:] = new_hi
+
+        @pl.when(s == pl.num_programs(1) - 1)
+        def _():
+            out_lo_ref[:] = new_lo
+            out_hi_ref[:] = new_hi
+
+    # stage tables reshaped into the chunk layout (P, C, 128)
+    fwd_tabs = [f.reshape(num_primes, C, LANES) for f in tables.fwd]
+    inv_tabs = [f.reshape(num_primes, C, LANES) for f in tables.inv]
+
+    def run(acc_lo, acc_hi, adegs, bsk):
+        batch_s = acc_lo.shape[1]
+        assert acc_lo.shape == (C, batch_s, LANES), acc_lo.shape
+        assert batch_s % S == 0
+        n_tiles = batch_s // S
+        batch = batch_s // k1
+        l = bsk.shape[1]
+        vmem = pltpu.VMEM
+        z = lambda t: t * 0
+        in_specs = [
+            pl.BlockSpec((1, 1, batch), lambda t, s: (s, z(t), z(t)),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, S, LANES), lambda t, s: (z(t), t, z(t)), memory_space=vmem),
+            pl.BlockSpec((C, S, LANES), lambda t, s: (z(t), t, z(t)), memory_space=vmem),
+            pl.BlockSpec((1, l, k1, k1, num_primes, C, LANES),
+                         lambda t, s: (s, z(t), z(t), z(t), z(t), z(t), z(t)),
+                         memory_space=vmem),
+        ]
+        in_specs += [pl.BlockSpec((num_primes, C, LANES),
+                                  lambda t, s: (z(t), z(t), z(t)),
+                                  memory_space=vmem)] * (2 * num_stages)
+        out_specs = [pl.BlockSpec((C, S, LANES), lambda t, s: (z(t), t, z(t)),
+                                  memory_space=vmem)] * 2
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, n_steps),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[jax.ShapeDtypeStruct((C, batch_s, LANES), U32)] * 2,
+            scratch_shapes=[pltpu.VMEM((C, S, LANES), U32)] * 4,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+        )
+        return call(adegs.reshape(n_steps, 1, batch), acc_lo, acc_hi, bsk,
+                    *fwd_tabs, *inv_tabs)
+
+    return run
+
+
+def to_chunk_layout(x, k1: int, n: int):
+    """(B, k1, N) -> (C, B*k1, 128) for build_blind_rotate_v2."""
+    b = x.shape[0]
+    c = n // LANES
+    return jnp.transpose(x.reshape(b * k1, c, LANES), (1, 0, 2))
+
+
+def from_chunk_layout(x, b: int, k1: int, n: int):
+    c = n // LANES
+    return jnp.transpose(x, (1, 0, 2)).reshape(b, k1, n)

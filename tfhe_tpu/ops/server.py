@@ -442,11 +442,32 @@ def packing_keyswitch(lwes, pksk_mont, plan, base_log: int, levels: int,
 # ---------------------------------------------------------------------------
 
 
+def blind_rotate_pallas_v2(msed_mask, msed_body, lut, bsk_mont, plan,
+                           base_log: int, levels: int, tb: int = 8):
+    """Blind rotation through the fused chunk-layout Pallas kernel
+    (pallas_ntt.build_blind_rotate_v2) — the production TPU path."""
+    from . import pallas_ntt
+
+    b, k1, n = lut.shape
+    n_in = bsk_mont.shape[0]
+    acc0 = monomial_div(lut, msed_body[:, None, None])
+    lo0 = pallas_ntt.to_chunk_layout((acc0 & np.uint64(0xFFFFFFFF)).astype(jnp.uint32), k1, n)
+    hi0 = pallas_ntt.to_chunk_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n)
+    bsk_c = bsk_mont.reshape(*bsk_mont.shape[:-1], n // 128, 128)
+    run = pallas_ntt.build_blind_rotate_v2(n, plan.num_primes, base_log, levels,
+                                           k1, tb, n_in)
+    lo, hi = run(lo0, hi0, msed_mask.T.astype(jnp.int32), bsk_c)
+    lo = pallas_ntt.from_chunk_layout(lo, b, k1, n)
+    hi = pallas_ntt.from_chunk_layout(hi, b, k1, n)
+    return lo.astype(U64) | (hi.astype(U64) << np.uint64(32))
+
+
 @partial(jax.jit, static_argnames=("ks_base_log", "ks_levels", "pbs_base_log",
-                                   "pbs_levels", "plan", "bits", "centered_ms"))
+                                   "pbs_levels", "plan", "bits", "centered_ms",
+                                   "use_pallas"))
 def ks_pbs_batch(ct, lut, ksk, bsk_mont, plan, ks_base_log: int, ks_levels: int,
                  pbs_base_log: int, pbs_levels: int, bits: int = 64,
-                 centered_ms: bool = False):
+                 centered_ms: bool = False, use_pallas: bool = False):
     """The TPU money path: one fused batched KS->PBS (shortint atomic pattern).
 
     ct: (B, n_big+1) u64 LWE batch under the big key;
@@ -466,8 +487,12 @@ def ks_pbs_batch(ct, lut, ksk, bsk_mont, plan, ks_base_log: int, ks_levels: int,
     else:
         body = modulus_switch(ks[:, -1], log_mod, bits)
     msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
-    acc = blind_rotate(msed_mask, body, lut, bsk_mont, plan,
-                       pbs_base_log, pbs_levels, bits)
+    if use_pallas:
+        acc = blind_rotate_pallas_v2(msed_mask, body, lut, bsk_mont, plan,
+                                     pbs_base_log, pbs_levels)
+    else:
+        acc = blind_rotate(msed_mask, body, lut, bsk_mont, plan,
+                           pbs_base_log, pbs_levels, bits)
     return sample_extract(acc)
 
 

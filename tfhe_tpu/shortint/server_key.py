@@ -17,6 +17,7 @@ from __future__ import annotations
 import secrets
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,6 +73,21 @@ class ServerKey:
         self.max_noise_level = p.max_noise_level
         self.pbs_count = 0  # pbs-stats analog (shortint/server_key/mod.rs:69)
 
+    @property
+    def use_pallas(self) -> bool:
+        """Fused Pallas blind rotate on real TPU; XLA path on CPU (tests) and
+        for shapes the kernel does not cover (a property so that unpickled
+        key-cache entries from before this flag keep working)."""
+        import os
+
+        p = self.params
+        return (
+            jax.default_backend() not in ("cpu",)
+            and os.environ.get("TFHE_TPU_DISABLE_PALLAS") != "1"
+            and p.polynomial_size % 128 == 0
+            and p.pbs_base_log * p.pbs_level <= 31
+        )
+
     # ------------------------------------------------------------------
     # Lookup tables
     # ------------------------------------------------------------------
@@ -120,12 +136,15 @@ class ServerKey:
         batch = np.stack([np.asarray(c.data) for c in cts] +
                          [np.asarray(cts[0].data)] * (n_pad - n_real))
         lut_b = np.stack([t.acc for t in luts] + [luts[0].acc] * (n_pad - n_real))
-        batch = jnp.asarray(batch)
-        lut_b = jnp.asarray(lut_b)
+        if self.use_pallas and n_pad % 8 != 0:
+            pad_to = ((n_pad + 7) // 8) * 8
+            batch = np.concatenate([batch, np.broadcast_to(batch[:1], (pad_to - n_pad,) + batch.shape[1:])])
+            lut_b = np.concatenate([lut_b, np.broadcast_to(lut_b[:1], (pad_to - n_pad,) + lut_b.shape[1:])])
         out = srv.ks_pbs_batch(
-            batch, lut_b, self.ksk, self.bsk_mont, self.plan,
+            jnp.asarray(batch), jnp.asarray(lut_b), self.ksk, self.bsk_mont, self.plan,
             p.ks_base_log, p.ks_level, p.pbs_base_log, p.pbs_level, p.bits,
             p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
+            self.use_pallas,
         )
         out_np = np.asarray(out)[:n_real]
         self.pbs_count += n_real

@@ -192,3 +192,156 @@ class StringServerKey:
                 self.sk.create_trivial_radix(0, nb))
             index = self.sk.add_parallelized(index, contrib)
         return found, index
+
+    def rfind(self, a: FheString, pat):
+        """(found, index) of the LAST match (pattern/find.rs rfind)."""
+        plen = len(pat) if isinstance(pat, str) else pat.max_len
+        nb = max(2, (max(a.max_len, 1).bit_length() + 1) // 2 + 1)
+        offsets = range(a.max_len - plen + 1)
+        matches = [self._window_match(a, pat, off) for off in offsets]
+        if not matches:
+            return self._false(), self.sk.create_trivial_radix(0, nb)
+        found = self.sk.boolean_or_many(matches)
+        # last-match gating: suffix OR of later matches
+        suffix = [None] * len(matches)
+        acc = None
+        for i in range(len(matches) - 1, -1, -1):
+            suffix[i] = acc
+            acc = matches[i] if acc is None else self.sk.boolean_or(acc, matches[i])
+        index = self.sk.create_trivial_radix(0, nb)
+        for i, (m, suf) in enumerate(zip(matches, suffix)):
+            gated = m if suf is None else self.sk.boolean_and(m, self.sk.boolean_not(suf))
+            contrib = self.sk.if_then_else_parallelized(
+                gated, self.sk.create_trivial_radix(i, nb),
+                self.sk.create_trivial_radix(0, nb))
+            index = self.sk.add_parallelized(index, contrib)
+        return found, index
+
+    # ------------------------------------------------------------------
+    # replace (pattern/replace.rs) — clear from/to of equal length
+    # ------------------------------------------------------------------
+
+    def replace_clear(self, a: FheString, from_pat: str, to_pat: str) -> FheString:
+        """Replace non-overlapping left-to-right matches of `from_pat` with
+        `to_pat` (equal lengths — the general length-changing case goes
+        through padded re-packing, not implemented yet)."""
+        plen = len(from_pat)
+        if plen != len(to_pat):
+            raise NotImplementedError("replace with length-changing patterns")
+        if plen == 0 or plen > a.max_len:
+            return FheString([c.copy() for c in a.chars], a.padded)
+        matches = [self._window_match(a, from_pat, off)
+                   for off in range(a.max_len - plen + 1)]
+        # non-overlap gating: active[off] = match[off] AND no active in the
+        # previous plen-1 offsets (sequential left-to-right semantics)
+        active = []
+        for off, m in enumerate(matches):
+            blockers = [active[j] for j in range(max(0, off - plen + 1), off)]
+            if blockers:
+                blocked = self.sk.boolean_or_many(blockers)
+                m = self.sk.boolean_and(m, self.sk.boolean_not(blocked))
+            active.append(m)
+        out = [c.copy() for c in a.chars]
+        nb = a.chars[0].num_blocks
+        for off, act in enumerate(active):
+            for j, ch in enumerate(to_pat):
+                i = off + j
+                out[i] = self.sk.if_then_else_parallelized(
+                    act, self.sk.create_trivial_radix(ord(ch), nb), out[i])
+        return FheString(out, a.padded)
+
+    # ------------------------------------------------------------------
+    # trim / strip (trim.rs, pattern/strip.rs)
+    # ------------------------------------------------------------------
+
+    def _is_whitespace(self, c) -> BooleanBlock:
+        """ASCII whitespace: space, \\t, \\n, \\v, \\f, \\r."""
+        flags = [self.sk.scalar_eq_parallelized(c, 32)]
+        ge = self.sk.scalar_ge_parallelized(c, 9)
+        le = self.sk.scalar_le_parallelized(c, 13)
+        flags.append(self.sk.boolean_and(ge, le))
+        return self.sk.boolean_or_many(flags)
+
+    def trim_end(self, a: FheString) -> FheString:
+        """Null out the trailing whitespace run (output is padded)."""
+        if a.max_len == 0:
+            return FheString([], padded=True)
+        n = a.max_len
+        ws = [self._is_whitespace(c) for c in a.chars]
+        if a.padded:
+            nul = [self._char_eq_clear(c, 0) for c in a.chars]
+            ws = [self.sk.boolean_or(w, z) for w, z in zip(ws, nul)]
+        out = [c.copy() for c in a.chars]
+        nb = a.chars[0].num_blocks
+        suffix = None
+        for i in range(n - 1, -1, -1):
+            suffix = ws[i] if suffix is None else self.sk.boolean_and(suffix, ws[i])
+            out[i] = self.sk.if_then_else_parallelized(
+                suffix, self.sk.create_trivial_radix(0, nb), out[i])
+        return FheString(out, padded=True)
+
+    def trim_start(self, a: FheString) -> FheString:
+        """Shift out the leading whitespace run (barrel shift by the hidden
+        count), output padded."""
+        if a.max_len == 0:
+            return FheString([], padded=True)
+        n = a.max_len
+        ws = [self._is_whitespace(c) for c in a.chars]
+        prefix = []
+        acc = None
+        for w in ws:
+            acc = w if acc is None else self.sk.boolean_and(acc, w)
+            prefix.append(acc)
+        # char-level barrel shift: stage 2^j shifts gated by the bit of the
+        # leading-ws count; count bits derived by comparing count to ranges.
+        nb_idx = max(2, (n.bit_length() + 1) // 2 + 1)
+        rows = [self.sk.cast_to_unsigned(RadixCiphertext([pfx.block.copy()]), nb_idx)
+                for pfx in prefix]
+        count = self.sk.sum_ciphertexts(rows, nb_idx)
+        bits = self.sk.extract_bits(count)
+        out = [c.copy() for c in a.chars]
+        nb = a.chars[0].num_blocks
+        stages = (max(n - 1, 1)).bit_length()
+        for j in range(min(stages, len(bits))):
+            shift = 1 << j
+            shifted = [out[i + shift] if i + shift < n
+                       else self.sk.create_trivial_radix(0, nb) for i in range(n)]
+            gate = BooleanBlock(bits[j])
+            out = [self.sk.if_then_else_parallelized(gate, sh, cur)
+                   for sh, cur in zip(shifted, out)]
+        return FheString(out, padded=True)
+
+    def trim(self, a: FheString) -> FheString:
+        return self.trim_start(self.trim_end(a))
+
+    def strip_prefix(self, a: FheString, pat: str):
+        """(stripped, found) — remove `pat` from the start when present."""
+        if a.max_len == 0:
+            return FheString([], padded=True), self._true() if not pat else self._false()
+        found = self.starts_with(a, pat)
+        plen = len(pat)
+        n = a.max_len
+        nb = a.chars[0].num_blocks
+        out = []
+        for i in range(n):
+            shifted = (a.chars[i + plen] if i + plen < n
+                       else self.sk.create_trivial_radix(0, nb))
+            out.append(self.sk.if_then_else_parallelized(found, shifted, a.chars[i]))
+        return FheString(out, padded=True), found
+
+    def strip_suffix(self, a: FheString, pat: str):
+        """(stripped, found) — unpadded strings only (hidden-length suffix
+        alignment follows with the padded ends_with pass)."""
+        if a.padded:
+            raise NotImplementedError("strip_suffix on padded strings")
+        found = self.ends_with(a, pat)
+        plen = len(pat)
+        nb = a.chars[0].num_blocks
+        out = [c.copy() for c in a.chars]
+        for i in range(max(0, a.max_len - plen), a.max_len):
+            out[i] = self.sk.if_then_else_parallelized(
+                found, self.sk.create_trivial_radix(0, nb), out[i])
+        return FheString(out, padded=True), found
+
+    def eq_ignore_case(self, a: FheString, b: FheString) -> BooleanBlock:
+        return self.eq(self.to_lowercase(a), self.to_lowercase(b))
