@@ -29,7 +29,7 @@ def main():
     which = os.environ.get("TFHE_TPU_BENCH_PARAMS", "prod")
     params = (V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
               if which == "prod" else TEST_PARAM_MESSAGE_2_CARRY_2)
-    batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH", "128"))
+    batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH", "256"))
 
     t0 = time.time()
     ck, sk = get_shortint_keys(params)

@@ -103,3 +103,26 @@ def test_hlapi_squash_radix():
     s = a + b
     sq = s.squash_noise()
     assert ck.decrypt_squashed(sq) == (173 + 9) % 256
+
+
+def test_squashed_compression(keys):
+    """Pack squashed u128 LWEs into one GLWE and decrypt the list
+    (noise_squashing_compression.rs analog)."""
+    from tfhe_tpu.shortint.noise_squashing import (
+        TEST_NOISE_SQUASHING_COMP_PARAM,
+        NoiseSquashingCompressionKey,
+        NoiseSquashingCompressionPrivateKey,
+    )
+
+    ck, sk, priv, nsk = keys
+    comp_priv = NoiseSquashingCompressionPrivateKey(
+        TEST_NOISE_SQUASHING_COMP_PARAM, seed=0x131)
+    comp_key = NoiseSquashingCompressionKey(priv, comp_priv, seed=0x132)
+    msgs = [3, 0, 2, 1, 2]
+    sq = nsk.squash_ciphertext_noise_batch([ck.encrypt(m) for m in msgs], sk)
+    packed = comp_key.compress(sq)
+    assert comp_priv.decrypt_list(packed) == msgs
+    # compression ratio: one GLWE vs count LWEs
+    lwe_words = len(sq[0].lo) * len(msgs)
+    glwe_words = packed.glwe_lo.size
+    assert glwe_words < lwe_words

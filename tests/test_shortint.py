@@ -93,3 +93,27 @@ def test_trivial(keys):
     assert ck.decrypt_raw(t) == 7
     s = sk.unchecked_add(t, ck.encrypt(2))
     assert ck.decrypt_raw(s) == 9
+
+
+def test_many_lookup_table(keys):
+    """Several functions from ONE PBS (server_key/mod.rs:922 many-LUT)."""
+    ck, sk = keys
+    funcs = [lambda x: (x * 2) % 4, lambda x: (x + 1) % 4]
+    mlut = sk.generate_many_lookup_table(funcs)
+    for v in range(4):
+        ct = ck.encrypt(v)
+        outs = sk.apply_many_lookup_table(ct, mlut)
+        assert len(outs) == 2
+        assert ck.decrypt_raw(outs[0]) == (v * 2) % 4, v
+        assert ck.decrypt_raw(outs[1]) == (v + 1) % 4, v
+
+
+def test_many_lookup_table_degree_guard(keys):
+    ck, sk = keys
+    funcs = [lambda x: x] * 8  # max for total=16: budget degree = 1
+    mlut = sk.generate_many_lookup_table(funcs)
+    ct = ck.encrypt(3)  # degree 3 > budget 1
+    import pytest as _pt
+
+    with _pt.raises(AssertionError):
+        sk.apply_many_lookup_table(ct, mlut)

@@ -56,6 +56,44 @@ DEFAULT_PARAMETERS = BooleanParameters(
     ks_level=4,
 )
 
+# KS->PBS ordering variant (boolean/parameters/mod.rs DEFAULT_PARAMETERS_KS_PBS
+# analog; same dims on the u64 torus — ordering is handled by the engine).
+DEFAULT_PARAMETERS_KS_PBS = DEFAULT_PARAMETERS
+
+# TFHE-lib historical parameters (boolean/parameters/mod.rs:131), mapped to
+# the u64 torus with Gaussian noise of the same RELATIVE standard deviation
+# (the reference values are torus fractions, torus-width independent).
+def _tfhe_lib_params():
+    from ..utils.csprng import Gaussian
+
+    return BooleanParameters(
+        lwe_dimension=630,
+        glwe_dimension=1,
+        polynomial_size=1024,
+        lwe_noise=Gaussian(0.000030517578125 * 2.0 ** 64),
+        glwe_noise=Gaussian(0.00000002980232238769531 * 2.0 ** 64),
+        pbs_base_log=7,
+        pbs_level=3,
+        ks_base_log=2,
+        ks_level=8,
+    )
+
+
+TFHE_LIB_PARAMETERS = _tfhe_lib_params()
+
+# Higher-assurance variant (PARAMETERS_ERROR_PROB_2_POW_MINUS_165 analog).
+PARAMETERS_ERROR_PROB_2_POW_MINUS_165 = BooleanParameters(
+    lwe_dimension=1024,
+    glwe_dimension=1,
+    polynomial_size=2048,
+    lwe_noise=TUniform(42),
+    glwe_noise=TUniform(17),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=4,
+    ks_level=5,
+)
+
 # Fast insecure parameters for unit tests.
 TEST_PARAMETERS = BooleanParameters(
     lwe_dimension=16,

@@ -496,6 +496,41 @@ def ks_pbs_batch(ct, lut, ksk, bsk_mont, plan, ks_base_log: int, ks_levels: int,
     return sample_extract(acc)
 
 
+@partial(jax.jit, static_argnames=("ks_base_log", "ks_levels", "pbs_base_log",
+                                   "pbs_levels", "plan", "bits", "centered_ms",
+                                   "use_pallas", "extract_offsets"))
+def ks_pbs_many_batch(ct, lut, ksk, bsk_mont, plan, ks_base_log: int,
+                      ks_levels: int, pbs_base_log: int, pbs_levels: int,
+                      extract_offsets: tuple, bits: int = 64,
+                      centered_ms: bool = False, use_pallas: bool = False):
+    """Many-LUT pipeline (server_key/mod.rs:922): ONE KS->MS->blind-rotate,
+    then one sample extraction per function at coefficient offsets.
+
+    Returns (B, n_fn, n_big+1).
+    """
+    n_poly = lut.shape[-1]
+    log_mod = n_poly.bit_length()
+    ks = keyswitch(ct, ksk, ks_base_log, ks_levels, bits)
+    if centered_ms:
+        corr = centered_binary_ms_correction(ks, log_mod, bits)
+        body = modulus_switch(ks[:, -1] + corr, log_mod, bits)
+    else:
+        body = modulus_switch(ks[:, -1], log_mod, bits)
+    msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
+    if use_pallas:
+        acc = blind_rotate_pallas_v2(msed_mask, body, lut, bsk_mont, plan,
+                                     pbs_base_log, pbs_levels)
+    else:
+        acc = blind_rotate(msed_mask, body, lut, bsk_mont, plan,
+                           pbs_base_log, pbs_levels, bits)
+    outs = []
+    b = ct.shape[0]
+    for off in extract_offsets:
+        rot = monomial_div(acc, jnp.full((b, 1, 1), off, U64))
+        outs.append(sample_extract(rot))
+    return jnp.stack(outs, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # LUT generation (host-side helper)
 # ---------------------------------------------------------------------------

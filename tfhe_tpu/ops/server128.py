@@ -115,13 +115,16 @@ def signed_decompose128(lo, hi, base_log: int, levels: int):
 
 
 def _digit_residues128(d_lo, d_hi, plan):
-    """Sign-wrapped small digits -> per-prime residues (|d| << p)."""
+    """Sign-wrapped digits (|d| < 2^63) -> per-prime residues.  Digits may
+    exceed the 31-bit primes (e.g. the base-61 packing keyswitch), so the
+    magnitude is reduced mod p."""
     neg = d_hi >> np.uint64(63)
-    negval = jnp.zeros_like(d_lo) - d_lo
+    mag = jnp.where(neg.astype(bool), jnp.zeros_like(d_lo) - d_lo, d_lo)
     outs = []
     for i in range(plan.num_primes):
         p = plan.plans[i].p
-        outs.append(jnp.where(neg.astype(bool), p - negval, d_lo))
+        m = mag % p
+        outs.append(jnp.where(neg.astype(bool) & (m != 0), p - m, m))
     return jnp.stack(outs, axis=-2)
 
 

@@ -155,3 +155,162 @@ class NoiseSquashingKey:
                                     self.message_modulus, self.carry_modulus)
             for i in range(n)
         ]
+
+
+# ---------------------------------------------------------------------------
+# Noise-squashing compression: pack squashed (u128) LWEs into one GLWE via a
+# u128 packing keyswitch (shortint/list_compression/noise_squashing_compression.rs,
+# V1_4_NOISE_SQUASHING_COMP params: N=1024, k=6, base 61, level 1).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class NoiseSquashingCompressionParams:
+    packing_ks_level: int
+    packing_ks_base_log: int
+    packing_ks_polynomial_size: int
+    packing_ks_glwe_dimension: int
+    lwe_per_glwe: int
+    packing_noise_bound_log2: int
+
+
+V1_4_NOISE_SQUASHING_COMP_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = \
+    NoiseSquashingCompressionParams(
+        packing_ks_level=1, packing_ks_base_log=61,
+        packing_ks_polynomial_size=1024, packing_ks_glwe_dimension=6,
+        lwe_per_glwe=128, packing_noise_bound_log2=3)
+
+TEST_NOISE_SQUASHING_COMP_PARAM = NoiseSquashingCompressionParams(
+    packing_ks_level=1, packing_ks_base_log=61,
+    packing_ks_polynomial_size=256, packing_ks_glwe_dimension=2,
+    lwe_per_glwe=16, packing_noise_bound_log2=3)
+
+
+@dataclass
+class CompressedSquashedNoiseCiphertextList:
+    glwe_lo: np.ndarray  # (k+1, N)
+    glwe_hi: np.ndarray
+    count: int
+    message_modulus: int
+    carry_modulus: int
+
+
+class NoiseSquashingCompressionPrivateKey:
+    def __init__(self, params: NoiseSquashingCompressionParams,
+                 seed: int | None = None):
+        from ..utils.csprng import SecretRandomGenerator
+
+        self.params = params
+        if seed is None:
+            seed = secrets.randbits(128)
+        sec = SecretRandomGenerator(seed ^ 0xC0123)
+        self.glwe_secret_key = torus128.generate_binary_glwe_secret_key128(
+            params.packing_ks_glwe_dimension, params.packing_ks_polynomial_size, sec)
+
+    def decrypt_list(self, packed: CompressedSquashedNoiseCiphertextList) -> list:
+        """Decrypt the packed GLWE and decode each slot's message."""
+        sk = self.glwe_secret_key
+        plan = ntt.make_plan(self.params.packing_ks_polynomial_size, 8)
+        n = self.params.packing_ks_polynomial_size
+        with np.errstate(over="ignore"):
+            a_lo = packed.glwe_lo[-1].copy()
+            a_hi = packed.glwe_hi[-1].copy()
+            for i in range(sk.glwe_dimension):
+                q_lo, q_hi = ntt.negacyclic_polymul_u128(
+                    packed.glwe_lo[i], packed.glwe_hi[i], sk.data[i],
+                    np.zeros(n, np.uint64), plan, np)
+                a_lo, a_hi = ntt.sub128(a_lo, a_hi, q_lo, q_hi, np)
+        total = packed.message_modulus * packed.carry_modulus
+        bits = (total - 1).bit_length()
+        out = []
+        for j in range(packed.count):
+            pt = int(a_lo[j]) | (int(a_hi[j]) << 64)
+            out.append(torus128.decode128(pt, bits) % total)
+        return out
+
+
+class NoiseSquashingCompressionKey:
+    """u128 packing keyswitch key from the squashing GLWE key (as LWE) to the
+    packing GLWE key."""
+
+    def __init__(self, squashing_private_key: NoiseSquashingPrivateKey,
+                 comp_private_key: NoiseSquashingCompressionPrivateKey,
+                 seed: int | None = None):
+        sp = squashing_private_key.params
+        cp = comp_private_key.params
+        self.params = cp
+        if seed is None:
+            seed = secrets.randbits(128)
+        gen = EncryptionRandomGenerator(seed, DeterministicSeeder(seed ^ 0xC0124))
+        noise = TUniform(cp.packing_noise_bound_log2)
+        in_bits = squashing_private_key.glwe_secret_key.to_lwe_key_bits()
+        n_in = len(in_bits)
+        n_out = cp.packing_ks_polynomial_size
+        k_out = cp.packing_ks_glwe_dimension
+        L = cp.packing_ks_level
+        self.plan = ntt.make_plan(n_out, 8)
+        M = 1 << 128
+        pksk_lo = np.zeros((n_in, L, k_out + 1, n_out), dtype=np.uint64)
+        pksk_hi = np.zeros_like(pksk_lo)
+        for i in range(n_in):
+            s_i = int(in_bits[i])
+            for l in range(L):
+                level = L - l  # slot l pairs with decomposition digit l
+                shift = 128 - cp.packing_ks_base_log * level
+                body_lo = np.zeros(n_out, dtype=np.uint64)
+                body_hi = np.zeros(n_out, dtype=np.uint64)
+                v = (s_i << shift) % M
+                body_lo[0] = v & ((1 << 64) - 1)
+                body_hi[0] = v >> 64
+                lo, hi = torus128.encrypt_glwe_assign128(
+                    comp_private_key.glwe_secret_key, body_lo, body_hi,
+                    noise, gen, self.plan)
+                pksk_lo[i, l], pksk_hi[i, l] = lo, hi
+        with np.errstate(over="ignore"):
+            self.pksk_mont = jnp.asarray(
+                torus128.bootstrap_key128_to_ntt(pksk_lo, pksk_hi, self.plan))
+
+    def compress(self, cts: list) -> CompressedSquashedNoiseCiphertextList:
+        """Pack <= lwe_per_glwe squashed LWEs into one u128 GLWE: slot j of
+        the output body carries ct_j's plaintext."""
+        from ..ops import server128 as s128
+
+        cp = self.params
+        assert len(cts) <= min(cp.lwe_per_glwe, cp.packing_ks_polynomial_size)
+        n_out = cp.packing_ks_polynomial_size
+        n_in = len(cts[0].lo) - 1
+        count = len(cts)
+        # A_i(X): coefficient j = mask element i of ct j; B(X): bodies
+        a_lo = np.zeros((n_in, n_out), dtype=np.uint64)
+        a_hi = np.zeros_like(a_lo)
+        b_lo = np.zeros(n_out, dtype=np.uint64)
+        b_hi = np.zeros(n_out, dtype=np.uint64)
+        for j, ct in enumerate(cts):
+            a_lo[:, j], a_hi[:, j] = ct.lo[:-1], ct.hi[:-1]
+            b_lo[j], b_hi[j] = ct.lo[-1], ct.hi[-1]
+        digits = s128.signed_decompose128(jnp.asarray(a_lo), jnp.asarray(a_hi),
+                                          cp.packing_ks_base_log,
+                                          cp.packing_ks_level)  # L x (n_in, N)
+        plan = self.plan
+        acc = None
+        key = self.pksk_mont.astype(jnp.uint64)  # (n_in, L, k+1, P, N)
+        for l, (d_lo, d_hi) in enumerate(digits):
+            res = s128._digit_residues128(d_lo, d_hi, plan)   # (n_in, P, N)
+            fwd = ntt.ntt_forward_stacked(res, plan, jnp)
+            prod = ntt.pointwise_mul_mont_stacked(
+                fwd[:, None, :, :], key[:, l], plan, jnp)     # (n_in, k+1, P, N)
+            ssum = jnp.sum(prod, axis=0)
+            acc = ssum if acc is None else acc + ssum
+        total = ntt.lazy_reduce_stacked(acc, plan, jnp)
+        coeffs = ntt.ntt_inverse_stacked(total, plan, jnp)
+        s_lo, s_hi = ntt.garner_to_u128(coeffs, plan, jnp)    # (k+1, N)
+        out_lo = np.array(jnp.zeros_like(s_lo) - s_lo)
+        out_hi = np.array(
+            jnp.where(s_lo == 0, jnp.zeros_like(s_hi) - s_hi, ~s_hi))
+        with np.errstate(over="ignore"):
+            new_body = out_lo[-1] + b_lo
+            carry = new_body < out_lo[-1]
+            out_lo[-1] = new_body
+            out_hi[-1] = out_hi[-1] + b_hi + carry
+        return CompressedSquashedNoiseCiphertextList(
+            out_lo, out_hi, count, cts[0].message_modulus, cts[0].carry_modulus)

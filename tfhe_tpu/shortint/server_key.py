@@ -35,6 +35,17 @@ class LookupTable:
     degree: int
 
 
+@dataclass
+class ManyLookupTable:
+    """server_key/mod.rs ManyLookupTable: one accumulator evaluating several
+    functions; outputs extracted at coefficient i*stride."""
+
+    acc: np.ndarray
+    stride: int
+    degrees: tuple
+    input_max_degree: int
+
+
 class ServerKey:
     def __init__(self, client_key: ClientKey, seed: int | None = None):
         p = client_key.params
@@ -155,6 +166,77 @@ class ServerKey:
 
     def apply_lookup_table(self, ct: Ciphertext, lut: LookupTable) -> Ciphertext:
         return self.apply_lookup_table_batch([ct], lut)[0]
+
+    # ------------------------------------------------------------------
+    # many-LUT: several functions evaluated by ONE PBS
+    # ------------------------------------------------------------------
+
+    def generate_many_lookup_table(self, functions) -> "ManyLookupTable":
+        """Pack up to total/2 functions into one accumulator; the input
+        degree budget shrinks to total/len - 1 (engine/mod.rs:170
+        fill_many_lut_accumulator)."""
+        p = self.params
+        total = p.total_modulus
+        n = p.polynomial_size
+        box = n // total
+        fn_c = len(functions)
+        assert fn_c <= total // 2, f"at most {total // 2} functions"
+        max_deg = total // fn_c - 1
+        stride = (max_deg + 1) * box
+        acc = np.zeros(n, dtype=np.uint64)
+        degrees = []
+        mask64 = (1 << 64) - 1
+        for i, f in enumerate(functions):
+            deg = 0
+            for v in range(max_deg + 1):
+                out = int(f(v)) % total
+                deg = max(deg, out)
+                acc[i * stride + v * box : i * stride + (v + 1) * box] = \
+                    (out * p.delta) & mask64
+            degrees.append(deg)
+        half_box = box // 2
+        acc[:half_box] = (-acc[:half_box].astype(np.int64)).astype(np.uint64)
+        acc = np.roll(acc, -half_box)
+        glwe = np.zeros((p.glwe_dimension + 1, n), dtype=np.uint64)
+        glwe[-1] = acc
+        return ManyLookupTable(glwe, stride, tuple(degrees), max_deg)
+
+    def apply_many_lookup_table(self, ct: Ciphertext,
+                                mlut: "ManyLookupTable") -> list:
+        return self.apply_many_lookup_table_batch([ct], mlut)[0]
+
+    def apply_many_lookup_table_batch(self, cts: list,
+                                      mlut: "ManyLookupTable") -> list:
+        """Returns, per input ciphertext, one output per packed function —
+        all from a single batched blind rotation."""
+        p = self.params
+        for c in cts:
+            assert c.degree <= mlut.input_max_degree, (
+                f"degree {c.degree} exceeds the many-LUT budget "
+                f"{mlut.input_max_degree}")
+        n_real = len(cts)
+        n_pad = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+        if self.use_pallas and n_pad % 8 != 0:
+            n_pad = ((n_pad + 7) // 8) * 8
+        batch = np.stack([np.asarray(c.data) for c in cts] +
+                         [np.asarray(cts[0].data)] * (n_pad - n_real))
+        lut_b = np.broadcast_to(mlut.acc, (n_pad,) + mlut.acc.shape)
+        offsets = tuple(i * mlut.stride for i in range(len(mlut.degrees)))
+        out = srv.ks_pbs_many_batch(
+            jnp.asarray(batch), jnp.asarray(lut_b), self.ksk, self.bsk_mont,
+            self.plan, p.ks_base_log, p.ks_level, p.pbs_base_log, p.pbs_level,
+            offsets, p.bits,
+            p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
+            self.use_pallas,
+        )
+        out_np = np.asarray(out)[:n_real]
+        self.pbs_count += n_real
+        return [
+            [cts[i].with_data(out_np[i, j], degree=mlut.degrees[j],
+                              noise_level=NOMINAL_NOISE)
+             for j in range(len(mlut.degrees))]
+            for i in range(n_real)
+        ]
 
     # ------------------------------------------------------------------
     # Linear (leveled) ops — no PBS
