@@ -126,7 +126,9 @@ def _matmul_u64(a, b):
         ac, bc = xs
         return acc + jnp.sum(ac[:, :, None] * bc[None, :, :], axis=1), None
 
-    init = jnp.zeros((a.shape[0], b.shape[1]), dtype=U64)
+    # derive the init from `a` so its varying-manual-axes match under
+    # shard_map (a plain zeros init is unvarying and scan rejects the carry)
+    init = jnp.broadcast_to(a[:, :1] * np.uint64(0), (a.shape[0], b.shape[1]))
     out, _ = jax.lax.scan(step, init, (a3, b3))
     return out
 

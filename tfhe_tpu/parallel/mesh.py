@@ -65,3 +65,34 @@ def sharded_ks_pbs(mesh: Mesh, ct, lut, ksk, bsk_mont, plan,
         out_shardings=out_spec,
     )
     return f(ct, lut, ksk, bsk_mont)
+
+
+def sharded_ks_pbs_shard_map(mesh: Mesh, ct, lut, ksk, bsk_mont, plan,
+                             ks_base_log: int, ks_levels: int,
+                             pbs_base_log: int, pbs_levels: int,
+                             bits: int = 64, centered_ms: bool = False,
+                             use_pallas: bool = False,
+                             axis_name: str = "batch"):
+    """Explicit shard_map variant: each device runs the full fused pipeline
+    (optionally the Pallas kernel) on its batch shard — the production
+    multi-chip path.  pallas_call does not partition under GSPMD, so
+    shard_map is what lets the hand-written kernel scale across the mesh.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    ct = shard_batch(mesh, ct, axis_name)
+    lut = shard_batch(mesh, lut, axis_name)
+    ksk = replicate(mesh, ksk)
+    bsk_mont = replicate(mesh, bsk_mont)
+
+    def per_device(ct_s, lut_s, ksk_r, bsk_r):
+        return srv.ks_pbs_batch(ct_s, lut_s, ksk_r, bsk_r, plan,
+                                ks_base_log, ks_levels, pbs_base_log,
+                                pbs_levels, bits, centered_ms, use_pallas)
+
+    f = jax.jit(shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None, None), P(), P()),
+        out_specs=P(axis_name, None),
+    ))
+    return f(ct, lut, ksk, bsk_mont)
