@@ -61,3 +61,19 @@ def test_integer_casting_radix(keyset):
     src = ck2.encrypt_radix(201, 4)
     dst = ksk.cast(src)
     assert keyset.client_key.integer_key.decrypt_radix(dst) == 201
+
+
+def test_fhe_ascii_string(keyset):
+    from tfhe_tpu.hlapi import FheAsciiString
+
+    ck = keyset.client_key
+    s = FheAsciiString.encrypt("Hi TPU", ck)
+    assert s.decrypt(ck) == "Hi TPU"
+    assert s.contains("TPU").decrypt(ck) is True
+    assert s.eq("Hi TPU").decrypt(ck) is True
+    assert s.ne("Hi GPU").decrypt(ck) is True
+    assert s.to_lowercase().decrypt(ck) == "hi tpu"
+    found, idx = s.find("TPU")
+    assert found.decrypt(ck) is True and idx.decrypt(ck) == 3
+    t = FheAsciiString.encrypt("  x ", ck)
+    assert t.trim().decrypt(ck) == "x"

@@ -7,6 +7,7 @@ with Python operator overloads dispatching to the batched integer backend.
 
 from .config import Config, ConfigBuilder
 from .array import FheUintArray
+from .strings import FheAsciiString
 from .tag import Tag
 from .xof_key_set import CompressedXofKeySet, XofKeySet
 from .keys import ClientKey, CompressedServerKey, PublicKey, ServerKey, generate_keys
@@ -43,7 +44,7 @@ from .types import (
 __all__ = [
     "Config", "ConfigBuilder", "ClientKey", "ServerKey", "CompressedServerKey",
     "PublicKey", "generate_keys", "set_server_key", "unset_server_key",
-    "FheUintArray", "Tag", "CompressedXofKeySet", "XofKeySet",
+    "FheUintArray", "FheAsciiString", "Tag", "CompressedXofKeySet", "XofKeySet",
     "FheBool", "FheUint2", "FheUint4", "FheUint6", "FheUint8", "FheUint10",
     "FheUint12", "FheUint14", "FheUint16", "FheUint32",
     "FheUint64", "FheUint128", "FheUint160", "FheUint256", "FheUint512",

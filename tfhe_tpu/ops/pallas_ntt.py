@@ -888,3 +888,8 @@ def to_chunk_layout(x, k1: int, n: int):
 def from_chunk_layout(x, b: int, k1: int, n: int):
     c = n // LANES
     return jnp.transpose(x, (1, 0, 2)).reshape(b, k1, n)
+
+# NOTE: a rotation-free multibit-style variant (effective GGSW assembled
+# in the NTT domain) was prototyped and measured SLOWER than v2 and not
+# bit-identical to the classic path (decomposition is nonlinear); v2 stays
+# the production kernel.
