@@ -1,0 +1,74 @@
+"""Homomorphic AES-128 (WoPBS S-box) vs the first-principles cleartext AES,
+which itself is pinned to FIPS-197 and the native AES-NI core."""
+
+import numpy as np
+import pytest
+
+from tfhe_tpu import shortint
+from tfhe_tpu.apps.aes import (FheAes128, SBOX, aes128_encrypt_block,
+                               key_expansion)
+from tfhe_tpu.integer.server_key import ServerKey as IntegerServerKey
+from tfhe_tpu.integer.client_key import ClientKey as IntegerClientKey
+from tfhe_tpu.shortint.wopbs import TEST_WOPBS_PARAM, WopbsKey
+
+
+def test_cleartext_aes_fips197():
+    key = bytes(range(16))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert aes128_encrypt_block(key, pt).hex() == \
+        "69c4e0d86a7b0430d8cdb78070b4c55a"
+
+
+def test_cleartext_aes_vs_native():
+    from tfhe_tpu.utils.csprng import _aes_ecb
+
+    key = bytes(range(16, 32))
+    pt = bytes(range(100, 116))
+    native = _aes_ecb(key, np.frombuffer(pt, np.uint8).reshape(1, 16)).tobytes()
+    assert aes128_encrypt_block(key, pt) == native
+
+
+@pytest.fixture(scope="module")
+def fhe():
+    ck = IntegerClientKey(shortint.TEST_PARAM_MESSAGE_2_CARRY_2, seed=0xAE5)
+    sk = IntegerServerKey(ck, seed=0xAE6)
+    wk = WopbsKey(ck.key, sk.key, TEST_WOPBS_PARAM, seed=0xAE7)
+    return ck, sk, wk
+
+
+@pytest.mark.slow
+def test_fhe_sbox(fhe):
+    ck, sk, wk = fhe
+    key = bytes([0x53, 0x00, 0xFF, 0x1B])
+    enc = [ck.encrypt_radix(b, 4) for b in key]
+    aes = FheAes128.__new__(FheAes128)
+    aes.sk, aes.wk = sk, wk
+    outs = aes._sbox_bytes(enc)
+    got = [ck.decrypt_radix(o) for o in outs]
+    assert got == [SBOX[b] for b in key]
+
+
+@pytest.mark.slow
+def test_fhe_aes_one_round(fhe):
+    """One AES round on an encrypted key vs the cleartext model."""
+    ck, sk, wk = fhe
+    key = bytes(range(16))
+    block = bytes.fromhex("00112233445566778899aabbccddeeff")
+    aes = FheAes128.__new__(FheAes128)
+    aes.sk, aes.wk = sk, wk
+    # inject cleartext-expanded round keys as encrypted values (skip the
+    # FHE key schedule here; it reuses the same sbox machinery)
+    rks = key_expansion(key)
+    aes.round_keys = [[ck.encrypt_radix(b, 4) for b in rk] for rk in rks[:2]]
+    out = aes.encrypt_block(list(block), rounds=1)
+    got = bytes(ck.decrypt_radix(b) for b in out)
+    # cleartext model of 1 round
+    from tfhe_tpu.apps.aes import _mix_single_column, _shift_rows_idx
+    s = [b ^ k for b, k in zip(block, rks[0])]
+    s = [SBOX[b] for b in s]
+    sr = _shift_rows_idx()
+    s = [s[sr[i]] for i in range(16)]
+    cols = [s[4 * c : 4 * c + 4] for c in range(4)]
+    s = sum((_mix_single_column(c) for c in cols), [])
+    s = [b ^ k for b, k in zip(s, rks[1])]
+    assert got == bytes(s)

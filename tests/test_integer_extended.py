@@ -86,3 +86,54 @@ def test_abs_and_parity(keys):
     ea = ck.encrypt_radix(6, NB)
     assert ck.decrypt_bool(sk.is_even_parallelized(ea)) is True
     assert ck.decrypt_bool(sk.is_odd_parallelized(ea)) is False
+
+
+def test_reverse_bits(keys):
+    ck, sk = keys
+    for v in [0b10110100, 1, 0]:
+        out = sk.reverse_bits_parallelized(ck.encrypt_radix(v, 4))
+        assert ck.decrypt_radix(out) == int(f"{v:08b}"[::-1], 2), v
+
+
+def test_scalar_bitslice(keys):
+    ck, sk = keys
+    a = ck.encrypt_radix(0b10110110, 4)
+    out = sk.scalar_bitslice_parallelized(a, 2, 6)
+    assert ck.decrypt_radix(out) == (0b10110110 >> 2) & 0xF
+
+
+def test_boolean_dot_prod(keys):
+    ck, sk = keys
+    bools = [ck.encrypt_bool(b) for b in [True, False, True, True]]
+    out = sk.boolean_dot_prod_parallelized(bools, [10, 20, 30, 40], 4)
+    assert ck.decrypt_radix(out) == 10 + 30 + 40
+
+
+def test_vector_ops(keys):
+    ck, sk = keys
+    hay = [ck.encrypt_radix(v, 4) for v in [5, 9, 200, 9]]
+    needle = ck.encrypt_radix(9, 4)
+    assert ck.decrypt_bool(sk.contains_parallelized(hay, needle)) is True
+    found, idx = sk.index_of_parallelized(hay, needle)
+    assert ck.decrypt_bool(found) is True
+    assert ck.decrypt_radix(idx) == 1
+    missing = ck.encrypt_radix(77, 4)
+    found, _ = sk.index_of_parallelized(hay, missing)
+    assert ck.decrypt_bool(found) is False
+    lhs = [ck.encrypt_radix(v, 4) for v in [1, 2]]
+    rhs = [ck.encrypt_radix(v, 4) for v in [1, 2]]
+    assert ck.decrypt_bool(sk.all_eq_slices_parallelized(lhs, rhs)) is True
+    rhs2 = [ck.encrypt_radix(v, 4) for v in [1, 3]]
+    assert ck.decrypt_bool(sk.all_eq_slices_parallelized(lhs, rhs2)) is False
+
+
+def test_count_consecutive_bits(keys):
+    ck, sk = keys
+    a = ck.encrypt_radix(0b11100101, 4)
+    out = sk.count_consecutive_bits_parallelized(a, 1, from_msb=True)
+    assert ck.decrypt_radix(out) == 3
+    out = sk.count_consecutive_bits_parallelized(a, 0, from_msb=False)
+    assert ck.decrypt_radix(out) == 0
+    b = ck.encrypt_radix(0b11101000, 4)
+    out = sk.count_consecutive_bits_parallelized(b, 0, from_msb=False)
+    assert ck.decrypt_radix(out) == 3

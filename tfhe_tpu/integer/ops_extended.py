@@ -364,3 +364,103 @@ class ExtendedOpsMixin:
         a = self._cleaned(a)
         lut = self._lut("is_odd", lambda x: x & 1)
         return BooleanBlock(self._apply([a.blocks[0]], lut)[0])
+
+    # ------------------------------------------------------------------
+    # reverse_bits / slice (radix_parallel/{reverse_bits,slice}.rs)
+    # ------------------------------------------------------------------
+
+    def reverse_bits_parallelized(self, a: RadixCiphertext) -> RadixCiphertext:
+        """Bit-reverse the whole integer: reverse the block order and
+        bit-reverse within each block (one batched LUT round)."""
+        a = self._cleaned(a)
+        mb = self._msg_bits()
+        msg = self.msg
+
+        def rev(x):
+            v = x % msg
+            out = 0
+            for j in range(mb):
+                out |= ((v >> j) & 1) << (mb - 1 - j)
+            return out
+
+        lut = self._lut("bit_reverse", rev)
+        blocks = self._apply(list(reversed(a.blocks)), lut)
+        return self._like(a, blocks)
+
+    def scalar_bitslice_parallelized(self, a: RadixCiphertext, start: int,
+                                     end: int) -> RadixCiphertext:
+        """Bits [start, end) of `a`, right-aligned (slice.rs scalar range)."""
+        total_bits = a.num_blocks * self._msg_bits()
+        end = min(end, total_bits)
+        width = max(end - start, 0)
+        shifted = self.scalar_right_shift_parallelized(
+            RadixCiphertext([b.copy() for b in self._cleaned(a).blocks]), start)
+        mask = (1 << width) - 1
+        return self._like(a, self.scalar_bitand_parallelized(shifted, mask).blocks)
+
+    # ------------------------------------------------------------------
+    # dot product / vector comparisons / vector find
+    # (radix_parallel/{dot_prod,vector_comparisons,vector_find}.rs)
+    # ------------------------------------------------------------------
+
+    def boolean_dot_prod_parallelized(self, bools: list, clears: list,
+                                      num_blocks: int) -> RadixCiphertext:
+        """sum_i bool_i * clear_i (boolean-vector x clear-vector dot product):
+        one gated-LUT round per element, carry-save summed."""
+        assert len(bools) == len(clears)
+        msg = self.msg
+        rows = []
+        for b, c in zip(bools, clears):
+            digs = self._scalar_digits(int(c), num_blocks)
+            blocks, luts = [], []
+            for d in digs:
+                blocks.append(b.block)
+                luts.append(self._lut(f"gate_mul_{d}",
+                                      lambda x, d=d: d if (x & 1) else 0))
+            rows.append(RadixCiphertext(self._apply(blocks, luts)))
+        if not rows:
+            return self.create_trivial_radix(0, num_blocks)
+        return self.sum_ciphertexts(rows, num_blocks)
+
+    def all_eq_slices_parallelized(self, lhs: list, rhs: list) -> BooleanBlock:
+        """Vector equality: AND over elementwise eq (vector_comparisons.rs)."""
+        if len(lhs) != len(rhs):
+            return BooleanBlock(self.key.create_trivial(0))
+        eqs = [self.eq_parallelized(a, b) for a, b in zip(lhs, rhs)]
+        if not eqs:
+            return BooleanBlock(self.key.create_trivial(1))
+        return self.boolean_and_many(eqs)
+
+    def contains_parallelized(self, haystack: list, needle: RadixCiphertext) -> BooleanBlock:
+        """Any element equal to `needle` (vector_find.rs contains)."""
+        if not haystack:
+            return BooleanBlock(self.key.create_trivial(0))
+        eqs = [self.eq_parallelized(h, needle) for h in haystack]
+        return self.boolean_or_many(eqs)
+
+    def index_of_parallelized(self, haystack: list, needle: RadixCiphertext):
+        """(found, first index) of `needle` in `haystack` (vector_find.rs)."""
+        nb = max(2, (max(len(haystack), 1).bit_length() + 1) // 2 + 1)
+        if not haystack:
+            return (BooleanBlock(self.key.create_trivial(0)),
+                    self.create_trivial_radix(0, nb))
+        eqs = [self.eq_parallelized(h, needle) for h in haystack]
+        found = self.boolean_or_many(eqs)
+        index = self.create_trivial_radix(0, nb)
+        prefix = None
+        for i, m in enumerate(eqs):
+            gated = m if prefix is None else self.boolean_and(
+                m, self.boolean_not(prefix))
+            prefix = m if prefix is None else self.boolean_or(prefix, m)
+            contrib = self.boolean_dot_prod_parallelized([gated], [i], nb)
+            index = self.add_parallelized(index, contrib)
+        return found, index
+
+    def count_consecutive_bits_parallelized(self, a: RadixCiphertext,
+                                            bit_value: int,
+                                            from_msb: bool = True) -> RadixCiphertext:
+        """Length of the run of `bit_value` bits from the MSB (or LSB) —
+        count_consecutive_bits.rs; generalizes leading/trailing zeros."""
+        work = self.bitnot(a) if bit_value == 1 else a
+        return (self.leading_zeros_parallelized(work) if from_msb
+                else self.trailing_zeros_parallelized(work))

@@ -42,6 +42,14 @@ TEST_WOPBS_PARAM = WopbsParams(cbs_base_log=6, cbs_level=4,
                                pfks_base_log=20, pfks_level=2)
 
 
+def _cbs_log_shift(params: WopbsParams, l: int) -> int:
+    """Scale exponent for GGSW slot l (pairs with decomposition level L-l)."""
+    return params.cbs_base_log * (params.cbs_level - l)
+
+
+WopbsParams.cbs_log_shift = lambda self, l: _cbs_log_shift(self, l)
+
+
 class WopbsKey:
     """Circuit-bootstrap key material: one private functional packing
     keyswitch key per output GLWE row (lwe_wopbs.rs pfpksk_list)."""
@@ -123,6 +131,34 @@ class WopbsKey:
     # ------------------------------------------------------------------
     # circuit bootstrap: boolean LWE -> NTT-domain GGSW
     # ------------------------------------------------------------------
+
+    def circuit_bootstrap_bits(self, ct_bits: list) -> list:
+        """Batched CBS: the per-level PBS runs once over ALL bits, PFPKS per
+        (bit, level, row).  Returns one NTT-domain GGSW per input bit."""
+        sk = self.server_key
+        params = self.params
+        L = params.cbs_level
+        nb = len(ct_bits)
+        luts = []
+        for l in range(L):
+            shift = 64 - params.cbs_log_shift(l)
+            luts.append(self._bit_lut(1 << shift))
+        outs = []
+        for l in range(L):
+            outs.append(sk.apply_lookup_table_batch(ct_bits, luts[l]))
+        ggsws = []
+        for b in range(nb):
+            rows = []
+            for l in range(L):
+                lwe = np.asarray(outs[l][b].data)
+                rows.append(np.stack([np.asarray(self._pfpks(lwe, r))
+                                      for r in range(self.k + 1)]))
+            ggsw = np.stack(rows)
+            with np.errstate(over="ignore"):
+                fwd = ntt.forward_all(ggsw, self.plan, np)
+                ggsws.append(jnp.asarray(
+                    ntt.to_mont_all(fwd, self.plan, np).astype(np.uint32)))
+        return ggsws
 
     def circuit_bootstrap_bit(self, ct_bit: Ciphertext) -> jnp.ndarray:
         """GGSW(bit) as (L_cbs, k+1, k+1, P, N) u32 Montgomery NTT domain
