@@ -100,3 +100,19 @@ def test_versioned_upgrade_chain():
                           "version": 0, "payload": {"coords": [3, 4]}})
     p = ser.deserialize(old)
     assert (p.x, p.y) == (3, 4)
+
+
+def test_serialize_new_types():
+    """Round-trip the round-1 additions through versioned serialization."""
+    from tfhe_tpu import integer
+    from tfhe_tpu.utils.serialization import deserialize, serialize
+
+    ck, _ = integer.gen_keys(shortint.TEST_PARAM_MESSAGE_2_CARRY_2, seed=0xC0FE)
+    # signed radix
+    s = ck.encrypt_signed_radix(-77, 4)
+    s2 = deserialize(serialize(s))
+    assert ck.decrypt_signed_radix(s2) == -77
+    # CRT
+    c = ck.encrypt_crt(7, [3, 4])
+    c2 = deserialize(serialize(c))
+    assert ck.decrypt_crt(c2) == 7

@@ -137,3 +137,13 @@ def test_count_consecutive_bits(keys):
     b = ck.encrypt_radix(0b11101000, 4)
     out = sk.count_consecutive_bits_parallelized(b, 0, from_msb=False)
     assert ck.decrypt_radix(out) == 3
+
+
+def test_bitonic_sort(keys):
+    ck, sk = keys
+    vals = [200, 3, 77, 3, 255, 0]
+    enc = [ck.encrypt_radix(v, 4) for v in vals]
+    out = sk.sort_parallelized(enc)
+    assert [ck.decrypt_radix(o) for o in out] == sorted(vals)
+    out = sk.sort_parallelized(enc, ascending=False)
+    assert [ck.decrypt_radix(o) for o in out] == sorted(vals, reverse=True)

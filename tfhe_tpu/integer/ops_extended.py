@@ -464,3 +464,41 @@ class ExtendedOpsMixin:
         work = self.bitnot(a) if bit_value == 1 else a
         return (self.leading_zeros_parallelized(work) if from_msb
                 else self.trailing_zeros_parallelized(work))
+
+    # ------------------------------------------------------------------
+    # Bitonic network: sort / compare-exchange (radix_parallel/
+    # bitonic_shuffle.rs family)
+    # ------------------------------------------------------------------
+
+    def _compare_exchange(self, a, b, ascending: bool):
+        lt = self.lt_parallelized(a, b)
+        lo = self.if_then_else_parallelized(lt, a, b)
+        hi = self.if_then_else_parallelized(lt, b, a)
+        return (lo, hi) if ascending else (hi, lo)
+
+    def sort_parallelized(self, values: list, ascending: bool = True) -> list:
+        """Bitonic sort of encrypted radix values: log^2(n) rounds of
+        oblivious compare-exchanges (every round's comparisons and cmuxes
+        batch through the shared pipeline)."""
+        n0 = len(values)
+        if n0 <= 1:
+            return [v.copy() for v in values]
+        n = 1 << (n0 - 1).bit_length()
+        msg = self.msg
+        maxv = msg ** values[0].num_blocks - 1
+        pad = self.create_trivial_radix(maxv if ascending else 0,
+                                        values[0].num_blocks)
+        arr = [self._cleaned(v) for v in values] + [pad] * (n - n0)
+        k = 2
+        while k <= n:
+            j = k // 2
+            while j >= 1:
+                for i in range(n):
+                    partner = i ^ j
+                    if partner > i:
+                        up = ((i & k) == 0) == ascending
+                        arr[i], arr[partner] = self._compare_exchange(
+                            arr[i], arr[partner], up)
+                j //= 2
+            k *= 2
+        return arr[:n0] if ascending else arr[:n0]

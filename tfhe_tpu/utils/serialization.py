@@ -200,5 +200,86 @@ def _register_all():
         lambda p: BooleanBlock(_REGISTRY["Ciphertext"]["from"](p["block"])),
     )
 
+    from ..integer.ciphertext import SignedRadixCiphertext
+    from ..integer.crt import CrtCiphertext
+
+    register_type(
+        "SignedRadixCiphertext", 0,
+        lambda c: {"blocks": [_REGISTRY["Ciphertext"]["to"](b) for b in c.blocks]},
+        lambda p: SignedRadixCiphertext(
+            [_REGISTRY["Ciphertext"]["from"](b) for b in p["blocks"]]),
+    )
+    register_type(
+        "CrtCiphertext", 0,
+        lambda c: {"blocks": [_REGISTRY["Ciphertext"]["to"](b) for b in c.blocks],
+                   "moduli": list(c.moduli)},
+        lambda p: CrtCiphertext(
+            [_REGISTRY["Ciphertext"]["from"](b) for b in p["blocks"]],
+            list(p["moduli"])),
+    )
+
+    from ..shortint.noise_squashing import SquashedNoiseCiphertext
+
+    register_type(
+        "SquashedNoiseCiphertext", 0,
+        lambda c: {"lo": np.asarray(c.lo), "hi": np.asarray(c.hi),
+                   "degree": c.degree, "message_modulus": c.message_modulus,
+                   "carry_modulus": c.carry_modulus},
+        lambda p: SquashedNoiseCiphertext(p["lo"], p["hi"], p["degree"],
+                                          p["message_modulus"], p["carry_modulus"]),
+    )
+
+    from ..core.seeded import (SeededLweBootstrapKey, SeededLweCiphertextList,
+                               SeededLweKeyswitchKey)
+    from ..core.params import DecompParams
+
+    register_type(
+        "SeededLweCiphertextList", 0,
+        lambda c: {"seed": c.seed, "bodies": np.asarray(c.bodies),
+                   "lwe_dimension": c.lwe_dimension, "bits": c.bits},
+        lambda p: SeededLweCiphertextList(p["seed"], p["bodies"],
+                                          p["lwe_dimension"], p["bits"]),
+    )
+    register_type(
+        "SeededLweKeyswitchKey", 0,
+        lambda c: {"seed": c.seed, "bodies": np.asarray(c.bodies),
+                   "input_dimension": c.input_dimension,
+                   "output_dimension": c.output_dimension,
+                   "base_log": c.decomp.base_log, "level": c.decomp.level_count,
+                   "bits": c.bits},
+        lambda p: SeededLweKeyswitchKey(
+            p["seed"], p["bodies"], p["input_dimension"], p["output_dimension"],
+            DecompParams(p["base_log"], p["level"]), p["bits"]),
+    )
+    register_type(
+        "SeededLweBootstrapKey", 0,
+        lambda c: {"seed": c.seed, "bodies": np.asarray(c.bodies),
+                   "glwe_dimension": c.glwe_dimension,
+                   "polynomial_size": c.polynomial_size,
+                   "base_log": c.decomp.base_log, "level": c.decomp.level_count,
+                   "bits": c.bits},
+        lambda p: SeededLweBootstrapKey(
+            p["seed"], p["bodies"], p["glwe_dimension"], p["polynomial_size"],
+            DecompParams(p["base_log"], p["level"]), p["bits"]),
+    )
+
+    from ..zk.pke import Proof
+
+    register_type(
+        "ZkPkeProof", 0,
+        lambda c: {"c_hat": c.c_hat, "c_y": c.c_y, "pi": c.pi,
+                   "c_hat_t": c.c_hat_t, "c_h": c.c_h, "pi_kzg": c.pi_kzg},
+        lambda p: Proof(_detuple(p["c_hat"]), _detuple(p["c_y"]),
+                        _detuple(p["pi"]), _detuple(p["c_hat_t"]),
+                        _detuple(p["c_h"]), _detuple(p["pi_kzg"])),
+    )
+
+
+def _detuple(x):
+    """CBOR round-trips tuples as lists; curve points are nested tuples."""
+    if isinstance(x, list):
+        return tuple(_detuple(v) for v in x)
+    return x
+
 
 _register_all()
