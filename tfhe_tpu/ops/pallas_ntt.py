@@ -624,6 +624,98 @@ def build_blind_rotate(n: int, num_primes: int, base_log: int, levels: int,
 # ---------------------------------------------------------------------------
 
 
+def mont_mul32_lazy(a, b_mont, p: np.uint32, p_inv_neg: np.uint32):
+    """REDC without the final conditional subtract: a < 4p, b_mont < p ->
+    result < 2p.  Valid only for p < 2^30 (4p < 2^32)."""
+    tlo, thi = mulwide(a, b_mont)
+    m = tlo * _u32(p_inv_neg)
+    mplo, mphi = mulwide(m, U32(p))
+    carry = (tlo != U32(0)).astype(U32)
+    return thi + mphi + carry
+
+
+def _lazy_sub2p(x, p: np.uint32):
+    twop = U32(2 * int(p))
+    return jnp.where(x >= twop, x - twop, x)
+
+
+def _bf_ct_lazy(x, s_vec, t: int, p, pinv):
+    """Harvey lazy forward CT stage: inputs and outputs < 4p (one
+    conditional subtract per butterfly instead of three)."""
+    C = x.shape[0]
+    twop = U32(2 * int(p))
+    if t >= LANES:
+        dc = t // LANES
+        mc = C // (2 * dc)
+        xv = x.reshape(mc, 2, dc, *x.shape[1:])
+        u = _lazy_sub2p(xv[:, 0], p)
+        sv = s_vec.reshape(mc, 2, dc, 1, LANES)[:, 0]
+        v = mont_mul32_lazy(xv[:, 1], sv, p, pinv)
+        out = jnp.concatenate([(u + v)[:, None], (u + twop - v)[:, None]], axis=1)
+        return out.reshape(x.shape)
+    xs = _lazy_sub2p(x, p)
+    rolled_m = pltpu.roll(x, np.int32(LANES - t), axis=2)   # partner v (lazy ok)
+    rolled_ps = pltpu.roll(xs, np.int32(t), axis=2)         # partner u (reduced)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    is_lo = ((lane // np.int32(t)) % np.int32(2)) == np.int32(0)
+    v_lo = mont_mul32_lazy(rolled_m, s_vec, p, pinv)
+    v_hi = mont_mul32_lazy(x, s_vec, p, pinv)
+    lo_out = xs + v_lo
+    hi_out = rolled_ps + twop - v_hi
+    return jnp.where(is_lo, lo_out, hi_out)
+
+
+def _bf_gs_lazy(x, s_vec, t: int, p, pinv):
+    """Lazy inverse GS stage: inputs and outputs < 2p."""
+    C = x.shape[0]
+    twop = U32(2 * int(p))
+    if t >= LANES:
+        dc = t // LANES
+        mc = C // (2 * dc)
+        xv = x.reshape(mc, 2, dc, *x.shape[1:])
+        u = xv[:, 0]
+        v = xv[:, 1]
+        lo = _lazy_sub2p(u + v, p)
+        hi = mont_mul32_lazy(u + twop - v,
+                             s_vec.reshape(mc, 2, dc, 1, LANES)[:, 0], p, pinv)
+        out = jnp.concatenate([lo[:, None], hi[:, None]], axis=1)
+        return out.reshape(x.shape)
+    rolled_m = pltpu.roll(x, np.int32(LANES - t), axis=2)
+    rolled_p = pltpu.roll(x, np.int32(t), axis=2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    is_lo = ((lane // np.int32(t)) % np.int32(2)) == np.int32(0)
+    lo_out = _lazy_sub2p(x + rolled_m, p)
+    hi_out = mont_mul32_lazy(rolled_p + twop - x, s_vec, p, pinv)
+    return jnp.where(is_lo, lo_out, hi_out)
+
+
+def _ntt_fwd_lazy(x, tables, prime_idx, fwd_refs):
+    """Forward NTT with lazy butterflies: input < p, output < 4p."""
+    p = _u32(tables.ps[prime_idx, 0])
+    pinv = _u32(tables.pinvs[prime_idx, 0])
+    n = tables.n
+    t = n
+    for s_i in range(len(tables.fwd)):
+        t //= 2
+        s_vec = fwd_refs[s_i][prime_idx][:, None, :]
+        x = _bf_ct_lazy(x, s_vec, t, p, pinv)
+    return x
+
+
+def _ntt_inv_lazy(x, tables, prime_idx, inv_refs):
+    """Inverse NTT with lazy butterflies: input < 2p, output < p (the final
+    n_inv Montgomery multiply uses the strict reduction)."""
+    p = _u32(tables.ps[prime_idx, 0])
+    pinv = _u32(tables.pinvs[prime_idx, 0])
+    t = 1
+    for s_i in range(len(tables.inv)):
+        s_vec = inv_refs[s_i][prime_idx][:, None, :]
+        x = _bf_gs_lazy(x, s_vec, t, p, pinv)
+        t *= 2
+    ninv = _u32(tables.n_inv_mont[prime_idx, 0])
+    return mont_mul32(x, jnp.full(x.shape, ninv, dtype=U32), p, pinv)
+
+
 def _bf_ct_v2(x, s_vec, t: int, p, pinv):
     """Forward CT stage on (C, S, 128); s_vec: (C, 1, 128)."""
     C = x.shape[0]
@@ -775,18 +867,20 @@ def build_blind_rotate_v2(n: int, num_primes: int, base_log: int, levels: int,
             fwd_digits = []
             for lev in range(levels):
                 d = _digit_residue(digits[lev], p)
-                fwd_digits.append(_ntt_fwd_v2(d, tables, pi, fwd_refs))
+                fwd_digits.append(_ntt_fwd_lazy(d, tables, pi, fwd_refs))
             acc_cols = None
             for c in range(k1):
                 col = None
                 for lev in range(levels):
                     for r in range(k1):
                         key = bsk_ref[0, lev, r, c, pi][:, None, :]  # (C,1,128)
-                        # rows of element el live at column el*k1 + r
+                        # rows of element el live at column el*k1 + r; fwd
+                        # values are lazy (< 4p) — the strict REDC still
+                        # lands < p
                         fr = fwd_digits[lev].reshape(C, tb, k1, LANES)[:, :, r, :]
                         prod = mont_mul32(fr, key, p, pinv)  # (C, tb, 128)
                         col = prod if col is None else add_mod32(col, prod, p)
-                col = _ntt_inv_v2(col, tables, pi, inv_refs)  # (C, tb, 128)
+                col = _ntt_inv_lazy(col, tables, pi, inv_refs)  # (C, tb, 128)
                 acc_cols = col[:, :, None, :] if acc_cols is None else jnp.concatenate(
                     [acc_cols, col[:, :, None, :]], axis=2)
             res_primes.append(acc_cols.reshape(C, S, LANES))

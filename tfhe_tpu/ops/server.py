@@ -101,6 +101,54 @@ def keyswitch(ct, ksk, base_log: int, levels: int, bits: int = 64):
     return out - acc
 
 
+@partial(jax.jit, static_argnames=("base_log", "levels"))
+def keyswitch32(ct, ksk32, base_log: int, levels: int):
+    """KS32 atomic pattern keyswitch (shortint/atomic_pattern/ks32.rs
+    semantics): u64 input under the big key -> u32 LWE under the small key.
+
+    ct: (B, n_in+1) u64; ksk32: (n_in, l, n_out+1) uint32 (key bits encoded
+    at 2^(32 - base_log*level)).  The body is rescaled by the modulus ratio
+    (b >> 32) and the digit contraction runs mod 2^32 — half the KSK bytes
+    and half the contraction traffic of the 64-bit KS.
+    """
+    mask_in = ct[:, :-1]
+    body32 = (ct[:, -1:] >> np.uint64(32)).astype(jnp.uint32)
+    digits = signed_decompose(mask_in, base_log, levels, 64)  # (l, B, n_in)
+    b = ct.shape[0]
+    d = jnp.transpose(digits, (1, 2, 0)).reshape(b, -1).astype(jnp.uint32)
+    k = ksk32.reshape(-1, ksk32.shape[-1])
+    acc = _matmul_u32(d, k)
+    out = jnp.zeros((b, ksk32.shape[-1]), dtype=jnp.uint32)
+    out = out.at[:, -1].set(body32[:, 0])
+    return out - acc
+
+
+def _matmul_u32(a, b):
+    """Wrapping u32 matmul (B, K) x (K, M)."""
+    if jax.default_backend() == "cpu":
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.uint32)
+    kdim = a.shape[1]
+    chunk = 512
+    pad = (-kdim) % chunk
+    if pad:
+        a = jnp.pad(a, ((0, 0), (0, pad)))
+        b = jnp.pad(b, ((0, pad), (0, 0)))
+    nchunks = a.shape[1] // chunk
+    a3 = a.reshape(a.shape[0], nchunks, chunk).transpose(1, 0, 2)
+    b3 = b.reshape(nchunks, chunk, b.shape[1])
+
+    def step(acc, xs):
+        ac, bc = xs
+        # dtype pin: u32 sums otherwise promote to u64 under x64
+        return acc + jnp.sum(ac[:, :, None] * bc[None, :, :], axis=1,
+                             dtype=jnp.uint32), None
+
+    init = jnp.broadcast_to(a[:, :1] * np.uint32(0), (a.shape[0], b.shape[1]))
+    out, _ = jax.lax.scan(step, init, (a3, b3))
+    return out
+
+
 def _matmul_u64(a, b):
     """Wrapping u64 matmul (B, K) x (K, M) — mod 2^64 is a ring hom, so
     wrapping partial sums are exact.
@@ -141,10 +189,43 @@ def _matmul_u64(a, b):
 def modulus_switch(x, log_modulus: int, bits: int = 64):
     """Round to the top log_modulus bits: (x + half) >> (bits - log_modulus).
 
-    fft_impl/common.rs:10-23.  Returns small uint64 values in [0, 2^log_modulus).
+    fft_impl/common.rs:10-23.  Returns values in [0, 2^log_modulus) in the
+    operand's dtype (u64 for the native torus, u32 for the KS32 pattern).
     """
-    half = np.uint64(1 << (bits - log_modulus - 1))
-    return (x + half) >> np.uint64(bits - log_modulus)
+    dt = np.uint32 if bits == 32 else np.uint64
+    half = dt(1 << (bits - log_modulus - 1))
+    return (x + half) >> dt(bits - log_modulus)
+
+
+def drift_ms_improve(ct, zeros, log_modulus: int, r_sigma: float,
+                     bound: float, input_variance_mod: float):
+    """Drift-technique modulus-switch noise reduction
+    (modulus_switch_noise_reduction.rs:202): among {ct} U {ct + z_i} for a
+    public list of zero-encryptions, pick per batch element the candidate
+    minimizing |E[ms error]| + r_sigma * std(ms error) — computable in the
+    clear from the ciphertext coefficients under a binary key.
+
+    ct: (B, n+1) u64; zeros: (Z, n+1) u64.  Returns the improved (B, n+1).
+    """
+    shift = np.uint64(64 - log_modulus)
+    half = np.uint64(1 << (64 - log_modulus - 1))
+
+    cands = jnp.concatenate([jnp.zeros_like(zeros[:1]), zeros], axis=0)
+    c = ct[None, :, :] + cands[:, None, :]          # (Z+1, B, n+1)
+
+    def round_err(x):
+        rounded = ((x + half) >> shift) << shift
+        return (rounded - x).astype(jnp.int64).astype(jnp.float32)
+
+    mask_err = round_err(c[..., :-1])
+    body_err = round_err(c[..., -1])
+    expectancy = body_err - jnp.sum(mask_err, axis=-1) / 2.0
+    variance = jnp.sum(mask_err * mask_err, axis=-1) / 4.0
+    measure = jnp.abs(expectancy) + jnp.sqrt(variance + input_variance_mod) * r_sigma
+    # prefer the smallest measure (the reference asserts some candidate
+    # satisfies `bound`; argmin dominates any satisfying choice)
+    best = jnp.argmin(measure, axis=0)              # (B,)
+    return jnp.take_along_axis(c, best[None, :, None], axis=0)[0]
 
 
 def centered_binary_ms_correction(ct, log_modulus: int, bits: int = 64):
@@ -466,10 +547,14 @@ def blind_rotate_pallas_v2(msed_mask, msed_body, lut, bsk_mont, plan,
 
 @partial(jax.jit, static_argnames=("ks_base_log", "ks_levels", "pbs_base_log",
                                    "pbs_levels", "plan", "bits", "centered_ms",
-                                   "use_pallas"))
+                                   "use_pallas", "ks32", "drift_r_sigma",
+                                   "drift_bound", "drift_input_variance"))
 def ks_pbs_batch(ct, lut, ksk, bsk_mont, plan, ks_base_log: int, ks_levels: int,
                  pbs_base_log: int, pbs_levels: int, bits: int = 64,
-                 centered_ms: bool = False, use_pallas: bool = False):
+                 centered_ms: bool = False, use_pallas: bool = False,
+                 ks32: bool = False, drift_zeros=None,
+                 drift_r_sigma: float = 0.0, drift_bound: float = 0.0,
+                 drift_input_variance: float = 0.0):
     """The TPU money path: one fused batched KS->PBS (shortint atomic pattern).
 
     ct: (B, n_big+1) u64 LWE batch under the big key;
@@ -482,13 +567,21 @@ def ks_pbs_batch(ct, lut, ksk, bsk_mont, plan, ks_base_log: int, ks_levels: int,
     """
     n_poly = lut.shape[-1]
     log_mod = n_poly.bit_length()  # log2(N) + 1
-    ks = keyswitch(ct, ksk, ks_base_log, ks_levels, bits)
-    if centered_ms:
-        corr = centered_binary_ms_correction(ks, log_mod, bits)
-        body = modulus_switch(ks[:, -1] + corr, log_mod, bits)
+    if ks32:
+        ks = keyswitch32(ct, ksk, ks_base_log, ks_levels)
+        body = modulus_switch(ks[:, -1], log_mod, 32).astype(U64)
+        msed_mask = modulus_switch(ks[:, :-1], log_mod, 32).astype(U64)
     else:
-        body = modulus_switch(ks[:, -1], log_mod, bits)
-    msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
+        ks = keyswitch(ct, ksk, ks_base_log, ks_levels, bits)
+        if drift_zeros is not None:
+            ks = drift_ms_improve(ks, drift_zeros, log_mod, drift_r_sigma,
+                                  drift_bound, drift_input_variance)
+        if centered_ms:
+            corr = centered_binary_ms_correction(ks, log_mod, bits)
+            body = modulus_switch(ks[:, -1] + corr, log_mod, bits)
+        else:
+            body = modulus_switch(ks[:, -1], log_mod, bits)
+        msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
     if use_pallas:
         acc = blind_rotate_pallas_v2(msed_mask, body, lut, bsk_mont, plan,
                                      pbs_base_log, pbs_levels)

@@ -29,6 +29,9 @@ class EncryptionKeyChoice(enum.Enum):
 class MsNoiseReduction(enum.Enum):
     NONE = "none"
     CENTERED_MEAN = "centered_mean"
+    # drift technique (modulus_switch_noise_reduction.rs:202): the server
+    # adds the best of a public list of zero-encryptions before the MS
+    DRIFT = "drift"
 
 
 @dataclass(frozen=True)
@@ -49,6 +52,16 @@ class ShortintParams:
     encryption_key_choice: EncryptionKeyChoice = EncryptionKeyChoice.BIG
     ms_noise_reduction: MsNoiseReduction = MsNoiseReduction.CENTERED_MEAN
     bits: int = 64
+    # AtomicPatternKind: False = Standard KS->PBS (u64 keyswitch);
+    # True = KeySwitch32 (u32 KSK, half the keyswitch bytes —
+    # shortint/atomic_pattern/ks32.rs, the HPU-native pattern)
+    ks32: bool = False
+    # drift-technique MS parameters (ModulusSwitchNoiseReductionParams:
+    # v1_3 2_2 values: zeros_count=1449, bound=2^58, r_sigma=13.18)
+    drift_zeros_count: int = 64
+    drift_ms_bound: float = 288230376151711744.0
+    drift_r_sigma: float = 13.179852282053789
+    drift_input_variance: float = 2.63039184094559e-7
 
     @property
     def core(self) -> BootstrapParams:
@@ -167,6 +180,18 @@ TEST_PARAM_MESSAGE_2_CARRY_2 = ShortintParams(
     log2_p_fail=-40.0,
     ms_noise_reduction=MsNoiseReduction.NONE,
 )
+
+import dataclasses as _dc
+
+# KS32 variant of the test parameters (KeySwitch32 atomic pattern)
+TEST_PARAM_MESSAGE_2_CARRY_2_KS32 = _dc.replace(
+    TEST_PARAM_MESSAGE_2_CARRY_2, ks32=True, ks_base_log=4, ks_level=3)
+
+# v1_4 KS32 2_2 analog: same compute dims, u32 keyswitch with deeper
+# decomposition to keep the (coarser) u32 torus rounding inside budget
+V1_4_PARAM_MESSAGE_2_CARRY_2_KS32_PBS_TUNIFORM_2M128 = _dc.replace(
+    V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128, ks32=True,
+    ks_base_log=4, ks_level=5)
 
 PARAM_MESSAGE_2_CARRY_2_KS_PBS = V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
 DEFAULT_PARAMS = V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128

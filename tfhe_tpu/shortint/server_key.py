@@ -55,12 +55,21 @@ class ServerKey:
         core = p.core
         ksk = kg.generate_lwe_keyswitch_key(
             client_key.big_lwe_secret_key, client_key.lwe_secret_key,
-            core.ks_decomp, p.lwe_noise, gen, p.bits,
+            core.ks_decomp, p.lwe_noise, gen,
+            32 if getattr(p, "ks32", False) else p.bits,
         )
         bsk = kg.generate_lwe_bootstrap_key(
             client_key.lwe_secret_key, client_key.glwe_secret_key,
             core.pbs_decomp, p.glwe_noise, gen, p.bits,
         )
+        self.drift_zeros = None
+        if p.ms_noise_reduction == MsNoiseReduction.DRIFT:
+            from ..core.encrypt import encrypt_lwe
+
+            zeros = [encrypt_lwe(client_key.lwe_secret_key, 0, p.lwe_noise,
+                                 gen, p.bits).data
+                     for _ in range(p.drift_zeros_count)]
+            self.drift_zeros = jnp.asarray(np.stack(zeros))
         self._init_from_raw(p, ksk.data, bsk.data)
 
     @classmethod
@@ -156,6 +165,10 @@ class ServerKey:
             p.ks_base_log, p.ks_level, p.pbs_base_log, p.pbs_level, p.bits,
             p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
             self.use_pallas,
+            getattr(p, "ks32", False),
+            getattr(self, "drift_zeros", None),
+            p.drift_r_sigma, p.drift_ms_bound,
+            p.drift_input_variance * (2.0 ** 64) ** 2,
         )
         out_np = np.asarray(out)[:n_real]
         self.pbs_count += n_real

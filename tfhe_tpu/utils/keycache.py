@@ -30,9 +30,18 @@ def get_shortint_keys(params, seed: int = 0x7FEE):
     tag = _params_tag(params, seed)
     path = CACHE_DIR / f"shortint_{tag}.npz"
     ck = ClientKey(params, seed)  # secret keygen is cheap & seed-deterministic
+    from ..ops import ntt as _ntt
+
     if path.exists():
         try:
             data = np.load(path)
+            if "primes" in data:
+                cached_primes = tuple(int(x) for x in data["primes"])
+            else:
+                cached_primes = None
+            np_ = int(data["num_primes"])
+            if cached_primes != _ntt.PRIMES[:np_]:
+                raise ValueError("key cache built with a different prime pool")
             sk = ServerKey.__new__(ServerKey)
             sk.params = params
             import jax.numpy as jnp
@@ -50,5 +59,6 @@ def get_shortint_keys(params, seed: int = 0x7FEE):
             path.unlink(missing_ok=True)
     sk = ServerKey(ck, seed)
     np.savez(path, ksk=np.asarray(sk.ksk), bsk_mont=np.asarray(sk.bsk_mont),
-             num_primes=sk.plan.num_primes)
+             num_primes=sk.plan.num_primes,
+             primes=np.asarray(sk.plan.primes, dtype=np.int64))
     return ck, sk
