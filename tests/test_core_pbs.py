@@ -74,3 +74,38 @@ def test_full_ks_pbs_pipeline():
         for i, m in enumerate(msgs):
             res = decode(decrypt_lwe(large_sk, LweCiphertext(out_np[i])), MSG_BITS)
             assert res == f(m) % 16, (m, res, f(m) % 16)
+
+
+def test_glwe_keyswitch():
+    """GLWE -> GLWE keyswitch between two keys
+    (algorithms/glwe_keyswitch.rs analog)."""
+    import jax.numpy as jnp
+
+    from tfhe_tpu.core import keygen as kg
+    from tfhe_tpu.core.encrypt import decrypt_glwe, encrypt_glwe_assign
+    from tfhe_tpu.core.entities import GlweCiphertext
+    from tfhe_tpu.core.params import DecompParams
+    from tfhe_tpu.ops import server as srv
+    from tfhe_tpu.utils.csprng import (DeterministicSeeder,
+                                       EncryptionRandomGenerator,
+                                       SecretRandomGenerator, TUniform)
+
+    n_poly, k_in, k_out = 256, 2, 1
+    sec = SecretRandomGenerator(5)
+    sk_in = kg.generate_binary_glwe_secret_key(k_in, n_poly, sec)
+    sk_out = kg.generate_binary_glwe_secret_key(k_out, n_poly, sec)
+    gen = EncryptionRandomGenerator(6, DeterministicSeeder(7))
+    noise = TUniform(3)
+    gksk, plan = kg.generate_glwe_keyswitch_key(
+        sk_in, sk_out, DecompParams(8, 4), noise, gen)
+    # encrypt a message polynomial under sk_in
+    delta = 1 << 59
+    msg = np.arange(n_poly, dtype=np.uint64) % 16
+    with np.errstate(over="ignore"):
+        body = msg * np.uint64(delta)
+        ct = encrypt_glwe_assign(sk_in, body, noise, gen)
+        out = np.asarray(srv.glwe_keyswitch(
+            jnp.asarray(ct.data)[None], jnp.asarray(gksk), plan, 8, 4))[0]
+        dec = decrypt_glwe(sk_out, GlweCiphertext(out, 64))
+    got = ((dec.astype(np.uint64) + np.uint64(delta // 2)) // np.uint64(delta)) % 32 % 16
+    assert np.array_equal(got, msg)

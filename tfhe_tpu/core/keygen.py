@@ -72,6 +72,43 @@ def generate_lwe_keyswitch_key(
     return LweKeyswitchKey(out, decomp, bits)
 
 
+def generate_glwe_keyswitch_key(
+    input_sk: GlweSecretKey,
+    output_sk: GlweSecretKey,
+    decomp: DecompParams,
+    noise_distribution,
+    gen: EncryptionRandomGenerator,
+    bits: int = 64,
+):
+    """GLWE-KSK (glwe_keyswitch_key_generation.rs): per input key polynomial
+    i and level l, a GLWE encryption of S_in_i(X) * q/B^level under S_out.
+
+    Returns NTT-domain Montgomery uint32 (k_in, l, k_out+1, P, N) plus the
+    plan (ready for ops/server.glwe_keyswitch).
+    """
+    from ..ops import ntt
+
+    k_in = input_sk.glwe_dimension
+    k_out = output_sk.glwe_dimension
+    n_poly = input_sk.polynomial_size
+    levels = decomp.level_count
+    out = np.zeros((k_in, levels, k_out + 1, n_poly), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k_in):
+            for j in range(levels):
+                level = levels - j  # slot j pairs with decomposition digit j
+                shift = bits - decomp.base_log * level
+                body = input_sk.data[i].astype(np.uint64) << np.uint64(shift)
+                ct = encrypt_glwe_assign(output_sk, body, noise_distribution,
+                                         gen, bits)
+                out[i, j] = ct.data
+    plan = ntt.make_plan(n_poly, 4)
+    with np.errstate(over="ignore"):
+        fwd = ntt.forward_all(out, plan, np)
+        mont = ntt.to_mont_all(fwd, plan, np).astype(np.uint32)
+    return mont, plan
+
+
 def _ggsw_factor(cleartext: int, level: int, base_log: int, bits: int) -> int:
     """(-cleartext) * 2^(bits - base_log*level) mod 2^bits
     (ggsw_encryption.rs:20-44)."""

@@ -649,3 +649,32 @@ def generate_lut(polynomial_size: int, glwe_size: int, message_modulus: int,
     out = np.zeros((glwe_size, n), dtype=np.uint64)
     out[-1] = acc
     return out
+
+
+@partial(jax.jit, static_argnames=("base_log", "levels", "plan", "bits"))
+def glwe_keyswitch(glwe, gksk_mont, plan, base_log: int, levels: int,
+                   bits: int = 64):
+    """GLWE-to-GLWE keyswitch (algorithms/glwe_keyswitch.rs): re-encrypt a
+    GLWE from key S_in (k_in polys) to key S_out.
+
+    glwe: (B, k_in+1, N) u64; gksk_mont: (k_in, l, k_out+1, P, N) u32
+    Montgomery NTT-domain GLWE encryptions of S_in_i * q/B^level.
+    out = (0, body) - sum_{i,l} decomp_l(mask_i) (*) gksk[i][l].
+    """
+    b, kin1, n_poly = glwe.shape
+    k_in = kin1 - 1
+    kout1 = gksk_mont.shape[2]
+    mask = glwe[:, :-1, :]
+    body = glwe[:, -1, :]
+    digits = signed_decompose(mask, base_log, levels, bits)   # (l, B, k_in, N)
+    res = _digits_to_residues(digits, plan)                   # (l, B, k_in, P, N)
+    fwd = ntt.ntt_forward_stacked(res, plan, jnp)
+    key = jnp.transpose(gksk_mont.astype(U64), (1, 0, 2, 3, 4))  # (l, k_in, k_out+1, P, N)
+    prod = ntt.pointwise_mul_mont_stacked(
+        fwd[:, :, :, None, :, :], key[:, None], plan, jnp)    # (l, B, k_in, k_out+1, P, N)
+    total = ntt.lazy_reduce_stacked(jnp.sum(prod, axis=(0, 2)), plan, jnp)
+    coeffs = ntt.ntt_inverse_stacked(total, plan, jnp)
+    sub = ntt.garner_to_u64(coeffs, plan, jnp)                # (B, k_out+1, N)
+    out = -sub
+    out = out.at[:, -1, :].add(body)
+    return out
