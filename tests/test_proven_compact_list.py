@@ -47,3 +47,18 @@ def test_proven_list_wrong_metadata(setup):
     ck, pk, crs = setup
     lst = build_with_proof(pk, [1], crs, metadata=b"a", load="verify", seed=0x9E)
     assert not lst.verify(crs, pk, metadata=b"b")
+
+
+@pytest.mark.slow
+def test_proven_list_pke_v2(setup):
+    """Same flow through the pke_v2 scheme (the reference's default)."""
+    ck, pk, _ = setup
+    crs2 = CompactPkeCrs.new(ck.params, max_num_messages=2, seed=0xB2,
+                             scheme="v2")
+    msgs = [2, 3]
+    lst = build_with_proof(pk, msgs, crs2, metadata=b"ctx", load="verify",
+                           seed=0xB3)
+    cts = lst.verify_and_expand(crs2, pk, metadata=b"ctx")
+    for m, ct in zip(msgs, cts):
+        assert ck.decrypt(ct) == m, m
+    assert not lst.verify(crs2, pk, metadata=b"other")

@@ -104,3 +104,13 @@ def test_oversized_noise_rejected(crs):
     pc = pke.PublicCommit(pc.a, pc.b, c1, pc.c2)
     proof = pke.prove(crs, pc, priv, metadata=b"m", load="verify", seed=b"s5")
     assert not pke.verify(proof, crs, pc, metadata=b"m")
+
+
+def test_proof_serialization_roundtrip(crs, case):
+    from tfhe_tpu.utils.serialization import deserialize, serialize
+
+    pc, priv = case
+    proof = pke.prove(crs, pc, priv, metadata=b"m", load="proof", seed=b"s9")
+    back = deserialize(serialize(proof))
+    assert back == proof
+    assert pke.verify(back, crs, pc, metadata=b"m")

@@ -22,7 +22,7 @@ import numpy as np
 from ..ops import ntt, server as srv
 from ..shortint.ciphertext import NOMINAL_NOISE, Ciphertext
 from ..utils.csprng import DeterministicSeeder, EncryptionRandomGenerator, SecretRandomGenerator
-from ..zk import pke
+from ..zk import pke, pke_v2
 
 M64 = 1 << 64
 
@@ -37,20 +37,38 @@ def _center(x: int, q: int = 0) -> int:
 
 @dataclass
 class CompactPkeCrs:
-    """CRS sized for a compact public key (zk::CompactPkeCrs analog)."""
+    """CRS sized for a compact public key (zk::CompactPkeCrs analog).
 
-    params: pke.PublicParams
+    scheme: "v1" (pke v1, bit-decomposition proof) or "v2" (pke_v2, the
+    reference's default: four-square norm bound + 128-row sketch, smaller
+    CRS/proof at production sizes).
+    """
+
+    params: object  # pke.PublicParams | pke_v2.PublicParams
+    scheme: str = "v1"
 
     @classmethod
     def new(cls, shortint_params, max_num_messages: int,
-            seed: int | None = None) -> "CompactPkeCrs":
+            seed: int | None = None, scheme: str = "v1") -> "CompactPkeCrs":
+        if scheme not in ("v1", "v2"):
+            raise ValueError(f"unknown zk scheme {scheme!r}: use 'v1' or 'v2'")
         p = shortint_params
         d = p.polynomial_size * p.glwe_dimension
         t = 2 * p.total_modulus  # includes the padding bit
-        noise_bound = 1 << (p.glwe_noise.bound_log2 + 1)
-        pp = pke.crs_gen(d, max_num_messages, noise_bound, 0, t,
-                         msbs_zero_padding_bit_count=1, seed=seed)
-        return cls(pp)
+        if scheme == "v2":
+            # TUniform(b) takes values in [-2^b, 2^b]: inclusive inf-norm bound
+            b_inf = 1 << p.glwe_noise.bound_log2
+            pp = pke_v2.crs_gen(d, max_num_messages, b_inf, 0, t,
+                                msbs_zero_padding_bit_count=1, seed=seed)
+        else:
+            noise_bound = 1 << (p.glwe_noise.bound_log2 + 1)
+            pp = pke.crs_gen(d, max_num_messages, noise_bound, 0, t,
+                             msbs_zero_padding_bit_count=1, seed=seed)
+        return cls(pp, scheme)
+
+    @property
+    def _mod(self):
+        return pke_v2 if self.scheme == "v2" else pke
 
 
 @dataclass
@@ -63,7 +81,7 @@ class ProvenCompactCiphertextList:
 
     def verify(self, crs: CompactPkeCrs, public_key, metadata: bytes = b"") -> bool:
         pc = _public_commit(public_key, self.c1, self.c2)
-        return pke.verify(self.proof, crs.params, pc, metadata)
+        return crs._mod.verify(self.proof, crs.params, pc, metadata)
 
     def verify_and_expand(self, crs: CompactPkeCrs, public_key,
                           metadata: bytes = b"") -> list:
@@ -150,7 +168,7 @@ def build_with_proof(public_key, messages: list, crs: CompactPkeCrs,
     pc = pke.PublicCommit(a, b, [_center(int(v)) for v in c1_u],
                           [_center(int(v)) for v in c2_u])
     priv = pke.PrivateCommit(r_proof, e1, m, e2)
-    proof = pke.prove(crs.params, pc, priv, metadata, load,
-                      seed.to_bytes(16, "little"))
+    proof = crs._mod.prove(crs.params, pc, priv, metadata, load,
+                           seed.to_bytes(16, "little"))
     return ProvenCompactCiphertextList(np.asarray(c1_u), c2_u, proof,
                                        p.message_modulus, p.carry_modulus)

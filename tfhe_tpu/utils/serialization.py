@@ -265,14 +265,40 @@ def _register_all():
 
     from ..zk.pke import Proof
 
+    # Curve points are 446-bit bigints: encode as fixed-width byte strings
+    # (112 bytes G1 affine, 224 bytes G2 affine; all-zeros = infinity/absent).
+    from ..zk.pke import _g1_bytes, _g1_from_bytes, _g2_bytes, _g2_from_bytes
+
+    _V1_G1 = ("c_y", "pi", "c_h", "pi_kzg")
+    _V1_G2 = ("c_hat", "c_hat_t")
+
+    def _zk_to_dict(g1_fields, g2_fields):
+        def conv(c):
+            out = {f: _g1_bytes(getattr(c, f)) for f in g1_fields}
+            out.update({f: _g2_bytes(getattr(c, f)) for f in g2_fields})
+            return out
+        return conv
+
     register_type(
-        "ZkPkeProof", 0,
-        lambda c: {"c_hat": c.c_hat, "c_y": c.c_y, "pi": c.pi,
-                   "c_hat_t": c.c_hat_t, "c_h": c.c_h, "pi_kzg": c.pi_kzg},
-        lambda p: Proof(_detuple(p["c_hat"]), _detuple(p["c_y"]),
-                        _detuple(p["pi"]), _detuple(p["c_hat_t"]),
-                        _detuple(p["c_h"]), _detuple(p["pi_kzg"])),
+        "Proof", 0,  # zk.pke.Proof (pke v1)
+        _zk_to_dict(_V1_G1, _V1_G2),
+        lambda p: Proof(_g2_from_bytes(p["c_hat"]), _g1_from_bytes(p["c_y"]),
+                        _g1_from_bytes(p["pi"]), _g2_from_bytes(p["c_hat_t"]),
+                        _g1_from_bytes(p["c_h"]), _g1_from_bytes(p["pi_kzg"])),
     )
+
+    from ..zk.pke_v2 import ProofV2
+
+    _V2_G1 = ("c_e", "c_r_tilde", "c_R", "c_y", "c_h1", "c_h2", "pi",
+              "pi_kzg")
+    _V2_G2 = ("c_hat_e", "c_hat_bin", "c_hat_t", "c_hat_h3", "c_hat_w")
+
+    def _v2_from_dict(p):
+        kw = {f: _g1_from_bytes(p[f]) for f in _V2_G1}
+        kw.update({f: _g2_from_bytes(p[f]) for f in _V2_G2})
+        return ProofV2(**kw)
+
+    register_type("ProofV2", 0, _zk_to_dict(_V2_G1, _V2_G2), _v2_from_dict)
 
 
 def _detuple(x):

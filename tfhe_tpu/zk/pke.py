@@ -58,6 +58,19 @@ def _g2_bytes(p) -> bytes:
     return b"".join(int(v).to_bytes(56, "little") for v in (x0, x1, y0, y1))
 
 
+def _g1_from_bytes(b: bytes):
+    if b == b"\x00" * 112:
+        return None
+    return (int.from_bytes(b[:56], "little"), int.from_bytes(b[56:], "little"))
+
+
+def _g2_from_bytes(b: bytes):
+    if b == b"\x00" * 224:
+        return None
+    v = [int.from_bytes(b[56 * i : 56 * (i + 1)], "little") for i in range(4)]
+    return ((v[0], v[1]), (v[2], v[3]))
+
+
 def hash_to_zp(count: int, *chunks: bytes) -> list:
     h = hashlib.shake_256()
     for c in chunks:
