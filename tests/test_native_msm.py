@@ -1,0 +1,102 @@
+"""Native BLS12-446 core (native/bls446.cpp) vs the pure-Python curve:
+bit-exact agreement on scalar muls, Pippenger MSM, and fixed-base power
+chains — the analog of the reference's curve_446 unit tests + the GPU-MSM
+vs CPU-MSM cross-checks (tfhe-zk-pok/src/curve_api/msm.rs)."""
+
+import random
+
+import pytest
+
+import tfhe_tpu.zk.curve446 as cv
+
+pytestmark = pytest.mark.skipif(cv._NATIVE is None,
+                                reason="native bls446 library not built")
+
+
+def _py_g1_mul(p, k):
+    k %= cv.R
+    out = None
+    add = cv._j_from_affine(p)
+    while k:
+        if k & 1:
+            out = cv._j_add(out, add)
+        add = cv._j_dbl(add)
+        k >>= 1
+    return cv._j_to_affine(out)
+
+
+def _py_g2_mul(p, k):
+    k %= cv.R
+    out = None
+    add = None if p is None else (p[0], p[1], cv.F2_ONE)
+    while k:
+        if k & 1:
+            out = cv._j2_add(out, add)
+        add = cv._j2_dbl(add)
+        k >>= 1
+    return cv._j2_to_affine(out)
+
+
+def _py_msm_g1(points, scalars):
+    jac = [cv._j_from_affine(p) for p in points]
+    return cv._j_to_affine(cv._msm(jac, scalars, cv._j_add, None))
+
+
+def _py_msm_g2(points, scalars):
+    jac = [None if p is None else (p[0], p[1], cv.F2_ONE) for p in points]
+    return cv._j2_to_affine(cv._msm(jac, scalars, cv._j2_add, None))
+
+
+def test_scalar_mul_matches_python():
+    rng = random.Random(11)
+    for _ in range(4):
+        k = rng.randrange(cv.R)
+        assert cv.g1_mul(cv.G1_GEN, k) == _py_g1_mul(cv.G1_GEN, k)
+        assert cv.g2_mul(cv.G2_GEN, k) == _py_g2_mul(cv.G2_GEN, k)
+
+
+def test_scalar_mul_edge_cases():
+    for k in (0, 1, 2, cv.R - 1, cv.R, cv.R + 3):
+        assert cv.g1_mul(cv.G1_GEN, k) == _py_g1_mul(cv.G1_GEN, k), k
+    # infinity input
+    assert cv.g1_mul(None, 5) is None
+    assert cv.g2_mul(None, 5) is None
+
+
+def test_msm_matches_python():
+    rng = random.Random(12)
+    pts = [_py_g1_mul(cv.G1_GEN, rng.randrange(cv.R)) for _ in range(33)]
+    pts[5] = None  # infinity inside the list
+    scs = [rng.randrange(cv.R) for _ in range(33)]
+    scs[2] = 0  # zero scalar
+    assert cv.msm_g1(pts, scs) == _py_msm_g1(pts, scs)
+    pts2 = [_py_g2_mul(cv.G2_GEN, rng.randrange(cv.R)) for _ in range(9)]
+    scs2 = [rng.randrange(cv.R) for _ in range(9)]
+    assert cv.msm_g2(pts2, scs2) == _py_msm_g2(pts2, scs2)
+
+
+def test_powers_match_python():
+    rng = random.Random(13)
+    alpha = rng.randrange(1, cv.R)
+    got = cv.g1_powers(cv.G1_GEN, alpha, 16, skip=7)
+    cur = alpha
+    for i in range(16):
+        expect = None if i == 7 else _py_g1_mul(cv.G1_GEN, cur)
+        assert got[i] == expect, i
+        cur = cur * alpha % cv.R
+    got2 = cv.g2_powers(cv.G2_GEN, alpha, 6)
+    cur = alpha
+    for i in range(6):
+        assert got2[i] == _py_g2_mul(cv.G2_GEN, cur), i
+        cur = cur * alpha % cv.R
+
+
+def test_msm_results_on_curve():
+    rng = random.Random(14)
+    pts = [_py_g1_mul(cv.G1_GEN, rng.randrange(cv.R)) for _ in range(8)]
+    scs = [rng.randrange(cv.R) for _ in range(8)]
+    out = cv.msm_g1(pts, scs)
+    assert cv.g1_is_on_curve(out)
+    out2 = cv.msm_g2([_py_g2_mul(cv.G2_GEN, 3), _py_g2_mul(cv.G2_GEN, 9)],
+                     [rng.randrange(cv.R) for _ in range(2)])
+    assert cv.g2_is_on_curve(out2)

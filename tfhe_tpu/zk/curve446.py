@@ -321,6 +321,12 @@ def _j_add(p1, p2):
 
 def g1_mul(p1, k: int):
     k %= R
+    if _NATIVE is not None:
+        import ctypes
+
+        out = ctypes.create_string_buffer(112)
+        _NATIVE.bls446_g1_mul(_pt1_pack(p1), _sc_pack(k), out)
+        return _pt1_unpack(out.raw)
     out = None
     add = _j_from_affine(p1)
     while k:
@@ -414,6 +420,12 @@ def _j2_to_affine(pt):
 
 def g2_mul(p1, k: int):
     k %= R
+    if _NATIVE is not None:
+        import ctypes
+
+        out = ctypes.create_string_buffer(224)
+        _NATIVE.bls446_g2_mul(_pt2_pack(p1), _sc_pack(k), out)
+        return _pt2_unpack(out.raw)
     out = None
     add = None if p1 is None else (p1[0], p1[1], F2_ONE)
     while k:
@@ -495,16 +507,135 @@ def pairing(p, q):
 
 
 # ---------------------------------------------------------------------------
+# Native backend (native/bls446.cpp): Montgomery-limb Pippenger MSM and
+# fixed-base power chains — the analog of the reference's hand-rolled Rust
+# curve core + zk-cuda-backend GPU MSM.  Pure-Python fallback below.
+# ---------------------------------------------------------------------------
+
+
+def _load_native():
+    import ctypes
+    import pathlib
+
+    so = (pathlib.Path(__file__).resolve().parents[2] / "native"
+          / "libtfhe_bls446.so")
+    if not so.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    u64, i64 = ctypes.c_uint64, ctypes.c_int64
+    cp, vp = ctypes.c_char_p, ctypes.c_void_p
+    lib.bls446_init.argtypes = [cp, cp, u64]
+    lib.bls446_g1_msm.argtypes = [cp, cp, u64, vp]
+    lib.bls446_g2_msm.argtypes = [cp, cp, u64, vp]
+    lib.bls446_g1_powers.argtypes = [cp, cp, u64, i64, vp]
+    lib.bls446_g2_powers.argtypes = [cp, cp, u64, i64, vp]
+    lib.bls446_g1_mul.argtypes = [cp, cp, vp]
+    lib.bls446_g2_mul.argtypes = [cp, cp, vp]
+    r2 = pow(1 << 448, 2, P)
+    n0 = (-pow(P, -1, 1 << 64)) % (1 << 64)
+    lib.bls446_init(P.to_bytes(56, "little"), r2.to_bytes(56, "little"),
+                    u64(n0))
+    return lib
+
+
+_NATIVE = _load_native()
+
+
+def _pt1_pack(p) -> bytes:
+    if p is None:
+        return b"\x00" * 112
+    return int(p[0]).to_bytes(56, "little") + int(p[1]).to_bytes(56, "little")
+
+
+def _pt1_unpack(b: bytes):
+    if b == b"\x00" * 112:
+        return None
+    return (int.from_bytes(b[:56], "little"),
+            int.from_bytes(b[56:], "little"))
+
+
+def _pt2_pack(p) -> bytes:
+    if p is None:
+        return b"\x00" * 224
+    (x0, x1), (y0, y1) = p
+    return b"".join(int(v).to_bytes(56, "little") for v in (x0, x1, y0, y1))
+
+
+def _pt2_unpack(b: bytes):
+    if b == b"\x00" * 224:
+        return None
+    v = [int.from_bytes(b[56 * i : 56 * (i + 1)], "little") for i in range(4)]
+    return ((v[0], v[1]), (v[2], v[3]))
+
+
+def _sc_pack(s: int) -> bytes:
+    return int(s % R).to_bytes(40, "little")
+
+
+def g1_powers(base, alpha: int, count: int, skip: int = -1) -> list:
+    """[alpha^(i+1) * base for i in range(count)] with None at index skip
+    (the CRS hot loop: powers-of-alpha g-lists)."""
+    if _NATIVE is not None:
+        import ctypes
+
+        out = ctypes.create_string_buffer(112 * count)
+        _NATIVE.bls446_g1_powers(_pt1_pack(base), _sc_pack(alpha), count,
+                                 skip, out)
+        return [_pt1_unpack(out.raw[112 * i : 112 * (i + 1)])
+                for i in range(count)]
+    res, cur = [], alpha % R
+    for i in range(count):
+        res.append(None if i == skip else g1_mul(base, cur))
+        cur = cur * alpha % R
+    return res
+
+
+def g2_powers(base, alpha: int, count: int, skip: int = -1) -> list:
+    if _NATIVE is not None:
+        import ctypes
+
+        out = ctypes.create_string_buffer(224 * count)
+        _NATIVE.bls446_g2_powers(_pt2_pack(base), _sc_pack(alpha), count,
+                                 skip, out)
+        return [_pt2_unpack(out.raw[224 * i : 224 * (i + 1)])
+                for i in range(count)]
+    res, cur = [], alpha % R
+    for i in range(count):
+        res.append(None if i == skip else g2_mul(base, cur))
+        cur = cur * alpha % R
+    return res
+
+
+# ---------------------------------------------------------------------------
 # Multi-scalar multiplication (Pippenger) — CPU analog of the GPU MSM backend
 # ---------------------------------------------------------------------------
 
 
 def msm_g1(points: list, scalars: list):
+    if _NATIVE is not None and len(points) >= 4:
+        import ctypes
+
+        out = ctypes.create_string_buffer(112)
+        _NATIVE.bls446_g1_msm(b"".join(_pt1_pack(p) for p in points),
+                              b"".join(_sc_pack(s) for s in scalars),
+                              len(points), out)
+        return _pt1_unpack(out.raw)
     jac = [_j_from_affine(p) for p in points]
     return _j_to_affine(_msm(jac, scalars, _j_add, None))
 
 
 def msm_g2(points: list, scalars: list):
+    if _NATIVE is not None and len(points) >= 4:
+        import ctypes
+
+        out = ctypes.create_string_buffer(224)
+        _NATIVE.bls446_g2_msm(b"".join(_pt2_pack(p) for p in points),
+                              b"".join(_sc_pack(s) for s in scalars),
+                              len(points), out)
+        return _pt2_unpack(out.raw)
     jac = [None if p is None else (p[0], p[1], F2_ONE) for p in points]
     return _j2_to_affine(_msm(jac, scalars, _j2_add, None))
 

@@ -155,19 +155,8 @@ def crs_gen(d: int, k: int, b: int, q: int, t: int,
     alpha = (secrets.randbelow(R - 1) + 1) if seed is None else (
         hash_to_zp(1, b"crs", seed.to_bytes(16, "little"))[0] or 1)
     n, big_d, b_r = compute_crs_params(d, k, b, q, t, msbs_zero_padding_bit_count)
-    g_list = []
-    cur = alpha
-    for i in range(2 * n):
-        if i == n:
-            g_list.append(None)  # the deliberately missing power
-        else:
-            g_list.append(cv.g1_mul(cv.G1_GEN, cur))
-        cur = cur * alpha % R
-    g_hat_list = []
-    cur = alpha
-    for _ in range(n):
-        g_hat_list.append(cv.g2_mul(cv.G2_GEN, cur))
-        cur = cur * alpha % R
+    g_list = cv.g1_powers(cv.G1_GEN, alpha, 2 * n, skip=n)  # hole at alpha^(n+1)
+    g_hat_list = cv.g2_powers(cv.G2_GEN, alpha, n)
     sid = (secrets.randbits(128) if seed is None
            else hash_128bit(1, b"sid", seed.to_bytes(16, "little"))[0])
     return PublicParams(g_list, g_hat_list, big_d, n, d, k, b, b_r, q, t,

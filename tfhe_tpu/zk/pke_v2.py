@@ -184,16 +184,8 @@ def crs_gen(d: int, k: int, b_inf: int, q: int, t: int,
     b_squared = inf_norm_bound_to_euclidean_squared(b_inf, d + k)
     n, big_d, bb, _m = compute_crs_params(
         d, k, b_squared, t, msbs_zero_padding_bit_count, bound_type)
-    g_list = []
-    cur = alpha
-    for i in range(2 * n):
-        g_list.append(None if i == n else cv.g1_mul(cv.G1_GEN, cur))
-        cur = cur * alpha % R
-    g_hat_list = []
-    cur = alpha
-    for _ in range(n):
-        g_hat_list.append(cv.g2_mul(cv.G2_GEN, cur))
-        cur = cur * alpha % R
+    g_list = cv.g1_powers(cv.G1_GEN, alpha, 2 * n, skip=n)  # hole at alpha^(n+1)
+    g_hat_list = cv.g2_powers(cv.G2_GEN, alpha, n)
     sid = (secrets.randbits(128) if seed is None
            else hash_128bit(1, b"PKEv2/sid", seed.to_bytes(16, "little"))[0])
     return PublicParams(g_list, g_hat_list, big_d, n, d, k, bb, b_inf, q, t,
