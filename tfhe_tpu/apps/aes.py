@@ -63,7 +63,7 @@ RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
 def key_expansion(key: bytes) -> list:
-    """11 round keys of 16 bytes each (FIPS-197)."""
+    """11 round keys of 16 bytes each (FIPS-197, AES-128)."""
     w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
     for i in range(4, 44):
         t = list(w[i - 1])
@@ -73,6 +73,21 @@ def key_expansion(key: bytes) -> list:
             t[0] ^= RCON[i // 4 - 1]
         w.append([a ^ b for a, b in zip(w[i - 4], t)])
     return [bytes(sum(w[4 * r : 4 * r + 4], [])) for r in range(11)]
+
+
+def key_expansion_256(key: bytes) -> list:
+    """15 round keys of 16 bytes each (FIPS-197, AES-256: Nk=8, Nr=14)."""
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(8)]
+    for i in range(8, 60):
+        t = list(w[i - 1])
+        if i % 8 == 0:
+            t = t[1:] + t[:1]
+            t = [SBOX[b] for b in t]
+            t[0] ^= RCON[i // 8 - 1]
+        elif i % 8 == 4:
+            t = [SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - 8], t)])
+    return [bytes(sum(w[4 * r : 4 * r + 4], [])) for r in range(15)]
 
 
 def _shift_rows_idx() -> list:
@@ -90,11 +105,11 @@ def _mix_single_column(col: list) -> list:
     ]
 
 
-def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
-    rks = key_expansion(key)
+def _aes_encrypt_block(rks: list, block: bytes) -> bytes:
+    nr = len(rks) - 1
     s = [b ^ k for b, k in zip(block, rks[0])]
     sr = _shift_rows_idx()
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = [SBOX[b] for b in s]
         s = [s[sr[i]] for i in range(16)]
         cols = [s[4 * c : 4 * c + 4] for c in range(4)]
@@ -102,8 +117,16 @@ def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
         s = [b ^ k for b, k in zip(s, rks[rnd])]
     s = [SBOX[b] for b in s]
     s = [s[sr[i]] for i in range(16)]
-    s = [b ^ k for b, k in zip(s, rks[10])]
+    s = [b ^ k for b, k in zip(s, rks[nr])]
     return bytes(s)
+
+
+def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
+    return _aes_encrypt_block(key_expansion(key), block)
+
+
+def aes256_encrypt_block(key: bytes, block: bytes) -> bytes:
+    return _aes_encrypt_block(key_expansion_256(key), block)
 
 
 # ---------------------------------------------------------------------------
@@ -115,6 +138,8 @@ class FheAes128:
     """Server-side AES on an encrypted key: the client uploads Enc(key); the
     server derives Enc(round keys) and evaluates Enc(AES_k(counter)) for
     public counters — the keystream for CTR transciphering."""
+
+    NR = 10  # rounds
 
     def __init__(self, server_key, wopbs_key, enc_key_bytes: list):
         """enc_key_bytes: 16 encrypted bytes (RadixCiphertexts)."""
@@ -200,19 +225,20 @@ class FheAes128:
 
     # -- block encryption --------------------------------------------------
 
-    def encrypt_block(self, block_bytes: list, rounds: int = 10) -> list:
+    def encrypt_block(self, block_bytes: list, rounds: int | None = None) -> list:
         """block_bytes: 16 PUBLIC bytes (e.g. a CTR counter block); output:
         16 encrypted bytes of AES_k(block)."""
+        nr = self.NR if rounds is None else rounds
         sk = self.sk
         mul2_t, mul3_t = self._xtimes_tables()
         nbl = self.round_keys[0][0].num_blocks
         s = [self._xor_scalar(self.round_keys[0][i], block_bytes[i])
              for i in range(16)]
         sr = _shift_rows_idx()
-        for rnd in range(1, rounds + 1):
+        for rnd in range(1, rounds + 1 if rounds is not None else nr + 1):
             s = self._sbox_bytes(s)
             s = [s[sr[i]] for i in range(16)]
-            if rnd < 10:
+            if rnd < self.NR:
                 # one batched CBS for the whole state, three LUTs per byte
                 ggsws16 = self._bytes_ggsws(s)
                 mul2_all = self._bytes_lut_from_ggsws(ggsws16, mul2_t)
@@ -229,7 +255,7 @@ class FheAes128:
                         self._xor(self._xor(a3[0], a[1]), self._xor(a[2], a2[3])),
                     ]
                 s = out
-            if rnd <= 10:
+            if rnd <= self.NR:
                 s = [self._xor(s[i], self.round_keys[rnd][i]) for i in range(16)]
         return s
 
@@ -242,3 +268,25 @@ class FheAes128:
         ks = self.keystream_block(nonce_counter)
         return [self._xor_scalar(k, b) for k, b in
                 zip(ks, aes_ciphertext_block)]
+
+
+class FheAes256(FheAes128):
+    """AES-256 variant (Nk=8, Nr=14): same WoPBS S-box machinery, the
+    256-bit FIPS-197 key schedule (extra S-box word at i%8==4), 14 rounds.
+    Analog of the reference's aes256 radix op family."""
+
+    NR = 14
+
+    def _key_expansion_fhe(self, key_bytes: list) -> list:
+        assert len(key_bytes) == 32, "AES-256 takes 32 encrypted key bytes"
+        w = [key_bytes[4 * i : 4 * i + 4] for i in range(8)]
+        for i in range(8, 60):
+            t = list(w[i - 1])
+            if i % 8 == 0:
+                t = t[1:] + t[:1]
+                t = self._sbox_bytes(t)
+                t[0] = self._xor_scalar(t[0], RCON[i // 8 - 1])
+            elif i % 8 == 4:
+                t = self._sbox_bytes(t)
+            w.append([self._xor(a, b) for a, b in zip(w[i - 8], t)])
+        return [sum(w[4 * r : 4 * r + 4], []) for r in range(15)]
