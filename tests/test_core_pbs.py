@@ -109,3 +109,35 @@ def test_glwe_keyswitch():
         dec = decrypt_glwe(sk_out, GlweCiphertext(out, 64))
     got = ((dec.astype(np.uint64) + np.uint64(delta // 2)) // np.uint64(delta)) % 32 % 16
     assert np.array_equal(got, msg)
+
+
+def test_chunked_bsk_generation_matches_monolithic():
+    """entities/lwe_bootstrap_key_chunk.rs analog: chunks assembled in any
+    split are bit-identical to the monolithic key (fork-tree determinism)."""
+    from tfhe_tpu.core import keygen as kg
+    from tfhe_tpu.core.params import DecompParams
+    from tfhe_tpu.utils.csprng import (DeterministicSeeder,
+                                       EncryptionRandomGenerator,
+                                       SecretRandomGenerator, TUniform)
+
+    sec = SecretRandomGenerator(21)
+    in_sk = kg.generate_binary_lwe_secret_key(12, sec)
+    glwe_sk = kg.generate_binary_glwe_secret_key(1, 64, sec)
+    decomp = DecompParams(8, 2)
+
+    def fresh_gen():
+        return EncryptionRandomGenerator(77, DeterministicSeeder(78))
+
+    full = kg.generate_lwe_bootstrap_key(in_sk, glwe_sk, decomp, TUniform(7),
+                                         fresh_gen())
+    import numpy as np
+
+    # two different chunkings, each from a fresh same-seeded generator
+    c1 = kg.generate_lwe_bootstrap_key_chunk(in_sk, glwe_sk, decomp,
+                                             TUniform(7), fresh_gen(), 0, 5)
+    c2 = kg.generate_lwe_bootstrap_key_chunk(in_sk, glwe_sk, decomp,
+                                             TUniform(7), fresh_gen(), 5, 7)
+    assert np.array_equal(np.concatenate([c1, c2]), full.data)
+    c3 = kg.generate_lwe_bootstrap_key_chunk(in_sk, glwe_sk, decomp,
+                                             TUniform(7), fresh_gen(), 3, 4)
+    assert np.array_equal(c3, full.data[3:7])

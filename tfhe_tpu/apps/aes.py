@@ -213,6 +213,7 @@ class FheAes128:
     # -- key schedule -----------------------------------------------------
 
     def _key_expansion_fhe(self, key_bytes: list) -> list:
+        assert len(key_bytes) == 16, "AES-128 takes 16 encrypted key bytes"
         w = [key_bytes[4 * i : 4 * i + 4] for i in range(4)]
         for i in range(4, 44):
             t = list(w[i - 1])

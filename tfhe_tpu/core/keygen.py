@@ -133,34 +133,82 @@ def generate_lwe_bootstrap_key(
         (n_in, levels, glwe_size, glwe_size, n_poly),
         dtype=np.uint32 if bits == 32 else np.uint64,
     )
-    # fork per GGSW
+    ggsw_gens = _fork_bsk_ggsws(input_sk, glwe_sk, decomp, noise_distribution,
+                                gen, bits)
+    for i in range(n_in):
+        out[i] = _generate_bsk_ggsw(int(input_sk.data[i]), glwe_sk, decomp,
+                                    noise_distribution, ggsw_gens[i], bits)
+    return LweBootstrapKey(out, decomp, bits)
+
+
+def _fork_bsk_ggsws(input_sk, glwe_sk, decomp, noise_distribution, gen, bits):
+    """One child generator per GGSW (per input-key bit) — the determinism
+    boundary that makes chunked generation bit-identical to monolithic."""
+    k = glwe_sk.glwe_dimension
+    n_poly = glwe_sk.polynomial_size
+    levels = decomp.level_count
+    glwe_size = k + 1
     ggsw_mask_elems = levels * glwe_size * k * n_poly
     ggsw_noise_elems = levels * glwe_size * n_poly
-    ggsw_gens = gen.fork(n_in, ggsw_mask_elems, ggsw_noise_elems,
-                         noise_distribution, bits)
-    for i in range(n_in):
-        cleartext = int(input_sk.data[i])
-        # fork per level matrix
-        lev_gens = ggsw_gens[i].fork(levels, glwe_size * k * n_poly,
-                                     glwe_size * n_poly, noise_distribution, bits)
-        for j in range(levels):
-            level = levels - j  # stored level index j <-> decomposition level l-j
-            factor = _ggsw_factor(cleartext, level, decomp.base_log, bits)
-            row_gens = lev_gens[j].fork(glwe_size, k * n_poly, n_poly,
-                                        noise_distribution, bits)
-            for r in range(glwe_size):
-                body_init = np.zeros(n_poly, dtype=np.uint64)
-                if r < glwe_size - 1:
-                    # body = sk_poly_r * factor (wrapping scalar mul)
-                    body_init = glwe_sk.data[r].astype(np.uint64) * np.uint64(factor % (1 << 64))
-                    if bits == 32:
-                        body_init = body_init & np.uint64(0xFFFFFFFF)
-                else:
-                    body_init[0] = (-factor) % (1 << bits)
-                ct = encrypt_glwe_assign(glwe_sk, body_init, noise_distribution,
-                                         row_gens[r], bits)
-                out[i, j, r] = ct.data
-    return LweBootstrapKey(out, decomp, bits)
+    return gen.fork(input_sk.dimension, ggsw_mask_elems, ggsw_noise_elems,
+                    noise_distribution, bits)
+
+
+def _generate_bsk_ggsw(cleartext, glwe_sk, decomp, noise_distribution,
+                       ggsw_gen, bits):
+    k = glwe_sk.glwe_dimension
+    n_poly = glwe_sk.polynomial_size
+    levels = decomp.level_count
+    glwe_size = k + 1
+    out = np.zeros((levels, glwe_size, glwe_size, n_poly),
+                   dtype=np.uint32 if bits == 32 else np.uint64)
+    lev_gens = ggsw_gen.fork(levels, glwe_size * k * n_poly,
+                             glwe_size * n_poly, noise_distribution, bits)
+    for j in range(levels):
+        level = levels - j  # stored level index j <-> decomposition level l-j
+        factor = _ggsw_factor(cleartext, level, decomp.base_log, bits)
+        row_gens = lev_gens[j].fork(glwe_size, k * n_poly, n_poly,
+                                    noise_distribution, bits)
+        for r in range(glwe_size):
+            body_init = np.zeros(n_poly, dtype=np.uint64)
+            if r < glwe_size - 1:
+                # body = sk_poly_r * factor (wrapping scalar mul)
+                body_init = glwe_sk.data[r].astype(np.uint64) * np.uint64(factor % (1 << 64))
+                if bits == 32:
+                    body_init = body_init & np.uint64(0xFFFFFFFF)
+            else:
+                body_init[0] = (-factor) % (1 << bits)
+            ct = encrypt_glwe_assign(glwe_sk, body_init, noise_distribution,
+                                     row_gens[r], bits)
+            out[j, r] = ct.data
+    return out
+
+
+def generate_lwe_bootstrap_key_chunk(
+    input_sk: LweSecretKey,
+    glwe_sk: GlweSecretKey,
+    decomp: DecompParams,
+    noise_distribution,
+    gen: EncryptionRandomGenerator,
+    chunk_start: int,
+    chunk_count: int,
+    bits: int = 64,
+) -> np.ndarray:
+    """Generate GGSWs [chunk_start, chunk_start + chunk_count) of the BSK
+    (entities/lwe_bootstrap_key_chunk.rs:11-27 + chunked generation in
+    lwe_bootstrap_key_generation.rs).  The per-GGSW fork tree guarantees the
+    chunk is bit-identical to the same slice of the monolithic key, for any
+    chunking — big keys can be generated piecewise or on several machines
+    from the same seed.  `gen` must be freshly seeded (same seed as the
+    monolithic call would use)."""
+    assert 0 <= chunk_start and chunk_start + chunk_count <= input_sk.dimension
+    ggsw_gens = _fork_bsk_ggsws(input_sk, glwe_sk, decomp, noise_distribution,
+                                gen, bits)
+    return np.stack([
+        _generate_bsk_ggsw(int(input_sk.data[i]), glwe_sk, decomp,
+                           noise_distribution, ggsw_gens[i], bits)
+        for i in range(chunk_start, chunk_start + chunk_count)
+    ])
 
 
 def bootstrap_key_to_ntt(bsk: LweBootstrapKey, num_primes: int = 4):
