@@ -158,3 +158,20 @@ def test_drift_ms_noise_reduction():
     for v in range(4):
         out = sk.apply_lookup_table(ck.encrypt(v), lut)
         assert ck.decrypt_raw(out) == (v + 5) % 16, v
+
+
+def test_modulus_switched_compression(keys):
+    """CompressedModulusSwitchedCiphertext: KS+MS stored in log2(2N) bits per
+    coefficient; decompression = blind rotate with any LUT."""
+    ck, sk = keys
+    lut = sk.generate_lookup_table(lambda x: (3 * x + 2) % 16)
+    for m in (0, 1, 2, 3):
+        comp = sk.switch_modulus_and_compress(ck.encrypt(m))
+        # size check: packed stream is ~log2(2N)/64 of the raw ciphertext
+        assert comp.packed.nbytes < (comp.count * 8) // 4
+        out = sk.decompress_and_apply_lookup_table(comp, lut)
+        assert ck.decrypt_raw(out) == (3 * m + 2) % 16, m
+    # batched decompression
+    comps = [sk.switch_modulus_and_compress(ck.encrypt(m)) for m in (3, 1)]
+    outs = sk.decompress_and_apply_lookup_table_batch(comps, lut)
+    assert [ck.decrypt_raw(o) for o in outs] == [(3 * 3 + 2) % 16, (3 * 1 + 2) % 16]

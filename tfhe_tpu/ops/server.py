@@ -591,6 +591,52 @@ def ks_pbs_batch(ct, lut, ksk, bsk_mont, plan, ks_base_log: int, ks_levels: int,
     return sample_extract(acc)
 
 
+@partial(jax.jit, static_argnames=("log_mod", "ks_base_log", "ks_levels",
+                                   "bits", "centered_ms", "ks32"))
+def ks_ms_batch(ct, ksk, log_mod: int, ks_base_log: int, ks_levels: int,
+                bits: int = 64, centered_ms: bool = False, ks32: bool = False,
+                drift_zeros=None, drift_r_sigma: float = 0.0,
+                drift_bound: float = 0.0, drift_input_variance: float = 0.0):
+    """First half of the atomic pattern: KS -> modulus switch.  Returns
+    (B, n_small+1) values in [0, 2N) — exactly what blind rotation consumes,
+    and what CompressedModulusSwitchedCiphertext stores in log2(2N) bits per
+    coefficient (shortint/ciphertext/compressed_modulus_switched_ciphertext)."""
+    if ks32:
+        ks = keyswitch32(ct, ksk, ks_base_log, ks_levels)
+        body = modulus_switch(ks[:, -1], log_mod, 32).astype(U64)
+        msed_mask = modulus_switch(ks[:, :-1], log_mod, 32).astype(U64)
+    else:
+        ks = keyswitch(ct, ksk, ks_base_log, ks_levels, bits)
+        if drift_zeros is not None:
+            ks = drift_ms_improve(ks, drift_zeros, log_mod, drift_r_sigma,
+                                  drift_bound, drift_input_variance)
+        if centered_ms:
+            corr = centered_binary_ms_correction(ks, log_mod, bits)
+            body = modulus_switch(ks[:, -1] + corr, log_mod, bits)
+        else:
+            body = modulus_switch(ks[:, -1], log_mod, bits)
+        msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
+    return jnp.concatenate([msed_mask, body[:, None]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("pbs_base_log", "pbs_levels", "plan",
+                                   "bits", "use_pallas"))
+def pbs_from_switched_batch(msed, lut, bsk_mont, plan, pbs_base_log: int,
+                            pbs_levels: int, bits: int = 64,
+                            use_pallas: bool = False):
+    """Second half: blind rotate + sample extract from already
+    modulus-switched values (the decompression path for
+    CompressedModulusSwitchedCiphertext)."""
+    msed_mask, body = msed[:, :-1], msed[:, -1]
+    if use_pallas:
+        acc = blind_rotate_pallas_v2(msed_mask, body, lut, bsk_mont, plan,
+                                     pbs_base_log, pbs_levels)
+    else:
+        acc = blind_rotate(msed_mask, body, lut, bsk_mont, plan,
+                           pbs_base_log, pbs_levels, bits)
+    return sample_extract(acc)
+
+
 @partial(jax.jit, static_argnames=("ks_base_log", "ks_levels", "pbs_base_log",
                                    "pbs_levels", "plan", "bits", "centered_ms",
                                    "use_pallas", "extract_offsets"))

@@ -43,6 +43,36 @@ class ManyLookupTable:
     acc: np.ndarray
     stride: int
     degrees: tuple
+
+
+@dataclass
+class CompressedModulusSwitchedCiphertext:
+    """shortint/ciphertext/compressed_modulus_switched_ciphertext.rs analog:
+    a ciphertext stored AFTER keyswitch + modulus switch — log2(2N) bits per
+    coefficient instead of 64 (~5x smaller at 2_2 params).  Decompression is
+    the remaining blind-rotate + extract with any LUT (a PBS is mandatory,
+    which also refreshes noise)."""
+
+    packed: np.ndarray  # uint8 bit-packed little-endian stream
+    count: int          # n_small + 1 stored values
+    log_modulus: int    # values are in [0, 2N), 1 + log2(N) bits each
+    degree: int
+    message_modulus: int
+    carry_modulus: int
+
+
+def _pack_bits(vals: np.ndarray, width: int) -> np.ndarray:
+    """PackedIntegers analog: width-bit little-endian packing into bytes."""
+    bits = ((vals[:, None].astype(np.uint64) >> np.arange(width, dtype=np.uint64))
+            & np.uint64(1)).astype(np.uint8).reshape(-1)
+    return np.packbits(bits, bitorder="little")
+
+
+def _unpack_bits(packed: np.ndarray, width: int, count: int) -> np.ndarray:
+    bits = np.unpackbits(packed, bitorder="little")[: width * count]
+    weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
+    return (bits.reshape(count, width).astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64)
     input_max_degree: int
 
 
@@ -179,6 +209,64 @@ class ServerKey:
 
     def apply_lookup_table(self, ct: Ciphertext, lut: LookupTable) -> Ciphertext:
         return self.apply_lookup_table_batch([ct], lut)[0]
+
+    # ------------------------------------------------------------------
+    # modulus-switched compression (server_key/modulus_switched_compression.rs)
+    # ------------------------------------------------------------------
+
+    def switch_modulus_and_compress(self, ct: Ciphertext) -> CompressedModulusSwitchedCiphertext:
+        """Run the KS+MS half of the atomic pattern now and store the result
+        in log2(2N) bits per coefficient.  Decompression performs the
+        remaining blind rotation with a caller-chosen LUT."""
+        p = self.params
+        log_mod = p.polynomial_size.bit_length()  # log2(N) + 1
+        msed = np.asarray(srv.ks_ms_batch(
+            jnp.asarray(np.asarray(ct.data)[None]), self.ksk, log_mod,
+            p.ks_base_log, p.ks_level, p.bits,
+            p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
+            getattr(p, "ks32", False),
+            getattr(self, "drift_zeros", None),
+            p.drift_r_sigma, p.drift_ms_bound,
+            p.drift_input_variance * (2.0 ** 64) ** 2,
+        ))[0]
+        return CompressedModulusSwitchedCiphertext(
+            _pack_bits(msed, log_mod), len(msed), log_mod, ct.degree,
+            p.message_modulus, p.carry_modulus)
+
+    def decompress_and_apply_lookup_table(
+            self, compressed: CompressedModulusSwitchedCiphertext,
+            lut: LookupTable) -> Ciphertext:
+        return self.decompress_and_apply_lookup_table_batch(
+            [compressed], lut)[0]
+
+    def decompress_and_apply_lookup_table_batch(
+            self, compressed_list: list, luts) -> list:
+        """Batched decompression: unpack the stored post-MS values and run
+        ONE fused blind-rotate + extract for the whole list."""
+        p = self.params
+        if isinstance(luts, LookupTable):
+            luts = [luts] * len(compressed_list)
+        n_real = len(compressed_list)
+        msed = np.stack([_unpack_bits(c.packed, c.log_modulus, c.count)
+                         for c in compressed_list])
+        lut_b = np.stack([t.acc for t in luts])
+        n_pad = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+        if self.use_pallas:
+            n_pad = ((max(n_pad, 8) + 7) // 8) * 8
+        if n_pad > n_real:
+            msed = np.concatenate(
+                [msed, np.broadcast_to(msed[:1], (n_pad - n_real,) + msed.shape[1:])])
+            lut_b = np.concatenate(
+                [lut_b, np.broadcast_to(lut_b[:1], (n_pad - n_real,) + lut_b.shape[1:])])
+        out = np.asarray(srv.pbs_from_switched_batch(
+            jnp.asarray(msed), jnp.asarray(lut_b), self.bsk_mont, self.plan,
+            p.pbs_base_log, p.pbs_level, p.bits, self.use_pallas))[:n_real]
+        self.pbs_count += n_real
+        return [
+            Ciphertext(out[i], luts[i].degree, NOMINAL_NOISE,
+                       c.message_modulus, c.carry_modulus)
+            for i, c in enumerate(compressed_list)
+        ]
 
     # ------------------------------------------------------------------
     # many-LUT: several functions evaluated by ONE PBS

@@ -265,6 +265,20 @@ def _register_all():
 
     from ..zk.pke import Proof
 
+    from ..shortint.server_key import CompressedModulusSwitchedCiphertext
+
+    register_type(
+        "CompressedModulusSwitchedCiphertext", 0,
+        lambda c: {"packed": np.asarray(c.packed), "count": c.count,
+                   "log_modulus": c.log_modulus, "degree": c.degree,
+                   "message_modulus": c.message_modulus,
+                   "carry_modulus": c.carry_modulus},
+        lambda p: CompressedModulusSwitchedCiphertext(
+            np.asarray(p["packed"], dtype=np.uint8), p["count"],
+            p["log_modulus"], p["degree"], p["message_modulus"],
+            p["carry_modulus"]),
+    )
+
     # Curve points are 446-bit bigints: encode as fixed-width byte strings
     # (112 bytes G1 affine, 224 bytes G2 affine; all-zeros = infinity/absent).
     from ..zk.pke import _g1_bytes, _g1_from_bytes, _g2_bytes, _g2_from_bytes
