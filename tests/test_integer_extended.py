@@ -147,3 +147,18 @@ def test_bitonic_sort(keys):
     assert [ck.decrypt_radix(o) for o in out] == sorted(vals)
     out = sk.sort_parallelized(enc, ascending=False)
     assert [ck.decrypt_radix(o) for o in out] == sorted(vals, reverse=True)
+
+
+def test_radix_modulus_switched_compression(keys):
+    ck, sk = keys
+    for cls_enc, dec, vals in (
+        (lambda v: ck.encrypt_radix(v, 4), lambda c: ck.decrypt_radix(c), (0, 177, 255)),
+        (lambda v: ck.encrypt_signed_radix(v, 4), lambda c: ck.decrypt_signed_radix(c), (-100, 37)),
+    ):
+        for v in vals:
+            comp = sk.switch_modulus_and_compress(cls_enc(v))
+            back = sk.decompress(comp)
+            assert dec(back) == v, v
+            # signedness preserved through the roundtrip
+            from tfhe_tpu.integer.ciphertext import SignedRadixCiphertext
+            assert isinstance(back, SignedRadixCiphertext) == comp.signed

@@ -47,3 +47,12 @@ class BooleanBlock:
 
     def copy(self) -> "BooleanBlock":
         return BooleanBlock(self.block.copy())
+
+
+@dataclass
+class CompressedModulusSwitchedRadixCiphertext:
+    """integer/ciphertext compressed_modulus_switched_ciphertext analog:
+    per-block shortint CompressedModulusSwitchedCiphertext + signedness."""
+
+    blocks: list
+    signed: bool = False

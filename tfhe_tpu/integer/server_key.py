@@ -63,6 +63,27 @@ class ServerKey(ExtendedOpsMixin, SignedOpsMixin, CrtOpsMixin):
     def _is_signed(ct) -> bool:
         return isinstance(ct, SignedRadixCiphertext)
 
+    # ------------------------------------------------------------------
+    # modulus-switched compression (integer radix wrapper over shortint's)
+    # ------------------------------------------------------------------
+
+    def switch_modulus_and_compress(self, ct):
+        """CompressedModulusSwitchedRadixCiphertext analog: per-block KS+MS
+        packing at log2(2N) bits per coefficient; signedness is preserved."""
+        from .ciphertext import CompressedModulusSwitchedRadixCiphertext
+
+        return CompressedModulusSwitchedRadixCiphertext(
+            [self.key.switch_modulus_and_compress(b) for b in ct.blocks],
+            self._is_signed(ct))
+
+    def decompress(self, compressed):
+        """One batched blind rotation (message-extract LUT) over all blocks."""
+        lut = self._lut("msg_extract", lambda x: x % self.msg)
+        blocks = self.key.decompress_and_apply_lookup_table_batch(
+            compressed.blocks, lut)
+        cls = SignedRadixCiphertext if compressed.signed else RadixCiphertext
+        return cls(blocks)
+
     def _lut(self, name, f) -> LookupTable:
         if name not in self._luts:
             self._luts[name] = self.key.generate_lookup_table(f)

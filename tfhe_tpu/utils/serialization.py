@@ -279,6 +279,17 @@ def _register_all():
             p["carry_modulus"]),
     )
 
+    from ..integer.ciphertext import CompressedModulusSwitchedRadixCiphertext
+
+    _MSC = "CompressedModulusSwitchedCiphertext"
+    register_type(
+        "CompressedModulusSwitchedRadixCiphertext", 0,
+        lambda c: {"blocks": [_REGISTRY[_MSC]["to"](b) for b in c.blocks],
+                   "signed": c.signed},
+        lambda p: CompressedModulusSwitchedRadixCiphertext(
+            [_REGISTRY[_MSC]["from"](b) for b in p["blocks"]], p["signed"]),
+    )
+
     # Curve points are 446-bit bigints: encode as fixed-width byte strings
     # (112 bytes G1 affine, 224 bytes G2 affine; all-zeros = infinity/absent).
     from ..zk.pke import _g1_bytes, _g1_from_bytes, _g2_bytes, _g2_from_bytes
