@@ -43,6 +43,7 @@ class ManyLookupTable:
     acc: np.ndarray
     stride: int
     degrees: tuple
+    input_max_degree: int
 
 
 @dataclass
