@@ -23,19 +23,8 @@ if not _jax.config.jax_compilation_cache_dir:
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from . import boolean, hlapi, integer, shortint  # noqa: E402,F401
-from .hlapi import (  # noqa: E402,F401
-    ClientKey,
-    CompressedServerKey,
-    Config,
-    ConfigBuilder,
-    FheBool,
-    FheUint8,
-    FheUint16,
-    FheUint32,
-    FheUint64,
-    ServerKey,
-    generate_keys,
-    set_server_key,
-)
+# Re-export the whole high-level API at the package root, like the
+# reference's `use tfhe::{FheUint8, FheInt8, FheAsciiString, ...}`.
+from .hlapi import *  # noqa: E402,F401,F403
 
 __version__ = "0.1.0"

@@ -254,6 +254,23 @@ class FheUintBase:
     def ge(self, other) -> FheBool:
         return self._cmp(other, "ge_parallelized", "scalar_ge_parallelized")
 
+    # Python ordering operators as sugar over the named methods (the Rust
+    # reference can only offer .gt()/.lt()-style methods since its operators
+    # must return bool; Python's can return FheBool).  __eq__/__ne__ stay
+    # named-methods-only so ciphertexts keep default identity semantics for
+    # hashing and `in` checks.
+    def __lt__(self, other) -> FheBool:
+        return self.lt(other)
+
+    def __le__(self, other) -> FheBool:
+        return self.le(other)
+
+    def __gt__(self, other) -> FheBool:
+        return self.gt(other)
+
+    def __ge__(self, other) -> FheBool:
+        return self.ge(other)
+
     def min(self, other):
         return type(self)(self._sk().min_parallelized(self.inner, other.inner))
 
