@@ -80,7 +80,8 @@ class ServerKey:
         if ct.trivial is None:
             return np.asarray(ct.data)
         data = np.zeros(self.params.big_lwe_dimension + 1, dtype=np.uint64)
-        data[-1] = Q8 if ct.trivial else np.uint64(0) - Q8
+        with np.errstate(over="ignore"):
+            data[-1] = Q8 if ct.trivial else np.uint64(0) - Q8
         return data
 
     # -- gates -------------------------------------------------------------
@@ -93,23 +94,28 @@ class ServerKey:
     @staticmethod
     def _add_body(data: np.ndarray, offset: np.uint64) -> np.ndarray:
         out = np.array(data)
-        out[..., -1] = out[..., -1] + offset
+        with np.errstate(over="ignore"):
+            out[..., -1] = out[..., -1] + offset
         return out
 
     def _binary_lin(self, kind: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        neg = np.uint64(0) - np.uint64(1)  # -1 (wrapping)
-        if kind == "and":
-            return self._add_body(a + b, np.uint64(0) - Q8)
-        if kind == "or":
-            return self._add_body(a + b, Q8)
-        if kind == "xor":
-            return self._add_body((a + b) * np.uint64(2), Q4)
-        if kind == "nand":
-            return self._add_body((a + b) * neg, Q8)
-        if kind == "nor":
-            return self._add_body((a + b) * neg, np.uint64(0) - Q8)
-        if kind == "xnor":
-            return self._add_body((a + b) * (neg - np.uint64(1)), np.uint64(0) - Q4)
+        # wrapping mod 2^64 is the torus semantics; numpy's scalar-overflow
+        # warnings on the negated constants are silenced deliberately
+        with np.errstate(over="ignore"):
+            neg = np.uint64(0) - np.uint64(1)  # -1 (wrapping)
+            if kind == "and":
+                return self._add_body(a + b, np.uint64(0) - Q8)
+            if kind == "or":
+                return self._add_body(a + b, Q8)
+            if kind == "xor":
+                return self._add_body((a + b) * np.uint64(2), Q4)
+            if kind == "nand":
+                return self._add_body((a + b) * neg, Q8)
+            if kind == "nor":
+                return self._add_body((a + b) * neg, np.uint64(0) - Q8)
+            if kind == "xnor":
+                return self._add_body((a + b) * (neg - np.uint64(1)),
+                                      np.uint64(0) - Q4)
         raise ValueError(kind)
 
     _TRIVIAL = {

@@ -1,8 +1,9 @@
 """Encrypted arrays (high_level_api/array/): n-dimensional containers of
-FheUint elements with elementwise ops — every elementwise op over the array
-coalesces ALL block-PBS across ALL elements into shared batched rounds via
-the integer layer's batching (the dyn-stride CPU/GPU backends of the
-reference collapse into one device-batched path here)."""
+FheUint elements with elementwise ops.
+
+Each element op batches its own block-PBS rounds through the integer layer;
+cross-element coalescing (one device round spanning all array elements) is
+the round-coalescing scheduler's job — see integer/scheduler.py."""
 
 from __future__ import annotations
 

@@ -9,8 +9,8 @@ O(1) mask per N messages instead of one mask per message.  Expansion is a
 sample extract per slot (ops/server.py), exactly the list-compression read
 path.
 
-ZK proofs of well-formedness (ProvenCompactCiphertextList / tfhe-zk-pok) are
-not implemented yet — `build_with_proof` raises, it does not fake a proof.
+ZK proofs of well-formedness (ProvenCompactCiphertextList / tfhe-zk-pok):
+`build_with_proof` delegates to hlapi.proven_compact_list (zk/pke.py).
 """
 
 from __future__ import annotations
@@ -84,7 +84,10 @@ class CompactPublicKey:
         first_mod = p.message_modulus
         return CompactCiphertextList(glwe, len(messages), first_mod, p.carry_modulus)
 
-    def build_with_proof(self, *args, **kwargs):
-        raise NotImplementedError(
-            "ZK proofs of encryption (tfhe-zk-pok analog) are not implemented "
-            "yet; use encrypt_list for unproven compact lists.")
+    def build_with_proof(self, messages: list, crs, metadata: bytes = b"",
+                         load=None):
+        """Proven compact list (ProvenCompactCiphertextList): delegates to
+        hlapi.proven_compact_list.build_with_proof (zk/pke.py pke-v1 proof)."""
+        from . import proven_compact_list as pcl
+        kwargs = {} if load is None else {"load": load}
+        return pcl.build_with_proof(self, messages, crs, metadata, **kwargs)

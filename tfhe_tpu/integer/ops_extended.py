@@ -478,8 +478,9 @@ class ExtendedOpsMixin:
 
     def sort_parallelized(self, values: list, ascending: bool = True) -> list:
         """Bitonic sort of encrypted radix values: log^2(n) rounds of
-        oblivious compare-exchanges (every round's comparisons and cmuxes
-        batch through the shared pipeline)."""
+        oblivious compare-exchanges.  Each compare-exchange batches its own
+        PBS rounds; coalescing a whole round's n/2 exchanges into one device
+        batch is the round-coalescing scheduler's job (integer/scheduler.py)."""
         n0 = len(values)
         if n0 <= 1:
             return [v.copy() for v in values]

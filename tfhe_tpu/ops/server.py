@@ -639,25 +639,40 @@ def pbs_from_switched_batch(msed, lut, bsk_mont, plan, pbs_base_log: int,
 
 @partial(jax.jit, static_argnames=("ks_base_log", "ks_levels", "pbs_base_log",
                                    "pbs_levels", "plan", "bits", "centered_ms",
-                                   "use_pallas", "extract_offsets"))
+                                   "use_pallas", "extract_offsets", "ks32",
+                                   "drift_r_sigma", "drift_bound",
+                                   "drift_input_variance"))
 def ks_pbs_many_batch(ct, lut, ksk, bsk_mont, plan, ks_base_log: int,
                       ks_levels: int, pbs_base_log: int, pbs_levels: int,
                       extract_offsets: tuple, bits: int = 64,
-                      centered_ms: bool = False, use_pallas: bool = False):
+                      centered_ms: bool = False, use_pallas: bool = False,
+                      ks32: bool = False, drift_zeros=None,
+                      drift_r_sigma: float = 0.0, drift_bound: float = 0.0,
+                      drift_input_variance: float = 0.0):
     """Many-LUT pipeline (server_key/mod.rs:922): ONE KS->MS->blind-rotate,
     then one sample extraction per function at coefficient offsets.
 
-    Returns (B, n_fn, n_big+1).
+    Applies the same KS32 / drift / centered-mean MS noise-reduction options
+    as ks_pbs_batch so DRIFT and KS32 parameter sets keep their pfail budget
+    on the many-LUT path.  Returns (B, n_fn, n_big+1).
     """
     n_poly = lut.shape[-1]
     log_mod = n_poly.bit_length()
-    ks = keyswitch(ct, ksk, ks_base_log, ks_levels, bits)
-    if centered_ms:
-        corr = centered_binary_ms_correction(ks, log_mod, bits)
-        body = modulus_switch(ks[:, -1] + corr, log_mod, bits)
+    if ks32:
+        ks = keyswitch32(ct, ksk, ks_base_log, ks_levels)
+        body = modulus_switch(ks[:, -1], log_mod, 32).astype(U64)
+        msed_mask = modulus_switch(ks[:, :-1], log_mod, 32).astype(U64)
     else:
-        body = modulus_switch(ks[:, -1], log_mod, bits)
-    msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
+        ks = keyswitch(ct, ksk, ks_base_log, ks_levels, bits)
+        if drift_zeros is not None:
+            ks = drift_ms_improve(ks, drift_zeros, log_mod, drift_r_sigma,
+                                  drift_bound, drift_input_variance)
+        if centered_ms:
+            corr = centered_binary_ms_correction(ks, log_mod, bits)
+            body = modulus_switch(ks[:, -1] + corr, log_mod, bits)
+        else:
+            body = modulus_switch(ks[:, -1], log_mod, bits)
+        msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
     if use_pallas:
         acc = blind_rotate_pallas_v2(msed_mask, body, lut, bsk_mont, plan,
                                      pbs_base_log, pbs_levels)

@@ -74,7 +74,6 @@ def _unpack_bits(packed: np.ndarray, width: int, count: int) -> np.ndarray:
     weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
     return (bits.reshape(count, width).astype(np.uint64) * weights).sum(
         axis=1, dtype=np.uint64)
-    input_max_degree: int
 
 
 class ServerKey:
@@ -330,6 +329,10 @@ class ServerKey:
             offsets, p.bits,
             p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
             self.use_pallas,
+            getattr(p, "ks32", False),
+            getattr(self, "drift_zeros", None),
+            p.drift_r_sigma, p.drift_ms_bound,
+            p.drift_input_variance * (2.0 ** 64) ** 2,
         )
         out_np = np.asarray(out)[:n_real]
         self.pbs_count += n_real
@@ -350,9 +353,12 @@ class ServerKey:
 
     @staticmethod
     def _add_to_body(data: np.ndarray, scalar: np.uint64) -> np.ndarray:
-        """Add a plaintext offset to the body element only."""
+        """Add a plaintext offset to the body element only (wrapping mod 2^64
+        is the torus semantics — numpy's scalar-overflow warning is silenced
+        deliberately so a real overflow bug elsewhere still warns)."""
         out = np.array(data)
-        out[..., -1] = out[..., -1] + scalar
+        with np.errstate(over="ignore"):
+            out[..., -1] = out[..., -1] + scalar
         return out
 
     def unchecked_sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
@@ -378,8 +384,7 @@ class ServerKey:
     def unchecked_scalar_add(self, a: Ciphertext, scalar: int) -> Ciphertext:
         p = self.params
         shift = np.uint64((scalar * p.delta) % (1 << p.bits))
-        data = np.array(a.data)
-        data[-1] = data[-1] + shift
+        data = self._add_to_body(np.asarray(a.data), shift)
         return a.with_data(data, degree=a.degree + scalar)
 
     def unchecked_scalar_mul(self, a: Ciphertext, scalar: int) -> Ciphertext:
