@@ -1,0 +1,73 @@
+"""MXU-factorized external product / blind rotation vs the reference NTT
+path (ops/mxu.py vs ops/server.py) — bit-exactness on small parameters."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tfhe_tpu.core import keygen as kg
+from tfhe_tpu.core.params import (
+    BootstrapParams, CiphertextModulus, DecompParams, GlweParams, LweParams,
+)
+from tfhe_tpu.ops import mxu, ntt, server as srv
+from tfhe_tpu.utils.csprng import (
+    DeterministicSeeder, EncryptionRandomGenerator, SecretRandomGenerator,
+    TUniform,
+)
+
+N = 512
+N_IN = 4
+K_GLWE = 1
+BASE_LOG, LEVELS = 23, 1
+
+
+@pytest.fixture(scope="module")
+def setup():
+    gen_s = SecretRandomGenerator(123)
+    lwe_sk = kg.generate_binary_lwe_secret_key(N_IN, gen_s)
+    glwe_sk = kg.generate_binary_glwe_secret_key(K_GLWE, N, gen_s)
+    gen_e = EncryptionRandomGenerator(7, DeterministicSeeder(99))
+    bsk = kg.generate_lwe_bootstrap_key(
+        lwe_sk, glwe_sk, DecompParams(BASE_LOG, LEVELS), TUniform(3), gen_e)
+    bsk_mont, plan_ref = kg.bootstrap_key_to_ntt(bsk)
+    m_limbs, plan_mxu = mxu.bsk_to_mxu(bsk)
+    return bsk_mont, plan_ref, m_limbs, plan_mxu
+
+
+def test_external_product_matches(setup):
+    bsk_mont, plan_ref, m_limbs, plan_mxu = setup
+    rng = np.random.default_rng(0)
+    glwe = rng.integers(0, 1 << 64, (3, K_GLWE + 1, N), dtype=np.uint64)
+    ref = np.asarray(srv.external_product_ntt(
+        jnp.asarray(glwe), jnp.asarray(bsk_mont[0]).astype(jnp.uint64),
+        plan_ref, BASE_LOG, LEVELS))
+    got = np.asarray(mxu.external_product_mxu(
+        jnp.asarray(glwe), m_limbs[0], plan_mxu, BASE_LOG, LEVELS))
+    assert (got == ref).all(), f"max diff {np.max(got - ref)}"
+
+
+def test_blind_rotate_matches(setup):
+    bsk_mont, plan_ref, m_limbs, plan_mxu = setup
+    rng = np.random.default_rng(1)
+    b = 3
+    mask = rng.integers(0, 2 * N, (b, N_IN), dtype=np.uint64)
+    body = rng.integers(0, 2 * N, (b,), dtype=np.uint64)
+    lut = rng.integers(0, 1 << 64, (b, K_GLWE + 1, N), dtype=np.uint64)
+    ref = np.asarray(srv.blind_rotate(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(bsk_mont).astype(jnp.uint64), plan_ref, BASE_LOG, LEVELS))
+    got = np.asarray(mxu.blind_rotate_mxu(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(m_limbs), plan_mxu, BASE_LOG, LEVELS))
+    assert (got == ref).all()
+
+
+def test_mxu_prime_pool():
+    import math
+    for p, (a, m) in zip(mxu.MXU_PRIMES, ((1, 16), (9, 13), (5, 15), (3, 16))):
+        assert p == (1 << 28) - a * (1 << m) + 1
+        assert (p - 1) % (2 * 4096) == 0  # supports N <= 4096
+    prod = math.prod(mxu.MXU_PRIMES)
+    # exact-product bound for the classic families (l*(k+1)*N*B/2*2^63 * 2)
+    assert prod > 2 * 1 * 2 * 2048 * (1 << 22) * (1 << 63)

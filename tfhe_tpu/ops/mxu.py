@@ -1,0 +1,334 @@
+"""MXU-factorized blind rotation: the external product as int8-limb matmuls.
+
+The TPU systolic array (MXU) does int8 x int8 -> int32 matmuls at hundreds
+of TOPS while 32-bit vector multiplies are emulated 16-bit ops on the VPU
+(~20 ops each).  This module refactors the CMux external product so ~97% of
+its multiplies are MXU matmuls:
+
+  1. Four-step negacyclic NTT, N = N1*N2 (N1=128): the stage-1/stage-1' DFTs
+     are (N1 x N1) matrices -> matmuls with K = 128.
+  2. THE MIDDLE COLLAPSE: everything between the two stage-1s — forward
+     twiddle, stage-2 DFT, pointwise multiply by the (fixed per key) GGSW
+     NTT values, inverse stage-2, inverse twiddle — is, for each row k1, a
+     FIXED (N2 x N2) linear map mod p.  Those maps are precomputed from the
+     bootstrap key at conversion time (bsk_to_mxu) and applied as batched
+     matmuls.  No per-step twiddle or pointwise VPU multiplies remain.
+  3. 30-bit modmuls decompose exactly into 4x4 int8-limb (7-bit) matmuls
+     whose int32 diagonal sums are recombined mod p in a cheap epilogue
+     (digits are balanced limbs in [-64,63]; mod-p residues unsigned 7-bit).
+
+Primes: four 28-bit pseudo-Fermat primes p = 2^28 - a*2^m + 1 (a small, odd)
+so 2^28 folds to shift-adds; product 2^112 > the exact-product bound
+2*l*(k+1)*N*B/2*2^63 (2^99 for the 2_2 family).
+
+Reference structural counterpart: the collapse plays the role of the CUDA
+classic PBS kernel's fused NTT+pointwise (backends/tfhe-cuda-backend/cuda/
+src/pbs/programmable_bootstrap_classic.cu:746); the math is the standard
+four-step factorization of the same exact CRT-NTT as ops/ntt.py, so outputs
+are bit-identical to the existing XLA/Pallas paths.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ntt
+
+# 28-bit pseudo-Fermat NTT primes p = 2^28 - a*2^m + 1, descending;
+# v2(p-1) >= 13 (negacyclic N <= 4096), p0 < 2*p3 (Garner).
+MXU_PRIMES = (268369921, 268361729, 268271617, 268238849)
+#              a=1,m=16   a=9,m=13   a=5,m=15   a=3,m=16
+
+LIMB_BITS = 7
+N_LIMBS = 4  # 4*7 = 28 bits
+
+U64 = np.uint64
+I64 = jnp.int64
+
+
+def _pow(b, e, p):
+    return pow(int(b), int(e), int(p))
+
+
+def _modmat_u64(a: np.ndarray, b: np.ndarray, p: int) -> np.ndarray:
+    """(…, m, k) @ (k, n) mod p in u64, chunking K so sums stay < 2^64."""
+    k = a.shape[-1]
+    chunk = max(1, (1 << 63) // (p * p))
+    acc = None
+    for s in range(0, k, chunk):
+        part = np.matmul(a[..., s:s + chunk], b[s:s + chunk]) % U64(p)
+        acc = part if acc is None else (acc + part) % U64(p)
+    return acc
+
+
+def _limbs_unsigned(x: np.ndarray) -> np.ndarray:
+    """u64/u32 residues < 2^28 -> (N_LIMBS, ...) int8 limbs in [0, 128)."""
+    out = np.empty((N_LIMBS,) + x.shape, dtype=np.int8)
+    v = x.astype(np.uint64)
+    for e in range(N_LIMBS):
+        out[e] = ((v >> np.uint64(LIMB_BITS * e)) & np.uint64(127)).astype(np.int8)
+    return out
+
+
+@dataclass(frozen=True, eq=False)
+class MxuPlan:
+    n: int
+    n1: int
+    n2: int
+    primes: tuple
+    garner: ntt.NttPlan           # Garner/consts over the MXU primes
+    w1_limbs: np.ndarray          # (P, L, N1, N1) int8 — fwd stage-1 (twist folded)
+    w1i_limbs: np.ndarray         # (P, L, N1, N1) int8 — inv stage-1 (untwist+1/N... see build)
+    # host-side middle-build tables (u64): see bsk_to_mxu
+    tw_full: np.ndarray           # (P, N) full psi twist
+    w1c: np.ndarray               # (P, N1, N1) cyclic stage-1 matrix
+    twmid: np.ndarray             # (P, N1, N2) omega^{k1*i2}
+    w2: np.ndarray                # (P, N2, N2)
+    f_mid: np.ndarray             # (P, N1, N2, N2) tw_f-folded W2
+    g_mid: np.ndarray             # (P, N1, N2, N2) W2i folded with tw_i
+
+    @property
+    def num_primes(self):
+        return len(self.primes)
+
+
+@lru_cache(maxsize=None)
+def make_mxu_plan(n: int, n1: int = 128) -> MxuPlan:
+    assert n % n1 == 0 and n >= n1
+    n2 = n // n1
+    primes = MXU_PRIMES
+    garner = ntt.make_plan(n, len(primes), primes=primes)
+    w1_l, w1i_l = [], []
+    tw_full, w1c_all, twmid_all, w2_all, f_all, g_all = [], [], [], [], [], []
+    for p in primes:
+        g = ntt._find_generator(p)
+        psi = _pow(g, (p - 1) // (2 * n), p)
+        assert _pow(psi, n, p) == p - 1
+        om = _pow(psi, 2, p)
+        psi_i = _pow(psi, p - 2, p)
+        om_i = _pow(om, p - 2, p)
+        n_inv = _pow(n, p - 2, p)
+        # W1'[k1, i1] = om^{n2*i1*k1} * psi^{i1*n2}  (fwd twist folded)
+        i1 = np.arange(n1)
+        k1 = np.arange(n1)
+        e = np.outer(k1, i1) * n2 % n
+        w1 = np.array([[_pow(om, int(e[a, b]), p) for b in range(n1)]
+                       for a in range(n1)], dtype=U64)
+        twist_col = np.array([_pow(psi, int(b * n2), p) for b in range(n1)],
+                             dtype=U64)
+        w1p = (w1 * twist_col[None, :]) % U64(p)
+        # W1i[j1, kk] = psi^{-j1*n2} * om^{-n2*j1*kk}
+        w1i = np.array([[_pow(om_i, int(e[a, b]), p) for b in range(n1)]
+                        for a in range(n1)], dtype=U64)
+        untwist_row = np.array([_pow(psi_i, int(a * n2), p) for a in range(n1)],
+                               dtype=U64)
+        w1ip = (w1i * untwist_row[:, None]) % U64(p)
+        w1_l.append(_limbs_unsigned(w1p))
+        w1i_l.append(_limbs_unsigned(w1ip))
+        # middle-build tables
+        tw_full.append(np.array([_pow(psi, i, p) for i in range(n)], dtype=U64))
+        w1c_all.append(w1)
+        i2 = np.arange(n2)
+        k2 = np.arange(n2)
+        twmid = np.array([[_pow(om, int(a * b), p) for b in range(n2)]
+                          for a in range(n1)], dtype=U64)  # om^{k1*i2}
+        twmid_all.append(twmid)
+        e2 = np.outer(i2, k2) * n1 % n
+        w2 = np.array([[_pow(om, int(e2[a, b]), p) for b in range(n2)]
+                       for a in range(n2)], dtype=U64)
+        w2i = np.array([[_pow(om_i, int(e2[a, b]), p) for b in range(n2)]
+                        for a in range(n2)], dtype=U64)
+        w2_all.append(w2)
+        # tw_f[k1, i2] = om^{i2*k1} * psi^{i2}
+        psi_i2 = np.array([_pow(psi, int(b), p) for b in range(n2)], dtype=U64)
+        tw_f = (twmid * psi_i2[None, :]) % U64(p)
+        # tw_i[k1, j2] = om^{-j2*k1} * psi^{-j2} / N
+        twmid_i = np.array([[_pow(om_i, int(a * b), p) for b in range(n2)]
+                            for a in range(n1)], dtype=U64)
+        psii_j2 = np.array([_pow(psi_i, int(b), p) * n_inv % p for b in range(n2)],
+                           dtype=U64)
+        tw_i = (twmid_i * psii_j2[None, :]) % U64(p)
+        # F[k1, i2, k2] = tw_f[k1, i2] * W2[i2, k2]
+        f_mid = (tw_f[:, :, None] * w2[None, :, :]) % U64(p)
+        # G[k1, k2, j2] = W2i[k2, j2] * tw_i[k1, j2]
+        g_mid = (w2i[None, :, :] * tw_i[:, None, :]) % U64(p)
+        f_all.append(f_mid)
+        g_all.append(g_mid)
+    return MxuPlan(
+        n=n, n1=n1, n2=n2, primes=primes, garner=garner,
+        w1_limbs=np.stack(w1_l), w1i_limbs=np.stack(w1i_l),
+        tw_full=np.stack(tw_full), w1c=np.stack(w1c_all),
+        twmid=np.stack(twmid_all), w2=np.stack(w2_all),
+        f_mid=np.stack(f_all), g_mid=np.stack(g_all),
+    )
+
+
+def _forward_eval(polys: np.ndarray, plan: MxuPlan, pi: int) -> np.ndarray:
+    """Host four-step forward NTT of u64 polys (..., N) mod prime pi.
+
+    Returns evaluations ordered (..., N1 k1, N2 k2): slot (k1,k2) holds
+    P(psi^(2*(k2*N1+k1)+1))."""
+    p = plan.primes[pi]
+    n1, n2 = plan.n1, plan.n2
+    res = polys.astype(U64) % U64(p)
+    xt = (res * plan.tw_full[pi][None]) % U64(p)
+    a = xt.reshape(xt.shape[:-1] + (n1, n2))
+    s = _modmat_u64(a.swapaxes(-1, -2), plan.w1c[pi].T, p).swapaxes(-1, -2)
+    # s[k1, i2] = sum_i1 W1c[k1,i1] a[i1,i2]
+    bmid = (s * plan.twmid[pi][None]) % U64(p)
+    xhat = _modmat_u64(bmid, plan.w2[pi], p)  # (…, N1 k1, N2 k2)
+    return xhat
+
+
+def bsk_to_mxu(bsk, plan: MxuPlan = None):
+    """Convert a coefficient-domain LweBootstrapKey into middle-collapse
+    limb tensors.
+
+    bsk.data: (n_in, l, k+1, k+1, N) u64.  Returns (m_limbs, plan):
+    m_limbs int8 (n_in, P, L, N1, l*(k+1)*N2, (k+1)*N2) — for each input
+    mask element and prime, the per-k1 batched middle matrices with the
+    (level, in-poly, slot) contraction flattened and (out-poly, slot) as
+    output columns.
+    """
+    if plan is None:
+        plan = make_mxu_plan(bsk.polynomial_size)
+    data = bsk.data.astype(U64)
+    n_in, lev, k1r, k1c, n = data.shape
+    n1, n2 = plan.n1, plan.n2
+    per_prime = []
+    for pi, p in enumerate(plan.primes):
+        xhat = _forward_eval(data, plan, pi)    # (n_in, l, r, c, N1, N2)
+        # H[k1, k2, j2] = xhat[k1, k2] * G[k1, k2, j2]
+        h = (xhat[..., :, :, None] * plan.g_mid[pi][None, None, None, None]) % U64(p)
+        # M[k1, i2, j2] = sum_k2 F[k1, i2, k2] * H[k1, k2, j2]
+        f = plan.f_mid[pi]                      # (N1, N2, N2)
+        m = np.matmul(f[None, None, None, None], h) % U64(p)
+        # (n_in, l, r, c, N1, i2, j2) -> (n_in, N1, l, r, i2, c, j2)
+        m = m.transpose(0, 4, 1, 2, 5, 3, 6)
+        m = m.reshape(n_in, n1, lev * k1r * n2, k1c * n2)
+        per_prime.append(_limbs_unsigned(m))    # (L, n_in, N1, K, C)
+    stacked = np.stack(per_prime)               # (P, L, n_in, N1, K, C)
+    m_limbs = np.ascontiguousarray(stacked.transpose(2, 0, 1, 3, 4, 5))
+    return m_limbs, plan
+
+
+# ---------------------------------------------------------------------------
+# Device-side (jnp) — exact, XLA-traceable; the Pallas kernel mirrors this
+# ---------------------------------------------------------------------------
+
+
+def _digit_limbs(digits, plan: MxuPlan):
+    """Signed wrapped digits u64 (l, B, k+1, N) -> int8 balanced limbs
+    (L, N1, B, l*(k+1)*N2) ordered for stage-1/middle consumption."""
+    lev, b, kk, n = digits.shape
+    n1, n2 = plan.n1, plan.n2
+    d = digits.astype(jnp.int64)
+    limbs = []
+    for e in range(N_LIMBS):
+        le = ((d + 64) & 127) - 64
+        limbs.append(le.astype(jnp.int8))
+        d = (d - le) >> 7
+    lst = jnp.stack(limbs)                       # (L, l, B, k+1, N)
+    lst = lst.reshape(N_LIMBS, lev, b, kk, n1, n2)
+    # -> (L, N1, B, l, k+1, N2) -> (L, N1, B, l*(k+1)*N2)
+    lst = lst.transpose(0, 4, 2, 1, 3, 5)
+    return lst.reshape(N_LIMBS, n1, b, lev * kk * n2)
+
+
+def _fold_diags_mod_p(diags, p: int):
+    """diags: list of 2L-1 int32 arrays (signed ok) -> canonical residues
+    uint32 < p.  Prototype epilogue: int64 Horner + one remainder."""
+    acc = jnp.zeros(diags[0].shape, jnp.int64)
+    for d in reversed(range(len(diags))):
+        acc = (acc << 7) + diags[d].astype(jnp.int64)
+    r = acc % np.int64(p)
+    r = jnp.where(r < 0, r + np.int64(p), r)
+    return r.astype(jnp.uint32)
+
+
+def _limb_matmul(lhs_limbs, rhs_limbs, p: int, batched: bool):
+    """Accumulate int8 limb matmuls into mod-p canonical residues.
+
+    lhs_limbs: (L, [G,] M, K) int8; rhs_limbs: (L, [G,] K, C) int8.
+    Returns uint32 ([G,] M, C) = (sum_{e,f} 2^{7(e+f)} lhs_e @ rhs_f) mod p.
+    """
+    ndiag = 2 * N_LIMBS - 1
+    diags = [None] * ndiag
+    dims = ((((2,), (1,)), ((0,), (0,))) if batched
+            else (((1,), (0,)), ((), ())))
+    for e in range(N_LIMBS):
+        for f in range(N_LIMBS):
+            prod = jax.lax.dot_general(lhs_limbs[e], rhs_limbs[f],
+                                       dimension_numbers=dims,
+                                       preferred_element_type=jnp.int32)
+            d = e + f
+            diags[d] = prod if diags[d] is None else diags[d] + prod
+    return _fold_diags_mod_p(diags, p)
+
+
+def external_product_mxu(glwe, m_limbs_step, plan: MxuPlan, base_log: int,
+                         levels: int, bits: int = 64):
+    """GGSW (x) GLWE external product through the MXU factorization.
+
+    glwe: (B, k+1, N) u64; m_limbs_step: (P, L, N1, l*(k+1)*N2, (k+1)*N2)
+    int8 (one mask element's middle tensor).  Returns (B, k+1, N) u64,
+    bit-identical to ops.server.external_product_ntt.
+    """
+    from .server import signed_decompose
+
+    b, kk, n = glwe.shape
+    n1, n2 = plan.n1, plan.n2
+    digits = signed_decompose(glwe, base_log, levels, bits)  # (l, B, k+1, N)
+    dl = _digit_limbs(digits, plan)              # (L, N1, B, l*(k+1)*N2)
+    outs = []
+    for pi, p in enumerate(plan.primes):
+        w1 = jnp.asarray(plan.w1_limbs[pi])      # (L, N1, N1)
+        # stage 1: S[k1, (B, lr, i2)] = sum_i1 W1'[k1, i1] x[i1, ...]
+        x = dl.reshape(N_LIMBS, n1, -1)          # (L, N1, B*lr*N2)
+        s = _limb_matmul(w1, x, p, batched=False)  # (N1, B*lr*N2) u32
+        # middle: batched over k1
+        kmid = m_limbs_step.shape[-2]
+        s = s.reshape(n1, b, kmid)
+        sl = _limbs_unsigned_jnp(s)              # (L, N1, B, K)
+        m = jnp.asarray(m_limbs_step[pi])        # (L, N1, K, C)
+        v = _limb_matmul(sl, m, p, batched=True)  # (N1, B, C) u32
+        # inverse stage 1: y[j1, (B, c, j2)] = sum_k1 W1i[j1,k1] V[k1, ...]
+        w1i = jnp.asarray(plan.w1i_limbs[pi])
+        vl = _limbs_unsigned_jnp(v.reshape(n1, -1))  # (L, N1, B*C)
+        y = _limb_matmul(w1i, vl, p, batched=False)  # (N1, B*(k+1)*N2)
+        y = y.reshape(n1, b, kk, n2).transpose(1, 2, 0, 3).reshape(b, kk, n)
+        outs.append(y.astype(U64))
+    res = jnp.stack(outs, axis=-2)               # (B, k+1, P, N)
+    return ntt.garner_to_u64(res, plan.garner, jnp)
+
+
+def _limbs_unsigned_jnp(x):
+    """uint32 residues < 2^28 -> (L, ...) int8 limbs in [0, 128)."""
+    return jnp.stack([((x >> np.uint32(LIMB_BITS * e)) & np.uint32(127)).astype(jnp.int8)
+                      for e in range(N_LIMBS)])
+
+
+def blind_rotate_mxu(msed_mask, msed_body, lut, m_limbs, plan: MxuPlan,
+                     base_log: int, levels: int, bits: int = 64):
+    """Batched blind rotation via the MXU external product.
+
+    msed_mask: (B, n_in) u64 in [0, 2N); m_limbs: (n_in, P, L, N1, K, C)
+    int8 from bsk_to_mxu.  Bit-identical to ops.server.blind_rotate.
+    """
+    from .server import monomial_div, monomial_mul
+
+    acc0 = monomial_div(lut, msed_body[:, None, None])
+
+    def step(acc, xs):
+        a_i, mstep = xs
+        ct1 = monomial_mul(acc, a_i[:, None, None]) - acc
+        prod = external_product_mxu(ct1, mstep, plan, base_log, levels, bits)
+        return acc + prod, None
+
+    acc, _ = jax.lax.scan(step, acc0, (msed_mask.T, m_limbs))
+    return acc

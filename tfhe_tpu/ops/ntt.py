@@ -107,9 +107,17 @@ class NttPlan:
 
 
 @lru_cache(maxsize=None)
-def make_plan(n: int, num_primes: int = 4) -> NttPlan:
+def make_plan(n: int, num_primes: int = 4, primes: tuple = None) -> NttPlan:
+    """Build an NTT plan.  `primes` overrides the default 30-bit pool (the
+    MXU engine uses 28-bit pseudo-Fermat primes, ops/mxu.py); they must be
+    descending with p0 < 2*p_j (Garner) and 2n | p-1."""
     assert n & (n - 1) == 0, "N must be a power of two"
-    primes = PRIMES[:num_primes]
+    if primes is None:
+        primes = PRIMES[:num_primes]
+    else:
+        primes = tuple(primes[:num_primes])
+        assert all(primes[i] > primes[i + 1] for i in range(len(primes) - 1))
+        assert primes[0] < 2 * primes[-1]
     plans = []
     for p in primes:
         assert (p - 1) % (2 * n) == 0, f"prime {p} does not support size {n}"

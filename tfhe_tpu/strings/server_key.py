@@ -10,9 +10,10 @@ from __future__ import annotations
 from ..integer.ciphertext import BooleanBlock, RadixCiphertext
 from ..integer.server_key import ServerKey as IntegerServerKey
 from .ciphertext import FheString
+from .split import SplitMixin
 
 
-class StringServerKey:
+class StringServerKey(SplitMixin):
     def __init__(self, integer_key: IntegerServerKey):
         self.sk = integer_key
 
@@ -108,19 +109,40 @@ class StringServerKey:
         return self._case_map(a, ord("A"), ord("Z"), 32)
 
     def concat(self, a: FheString, b: FheString) -> FheString:
-        """Concatenation; exact when `a` is unpadded (strings/server_key
-        concat semantics for padded lhs require a hidden rotate — see
-        pattern family work)."""
-        if a.padded:
-            raise NotImplementedError("concat with padded lhs lands with the "
-                                      "hidden-shift pattern ops")
-        return FheString([c for c in a.chars] + [c for c in b.chars],
-                         a.padded or b.padded)
+        """Concatenation (strings/server_key concat.rs): for a padded lhs
+        the rhs is barrel-shifted right by the hidden length of `a` and the
+        two disjoint char sets are merged."""
+        if not a.padded:
+            return FheString([c.copy() for c in a.chars] +
+                             [c.copy() for c in b.chars],
+                             a.padded or b.padded)
+        if not a.chars:
+            return FheString([c.copy() for c in b.chars], b.padded)
+        n_out = a.max_len + b.max_len
+        nb = a.chars[0].num_blocks
+        nbi = self._idx_blocks(n_out + 1)
+        la = self.sk.cast_to_unsigned(self.len_(a), nbi)
+        zero = self.sk.create_trivial_radix(0, nb)
+        b_ext = [c.copy() for c in b.chars] + [zero] * (n_out - b.max_len)
+        b_shifted = self._barrel_shift_right_chars(b_ext, la, n_out)
+        out = []
+        for i in range(n_out):
+            if i < a.max_len:
+                # disjoint supports: a[i] is nul beyond len(a), b_shifted is
+                # nul before it — bitwise OR merges without a carry round
+                out.append(self.sk.bitor_parallelized(a.chars[i], b_shifted[i]))
+            else:
+                out.append(b_shifted[i])
+        return FheString(out, padded=True)
 
     def repeat(self, a: FheString, n: int) -> FheString:
-        if a.padded and n > 1:
-            raise NotImplementedError("repeat of padded strings")
-        return FheString([c for _ in range(n) for c in a.chars], a.padded)
+        if not a.padded or n <= 1:
+            return FheString([c.copy() for _ in range(n) for c in a.chars],
+                             a.padded)
+        out = FheString([c.copy() for c in a.chars], padded=True)
+        for _ in range(n - 1):
+            out = self.concat(out, a)
+        return out
 
     # ------------------------------------------------------------------
     # pattern family (server_key/pattern/)
@@ -155,7 +177,6 @@ class StringServerKey:
         return self._window_match(a, pat, 0)
 
     def ends_with(self, a: FheString, pat) -> BooleanBlock:
-        """Clear pattern only for padded strings (hidden length)."""
         plen = len(pat) if isinstance(pat, str) else pat.max_len
         if plen == 0:
             return self._true()
@@ -163,8 +184,32 @@ class StringServerKey:
             if plen > a.max_len:
                 return self._false()
             return self._window_match(a, pat, a.max_len - plen)
-        raise NotImplementedError("ends_with on padded strings needs the "
-                                  "hidden-length alignment pass")
+        # hidden length: shift a left by len(a) - len(pat) so the suffix
+        # lands at offset 0, then window-match (pattern/ends_with semantics)
+        if plen > a.max_len:
+            return self._false()
+        nbi = self._idx_blocks(a.max_len + 1)
+        la = self.sk.cast_to_unsigned(self.len_(a), nbi)
+        if isinstance(pat, str):
+            lp = self.sk.create_trivial_radix(plen, nbi)
+        else:
+            lp = (self.sk.cast_to_unsigned(self.len_(pat), nbi) if pat.padded
+                  else self.sk.create_trivial_radix(plen, nbi))
+        long_enough = self.sk.ge_parallelized(la, lp)
+        shift = self.sk.sub_parallelized(la, lp)  # wraps if short; gated below
+        shifted = self._barrel_shift_left_chars(
+            [c.copy() for c in a.chars], shift, a.max_len)
+        tail = FheString(shifted, padded=True)
+        if isinstance(pat, str) or not pat.padded:
+            match = self._window_match(tail, pat, 0)
+            # remaining chars past the pattern must be nul (suffix = whole tail)
+            extra = [self._char_eq_clear(shifted[j], 0)
+                     for j in range(plen, a.max_len)]
+            if extra:
+                match = self.sk.boolean_and(match, self.sk.boolean_and_many(extra))
+        else:
+            match = self.eq(tail, pat)
+        return self.sk.boolean_and(match, long_enough)
 
     def find(self, a: FheString, pat):
         """(found: BooleanBlock, index: RadixCiphertext) of first match."""
@@ -223,12 +268,12 @@ class StringServerKey:
 
     def replace_clear(self, a: FheString, from_pat: str, to_pat: str) -> FheString:
         """Replace non-overlapping left-to-right matches of `from_pat` with
-        `to_pat` (equal lengths — the general length-changing case goes
-        through padded re-packing, not implemented yet)."""
+        `to_pat`.  Equal lengths rewrite in place; the length-changing case
+        re-packs through split + join (pattern/replace.rs)."""
         plen = len(from_pat)
-        if plen != len(to_pat):
-            raise NotImplementedError("replace with length-changing patterns")
-        if plen == 0 or plen > a.max_len:
+        if plen != len(to_pat) or plen == 0:
+            return self._replace_repack(a, from_pat, to_pat)
+        if plen > a.max_len:
             return FheString([c.copy() for c in a.chars], a.padded)
         matches = [self._window_match(a, from_pat, off)
                    for off in range(a.max_len - plen + 1)]
@@ -249,6 +294,32 @@ class StringServerKey:
                 out[i] = self.sk.if_then_else_parallelized(
                     act, self.sk.create_trivial_radix(ord(ch), nb), out[i])
         return FheString(out, a.padded)
+
+    def _replace_repack(self, a: FheString, from_pat: str, to_pat: str) -> FheString:
+        """Length-changing replace: split on `from_pat`, join with `to_pat`
+        (each insert gated by the field's is_some flag)."""
+        if not a.chars:
+            return FheString([], padded=True)
+        nb = a.chars[0].num_blocks
+        pieces = self.split(a, from_pat)
+        zero = self.sk.create_trivial_radix(0, nb)
+        out = FheString([c.copy() for c in pieces[0][0].chars], padded=True)
+        for k in range(1, len(pieces)):
+            some = pieces[k][1]
+            to_chars = [self.sk.if_then_else_parallelized(
+                some, self.sk.create_trivial_radix(ord(ch), nb), zero)
+                for ch in to_pat]
+            if to_chars:
+                out = self.concat(out, FheString(to_chars, padded=True))
+            out = self.concat(out, pieces[k][0])
+        # provable content bound: n + max_matches * growth
+        n, p, q = a.max_len, len(from_pat), len(to_pat)
+        cap = n + (n // max(p, 1) + (1 if p == 0 else 0) * (n + 1)) * max(0, q - p)
+        if p == 0:
+            cap = n + (n + 1) * q
+        if out.max_len > cap:
+            out = FheString(out.chars[:cap], padded=True)
+        return out
 
     # ------------------------------------------------------------------
     # trim / strip (trim.rs, pattern/strip.rs)
@@ -330,17 +401,27 @@ class StringServerKey:
         return FheString(out, padded=True), found
 
     def strip_suffix(self, a: FheString, pat: str):
-        """(stripped, found) — unpadded strings only (hidden-length suffix
-        alignment follows with the padded ends_with pass)."""
-        if a.padded:
-            raise NotImplementedError("strip_suffix on padded strings")
+        """(stripped, found) — removes `pat` from the hidden end if present
+        (pattern/strip.rs)."""
         found = self.ends_with(a, pat)
         plen = len(pat)
-        nb = a.chars[0].num_blocks
-        out = [c.copy() for c in a.chars]
-        for i in range(max(0, a.max_len - plen), a.max_len):
-            out[i] = self.sk.if_then_else_parallelized(
-                found, self.sk.create_trivial_radix(0, nb), out[i])
+        nb = a.chars[0].num_blocks if a.chars else 1
+        if not a.padded:
+            out = [c.copy() for c in a.chars]
+            for i in range(max(0, a.max_len - plen), a.max_len):
+                out[i] = self.sk.if_then_else_parallelized(
+                    found, self.sk.create_trivial_radix(0, nb), out[i])
+            return FheString(out, padded=True), found
+        # padded: null out positions i >= len(a) - plen when found
+        nbi = self._idx_blocks(a.max_len + 1)
+        la = self.sk.cast_to_unsigned(self.len_(a), nbi)
+        thresh = self.sk.scalar_sub_parallelized(la, min(plen, a.max_len))
+        zero = self.sk.create_trivial_radix(0, nb)
+        out = []
+        for i in range(a.max_len):
+            past = self.sk.scalar_le_parallelized(thresh, i)  # thresh <= i
+            kill = self.sk.boolean_and(found, past)
+            out.append(self.sk.if_then_else_parallelized(kill, zero, a.chars[i]))
         return FheString(out, padded=True), found
 
     def eq_ignore_case(self, a: FheString, b: FheString) -> BooleanBlock:
