@@ -74,6 +74,28 @@ class FheUintBase:
         n = cls.num_blocks(sk.params)
         return cls(sk.create_trivial_radix(value, n))
 
+    @classmethod
+    def generate_oblivious_pseudo_random(cls, seed: int,
+                                         random_bits_count: int | None = None):
+        """Server-side uniform pseudorandom value from a public seed
+        (high_level_api/integers/oprf.rs): full width, or bounded to
+        [0, 2^random_bits_count)."""
+        from ..integer.oprf import OprfServerKey
+
+        sk = internal_server_key().integer_key
+        n = cls.num_blocks(sk.params)
+        ok = OprfServerKey.from_compute_key(sk)
+        if random_bits_count is None:
+            return cls(ok.generate_oblivious_pseudo_random_unsigned_integer(
+                seed, n, sk))
+        return cls(ok.generate_oblivious_pseudo_random_unsigned_integer_bounded(
+            seed, random_bits_count, n, sk))
+
+    @classmethod
+    def generate_oblivious_pseudo_random_bounded(cls, seed: int,
+                                                 random_bits_count: int):
+        return cls.generate_oblivious_pseudo_random(seed, random_bits_count)
+
     def decrypt(self, client_key) -> int:
         return client_key.integer_key.decrypt_radix(self.inner)
 
