@@ -70,3 +70,39 @@ def test_cmux_step_parity_two_levels():
                                      jnp.asarray(lut), jnp.asarray(bsk), plan,
                                      base_log, levels, tb=4, interpret=True)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_blind_rotate_v2_parity_interpret():
+    """The PRODUCTION chunk-layout kernel (build_blind_rotate_v2) vs the XLA
+    path, through the Pallas interpreter — the v2 kernel itself is what
+    bench.py runs on hardware."""
+    rng = np.random.default_rng(11)
+    n_in, levels, base_log, b, tb = 3, 1, 23, 4, 2
+    bsk, plan = _random_bsk(rng, n_in, levels)
+    lut = rng.integers(0, 2**63, (b, K1, N), dtype=np.uint64) * 2 + 1
+    mask = rng.integers(0, 2 * N, (b, n_in), dtype=np.uint64)
+    body = rng.integers(0, 2 * N, (b,), dtype=np.uint64)
+
+    want = server.blind_rotate(jnp.asarray(mask), jnp.asarray(body),
+                               jnp.asarray(lut), jnp.asarray(bsk), plan,
+                               base_log, levels)
+    got = server.blind_rotate_pallas_v2(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(bsk), plan, base_log, levels, tb=tb, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_blind_rotate_v2_parity_interpret_two_levels():
+    rng = np.random.default_rng(12)
+    n_in, levels, base_log, b, tb = 2, 2, 8, 8, 4
+    bsk, plan = _random_bsk(rng, n_in, levels)
+    lut = rng.integers(0, 2**63, (b, K1, N), dtype=np.uint64)
+    mask = rng.integers(0, 2 * N, (b, n_in), dtype=np.uint64)
+    body = rng.integers(0, 2 * N, (b,), dtype=np.uint64)
+    want = server.blind_rotate(jnp.asarray(mask), jnp.asarray(body),
+                               jnp.asarray(lut), jnp.asarray(bsk), plan,
+                               base_log, levels)
+    got = server.blind_rotate_pallas_v2(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(bsk), plan, base_log, levels, tb=tb, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(want))

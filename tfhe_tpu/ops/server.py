@@ -526,9 +526,12 @@ def packing_keyswitch(lwes, pksk_mont, plan, base_log: int, levels: int,
 
 
 def blind_rotate_pallas_v2(msed_mask, msed_body, lut, bsk_mont, plan,
-                           base_log: int, levels: int, tb: int = 8):
+                           base_log: int, levels: int, tb: int = 8,
+                           interpret: bool = False):
     """Blind rotation through the fused chunk-layout Pallas kernel
-    (pallas_ntt.build_blind_rotate_v2) — the production TPU path."""
+    (pallas_ntt.build_blind_rotate_v2) — the production TPU path.
+    interpret=True runs the same kernel through the Pallas interpreter
+    (CPU-testable parity of the production kernel)."""
     from . import pallas_ntt
 
     b, k1, n = lut.shape
@@ -538,7 +541,7 @@ def blind_rotate_pallas_v2(msed_mask, msed_body, lut, bsk_mont, plan,
     hi0 = pallas_ntt.to_chunk_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n)
     bsk_c = bsk_mont.reshape(*bsk_mont.shape[:-1], n // 128, 128)
     run = pallas_ntt.build_blind_rotate_v2(n, plan.num_primes, base_log, levels,
-                                           k1, tb, n_in)
+                                           k1, tb, n_in, interpret)
     lo, hi = run(lo0, hi0, msed_mask.T.astype(jnp.int32), bsk_c)
     lo = pallas_ntt.from_chunk_layout(lo, b, k1, n)
     hi = pallas_ntt.from_chunk_layout(hi, b, k1, n)
@@ -548,13 +551,15 @@ def blind_rotate_pallas_v2(msed_mask, msed_body, lut, bsk_mont, plan,
 @partial(jax.jit, static_argnames=("ks_base_log", "ks_levels", "pbs_base_log",
                                    "pbs_levels", "plan", "bits", "centered_ms",
                                    "use_pallas", "ks32", "drift_r_sigma",
-                                   "drift_bound", "drift_input_variance"))
+                                   "drift_bound", "drift_input_variance",
+                                   "pallas_interpret"))
 def ks_pbs_batch(ct, lut, ksk, bsk_mont, plan, ks_base_log: int, ks_levels: int,
                  pbs_base_log: int, pbs_levels: int, bits: int = 64,
                  centered_ms: bool = False, use_pallas: bool = False,
                  ks32: bool = False, drift_zeros=None,
                  drift_r_sigma: float = 0.0, drift_bound: float = 0.0,
-                 drift_input_variance: float = 0.0):
+                 drift_input_variance: float = 0.0,
+                 pallas_interpret: bool = False):
     """The TPU money path: one fused batched KS->PBS (shortint atomic pattern).
 
     ct: (B, n_big+1) u64 LWE batch under the big key;
@@ -584,7 +589,8 @@ def ks_pbs_batch(ct, lut, ksk, bsk_mont, plan, ks_base_log: int, ks_levels: int,
         msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
     if use_pallas:
         acc = blind_rotate_pallas_v2(msed_mask, body, lut, bsk_mont, plan,
-                                     pbs_base_log, pbs_levels)
+                                     pbs_base_log, pbs_levels,
+                                     interpret=pallas_interpret)
     else:
         acc = blind_rotate(msed_mask, body, lut, bsk_mont, plan,
                            pbs_base_log, pbs_levels, bits)

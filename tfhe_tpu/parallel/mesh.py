@@ -72,6 +72,7 @@ def sharded_ks_pbs_shard_map(mesh: Mesh, ct, lut, ksk, bsk_mont, plan,
                              pbs_base_log: int, pbs_levels: int,
                              bits: int = 64, centered_ms: bool = False,
                              use_pallas: bool = False,
+                             pallas_interpret: bool = False,
                              axis_name: str = "batch"):
     """Explicit shard_map variant: each device runs the full fused pipeline
     (optionally the Pallas kernel) on its batch shard — the production
@@ -88,11 +89,15 @@ def sharded_ks_pbs_shard_map(mesh: Mesh, ct, lut, ksk, bsk_mont, plan,
     def per_device(ct_s, lut_s, ksk_r, bsk_r):
         return srv.ks_pbs_batch(ct_s, lut_s, ksk_r, bsk_r, plan,
                                 ks_base_log, ks_levels, pbs_base_log,
-                                pbs_levels, bits, centered_ms, use_pallas)
+                                pbs_levels, bits, centered_ms, use_pallas,
+                                pallas_interpret=pallas_interpret)
 
     f = jax.jit(shard_map(
         per_device, mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None, None), P(), P()),
         out_specs=P(axis_name, None),
+        # pallas_call outputs carry no vma metadata; the pipeline is purely
+        # data-parallel so the varying-mesh-axes check adds nothing
+        check_rep=False,
     ))
     return f(ct, lut, ksk, bsk_mont)
