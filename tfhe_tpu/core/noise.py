@@ -35,13 +35,20 @@ def keyswitch_additive_variance(n_in: int, base_log: int, levels: int,
     """Additive variance of an LWE keyswitch (binary keys).
 
     Two terms (lwe_keyswitch noise formula):
-      - KSK noise accumulation: n_in * levels * var_ksk
+      - KSK noise accumulation: n_in * levels * (B^2+2)/12 * var_ksk
+        (each KSK noise sample is scaled by a balanced digit with
+        E[d^2] = (B^2+2)/12 — same factor as the external product)
       - decomposition rounding: n_in * (q^2 2^-2(b*l) - 1) / 12 * (1/2)
-        approximated with the balanced-digit convention.
+        (residual multiplies a binary key bit, E[s^2] = 1/2).
+
+    Validated against measured production-parameter phases in
+    tests/test_noise_pfail.py (the digit factor is invisible at toy
+    parameters where the rounding term dominates).
     """
+    b = 2.0 ** base_log
     b2l = 2.0 ** (bits - base_log * levels)
     rounding = n_in * (b2l ** 2 / 12.0 - 1.0 / 12.0) * 0.5
-    key_noise = n_in * levels * var_ksk
+    key_noise = n_in * levels * (b * b + 2.0) / 12.0 * var_ksk
     return key_noise + rounding
 
 
