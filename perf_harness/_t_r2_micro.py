@@ -20,27 +20,30 @@ import numpy as np
 NSETS = 3
 
 
-def _time_calls(fn, arg_sets, calls):
-    r = None
-    t0 = time.time()
-    for c in range(calls):
+def _time_min(fn, arg_sets, reps=3):
+    """Min single-call latency over reps (each call a distinct input set)."""
+    best = float("inf")
+    for c in range(reps):
+        t0 = time.time()
         r = fn(*arg_sets[c % NSETS])
-    np.asarray(r)
-    return (time.time() - t0) / calls
+        np.asarray(r)
+        best = min(best, time.time() - t0)
+    return best
 
 
 def _bench2(make_fn, arg_sets, iters_lo, iters_hi, work_per_iter, unit, label,
-            calls=4):
+            calls=3):
     import jax
     f_lo, f_hi = make_fn(iters_lo), make_fn(iters_hi)
     np.asarray(f_lo(*arg_sets[0]))  # compile
     np.asarray(f_hi(*arg_sets[0]))
-    t_lo = _time_calls(f_lo, arg_sets, calls)
-    t_hi = _time_calls(f_hi, arg_sets, calls)
+    t_lo = _time_min(f_lo, arg_sets, calls)
+    t_hi = _time_min(f_hi, arg_sets, calls)
     marginal = (t_hi - t_lo) / (iters_hi - iters_lo)
     rate = work_per_iter / marginal if marginal > 0 else float("inf")
     print(f"{label}: {rate / 1e12:.3f} T{unit}/s marginal "
-          f"({marginal*1e6:.2f} us/iter; abs {t_hi*1e3:.1f} ms @ {iters_hi})")
+          f"({marginal*1e6:.3f} us/iter; lo {t_lo*1e3:.1f} / hi {t_hi*1e3:.1f} ms)",
+          flush=True)
     return rate
 
 
@@ -53,15 +56,15 @@ def bench_mxu():
     rng = np.random.default_rng(0)
 
     for (nd, M, K, NN, il, ih) in [
-        (16, 128, 128, 512, 50, 250),
-        (16, 128, 128, 2048, 20, 100),
-        (8, 128, 256, 512, 50, 250),
-        (4, 128, 512, 512, 50, 250),
-        (16, 256, 128, 512, 30, 150),
-        (1, 128, 128, 512, 200, 1000),
+        (16, 128, 128, 512, 3000, 15000),
+        (16, 128, 128, 2048, 800, 4000),
+        (8, 128, 256, 512, 3000, 15000),
+        (4, 128, 512, 512, 3000, 15000),
+        (16, 256, 128, 512, 1500, 7500),
+        (1, 128, 128, 512, 20000, 100000),
         # batched dot_general: 128 groups of (64, 32) @ (32, 32) — the
         # middle-matmul shape class (N1=128 four-step)
-        ("bat", 128, 32, 32, 50, 250),
+        ("bat", 128, 32, 32, 3000, 15000),
     ]:
         if nd == "bat":
             G, rows = 128, 64
@@ -188,9 +191,52 @@ def bench_vpu():
                 f" {opname}-chain", f"vpu {opname}")
 
 
+
+
+def bench_vpu_ilp():
+    """Throughput with 4 independent chains (the serial bench measures
+    latency; epilogue code has abundant cross-element ILP)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    SHAPE = (256, 1024)
+    rng = np.random.default_rng(2)
+    lanes = SHAPE[0] * SHAPE[1]
+
+    def make(iters):
+        def kernel(a_ref, b_ref, o_ref):
+            def body(i, ys):
+                y0, y1, y2, y3 = ys
+                a = a_ref[...]
+                b = b_ref[...] + i.astype(jnp.uint32)
+                return (y0 * b + a, y1 * a + b, (y2 + b) * a, y3 * (a ^ b) + b)
+            init = tuple(jnp.full(SHAPE, np.uint32(k + 1), jnp.uint32)
+                         for k in range(4))
+            r = jax.lax.fori_loop(0, iters, body, init)
+            o_ref[...] = r[0] ^ r[1] ^ r[2] ^ r[3]
+        return jax.jit(pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(SHAPE, jnp.uint32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        ))
+
+    sets = []
+    for s in range(NSETS):
+        a = rng.integers(0, 2**31, SHAPE, dtype=np.uint32)
+        b = rng.integers(0, 2**31, SHAPE, dtype=np.uint32)
+        sets.append((jax.device_put(a), jax.device_put(b)))
+    # 4 chains x ~2 ops each = 8 op-units per lane-iter
+    _bench2(make, sets, 2000, 10000, lanes * 8, " ops(ILP)", "vpu ilp4 mul+add")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("mxu", "all"):
         bench_mxu()
     if which in ("vpu", "all"):
         bench_vpu()
+    if which in ("ilp", "all"):
+        bench_vpu_ilp()

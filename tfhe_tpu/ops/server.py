@@ -597,6 +597,56 @@ def ks_pbs_batch(ct, lut, ksk, bsk_mont, plan, ks_base_log: int, ks_levels: int,
     return sample_extract(acc)
 
 
+@partial(jax.jit, static_argnames=("ks_base_log", "ks_levels", "pbs_base_log",
+                                   "pbs_levels", "plan", "bits", "centered_ms",
+                                   "ks32", "grouping_factor", "drift_r_sigma",
+                                   "drift_bound", "drift_input_variance"))
+def ks_pbs_batch_multibit(ct, lut, ksk, mb_bsk_mont, plan, ks_base_log: int,
+                          ks_levels: int, pbs_base_log: int, pbs_levels: int,
+                          grouping_factor: int, bits: int = 64,
+                          centered_ms: bool = False, ks32: bool = False,
+                          drift_zeros=None, drift_r_sigma: float = 0.0,
+                          drift_bound: float = 0.0,
+                          drift_input_variance: float = 0.0):
+    """Multi-bit atomic pattern: KS -> MS -> multi-bit blind rotate -> SE
+    (the reference's GPU-default path, shortint/server_key/mod.rs:165
+    MultiBit arm).  mb_bsk_mont: (n/g, 2^g, l, k+1, k+1, P, N) u32."""
+    n_poly = lut.shape[-1]
+    log_mod = n_poly.bit_length()
+    if ks32:
+        ks = keyswitch32(ct, ksk, ks_base_log, ks_levels)
+        body = modulus_switch(ks[:, -1], log_mod, 32).astype(U64)
+        msed_mask = modulus_switch(ks[:, :-1], log_mod, 32).astype(U64)
+    else:
+        ks = keyswitch(ct, ksk, ks_base_log, ks_levels, bits)
+        if drift_zeros is not None:
+            ks = drift_ms_improve(ks, drift_zeros, log_mod, drift_r_sigma,
+                                  drift_bound, drift_input_variance)
+        if centered_ms:
+            corr = centered_binary_ms_correction(ks, log_mod, bits)
+            body = modulus_switch(ks[:, -1] + corr, log_mod, bits)
+        else:
+            body = modulus_switch(ks[:, -1], log_mod, bits)
+        msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
+    acc = blind_rotate_multibit(msed_mask, body, lut, mb_bsk_mont, plan,
+                                pbs_base_log, pbs_levels, grouping_factor,
+                                bits)
+    return sample_extract(acc)
+
+
+@partial(jax.jit, static_argnames=("pbs_base_log", "pbs_levels", "plan",
+                                   "bits", "grouping_factor"))
+def pbs_from_switched_batch_multibit(msed, lut, mb_bsk_mont, plan,
+                                     pbs_base_log: int, pbs_levels: int,
+                                     grouping_factor: int, bits: int = 64):
+    """Multi-bit decompression path (modulus-switched input)."""
+    msed_mask, body = msed[:, :-1], msed[:, -1]
+    acc = blind_rotate_multibit(msed_mask, body, lut, mb_bsk_mont, plan,
+                                pbs_base_log, pbs_levels, grouping_factor,
+                                bits)
+    return sample_extract(acc)
+
+
 @partial(jax.jit, static_argnames=("log_mod", "ks_base_log", "ks_levels",
                                    "bits", "centered_ms", "ks32"))
 def ks_ms_batch(ct, ksk, log_mod: int, ks_base_log: int, ks_levels: int,
@@ -745,3 +795,24 @@ def glwe_keyswitch(glwe, gksk_mont, plan, base_log: int, levels: int,
     out = -sub
     out = out.at[:, -1, :].add(body)
     return out
+
+
+@partial(jax.jit, static_argnames=("pbs_base_log", "pbs_levels", "plan",
+                                   "bits", "grouping_factor",
+                                   "extract_offsets"))
+def pbs_many_from_switched_multibit(msed, lut, mb_bsk_mont, plan,
+                                    pbs_base_log: int, pbs_levels: int,
+                                    grouping_factor: int,
+                                    extract_offsets: tuple, bits: int = 64):
+    """Many-LUT tail for the multi-bit AP: one multi-bit blind rotation,
+    one sample extraction per packed function."""
+    msed_mask, body = msed[:, :-1], msed[:, -1]
+    acc = blind_rotate_multibit(msed_mask, body, lut, mb_bsk_mont, plan,
+                                pbs_base_log, pbs_levels, grouping_factor,
+                                bits)
+    outs = []
+    b = msed.shape[0]
+    for off in extract_offsets:
+        rot = monomial_div(acc, jnp.full((b, 1, 1), off, U64))
+        outs.append(sample_extract(rot))
+    return jnp.stack(outs, axis=1)

@@ -1,12 +1,17 @@
-"""Ciphertext list compression: pack <= N LWEs into GLWEs via packing
-keyswitch (shortint/list_compression/compression.rs:17-60).
+"""Ciphertext list compression with DEDICATED compression parameters
+(shortint/list_compression/: CompressionParameters, CompressionPrivateKeys,
+CompressionKey packing keyswitch, DecompressionKey blind-rotate key).
 
-TPU-first simplifications for this round:
-  - packing happens under the compute GLWE key (the reference supports
-    dedicated compression parameters / keys), so decompression is a plain
-    (exact) sample extract — no decompression bootstrap is needed;
-  - storage keeps full-precision u64 coefficients (the reference additionally
-    modulus-switches the stored GLWE; storage-MS lands with serialization).
+Pipeline (compression.rs:17-60 + decompression):
+  compress:   chunk <= lwe_per_glwe LWEs -> packing keyswitch into the
+              dedicated STORAGE GLWE key (small N_c, larger k_c) ->
+              modulus-switch every coefficient to storage_log_modulus bits
+              (stored as u16 -- ~12 bits/coeff instead of 64).
+  decompress: sample-extract in the switched domain; the stored modulus
+              equals the blind-rotation input modulus 2N of the COMPUTE
+              parameters, so each extracted LWE feeds one PBS with the
+              dedicated storage->compute bootstrap key directly (no extra
+              modulus switch) -- exactly the reference's decompression BR.
 """
 
 from __future__ import annotations
@@ -17,82 +22,204 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import keygen as kg
 from ..core.encrypt import encrypt_glwe_assign
+from ..core.params import DecompParams
 from ..ops import ntt, server as srv
-from ..utils.csprng import DeterministicSeeder, EncryptionRandomGenerator
+from ..utils.csprng import DeterministicSeeder, EncryptionRandomGenerator, SecretRandomGenerator, TUniform
 from .ciphertext import NOMINAL_NOISE, Ciphertext
 from .client_key import ClientKey
 
 
+@dataclass(frozen=True)
+class CompressionParameters:
+    """shortint/parameters/list_compression.rs ClassicCompressionParameters."""
+
+    br_level: int
+    br_base_log: int
+    packing_ks_level: int
+    packing_ks_base_log: int
+    packing_ks_polynomial_size: int
+    packing_ks_glwe_dimension: int
+    lwe_per_glwe: int
+    storage_log_modulus: int
+    packing_ks_key_noise: object  # noise distribution of the storage key's encs
+
+
+# v1_4/list_compression/p_fail_2_minus_128/mod.rs:8 (TUniform 2M128 2_2)
+V1_4_COMP_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = CompressionParameters(
+    br_level=1,
+    br_base_log=23,
+    packing_ks_level=3,
+    packing_ks_base_log=4,
+    packing_ks_polynomial_size=256,
+    packing_ks_glwe_dimension=4,
+    lwe_per_glwe=256,
+    storage_log_modulus=12,
+    packing_ks_key_noise=TUniform(43),
+)
+
+# pairs with TEST_PARAM_MESSAGE_2_CARRY_2 (compute N=512 -> storage mod 2^10)
+TEST_COMP_PARAM = CompressionParameters(
+    br_level=1,
+    br_base_log=23,
+    packing_ks_level=3,
+    packing_ks_base_log=4,
+    packing_ks_polynomial_size=256,
+    packing_ks_glwe_dimension=1,
+    lwe_per_glwe=256,
+    storage_log_modulus=10,
+    packing_ks_key_noise=TUniform(3),
+)
+
+
+def default_compression_parameters(compute_params) -> CompressionParameters:
+    if compute_params.polynomial_size >= 2048:
+        return V1_4_COMP_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+    return TEST_COMP_PARAM
+
+
 @dataclass
 class CompressedCiphertextList:
-    glwes: np.ndarray  # (G, k+1, N) u64
+    """Storage-domain GLWEs: coefficients hold storage_log_modulus-bit
+    values (u16), exactly the blind-rotation input domain."""
+
+    glwes: np.ndarray  # (G, k_c+1, N_c) u16, values < 2^storage_log
+    storage_log_modulus: int
     count: int
     degrees: list
     message_modulus: int
     carry_modulus: int
 
 
-class CompressionKey:
-    """Packing keyswitch key: big LWE key -> compute GLWE key."""
+class CompressionPrivateKeys:
+    """Dedicated storage GLWE secret key (CompressionPrivateKeys)."""
 
-    def __init__(self, client_key: ClientKey, seed: int | None = None):
+    def __init__(self, comp_params: CompressionParameters, seed: int):
+        self.params = comp_params
+        gen = SecretRandomGenerator(seed ^ 0x1F3D5B79)
+        self.post_packing_ks_key = kg.generate_binary_glwe_secret_key(
+            comp_params.packing_ks_glwe_dimension,
+            comp_params.packing_ks_polynomial_size, gen)
+
+
+class DecompressionKey:
+    """BSK from the storage key (as LWE) to the compute GLWE key."""
+
+    def __init__(self, bsk_mont, plan, br_base_log: int, br_level: int):
+        self.bsk_mont = bsk_mont
+        self.plan = plan
+        self.br_base_log = br_base_log
+        self.br_level = br_level
+
+
+class CompressionKey:
+    """Packing keyswitch key (big compute LWE key -> storage GLWE key) plus
+    the paired decompression key; built from the client key."""
+
+    def __init__(self, client_key: ClientKey, seed: int | None = None,
+                 comp_params: CompressionParameters | None = None):
         p = client_key.params
         self.params = p
+        cp = comp_params or default_compression_parameters(p)
+        assert cp.storage_log_modulus == p.polynomial_size.bit_length(), (
+            "storage modulus must equal the compute blind-rotation input "
+            "modulus log2(2N)")
+        self.comp = cp
         if seed is None:
             seed = secrets.randbits(128)
+        priv = CompressionPrivateKeys(cp, seed)
+        self.private_keys = priv
         gen = EncryptionRandomGenerator(seed ^ 0x452821E638D01377,
                                         DeterministicSeeder(seed ^ 0xBE5466CF34E90C6C))
-        glwe_sk = client_key.glwe_secret_key
+        storage_glwe_sk = priv.post_packing_ks_key
         big_sk = client_key.big_lwe_secret_key
         n_big = big_sk.dimension
-        levels = p.ks_level
-        base_log = p.ks_base_log
-        n_poly = p.polynomial_size
-        k1 = p.glwe_dimension + 1
-        pksk = np.zeros((n_big, levels, k1, n_poly), dtype=np.uint64)
+        levels = cp.packing_ks_level
+        base_log = cp.packing_ks_base_log
+        n_c = cp.packing_ks_polynomial_size
+        k1 = cp.packing_ks_glwe_dimension + 1
+        pksk = np.zeros((n_big, levels, k1, n_c), dtype=np.uint64)
         for i in range(n_big):
             s_i = int(big_sk.data[i])
             for j in range(levels):
                 level = levels - j
-                body = np.zeros(n_poly, dtype=np.uint64)
+                body = np.zeros(n_c, dtype=np.uint64)
                 body[0] = np.uint64((s_i << (p.bits - base_log * level)) % (1 << p.bits))
-                ct = encrypt_glwe_assign(glwe_sk, body, p.glwe_noise, gen, p.bits)
+                ct = encrypt_glwe_assign(storage_glwe_sk, body,
+                                         cp.packing_ks_key_noise, gen, p.bits)
                 pksk[i, j] = ct.data
-        plan = ntt.make_plan(n_poly, 4)
+        plan = ntt.make_plan(n_c, 4)
         fwd = ntt.forward_all(pksk, plan, np)
         self.pksk_mont = jnp.asarray(ntt.to_mont_all(fwd, plan, np).astype(np.uint32))
         self.plan = plan
+        # decompression BSK: storage key (as LWE) -> compute GLWE key
+        storage_lwe_sk = storage_glwe_sk.as_lwe_secret_key()
+        gen2 = EncryptionRandomGenerator(seed ^ 0x9216D5D98979FB1B,
+                                         DeterministicSeeder(seed ^ 0xD1310BA698DFB5AC))
+        br_bsk = kg.generate_lwe_bootstrap_key(
+            storage_lwe_sk, client_key.glwe_secret_key,
+            DecompParams(cp.br_base_log, cp.br_level), p.glwe_noise, gen2)
+        bsk_mont, br_plan = kg.bootstrap_key_to_ntt(br_bsk)
+        self.decompression = DecompressionKey(
+            jnp.asarray(bsk_mont), br_plan, cp.br_base_log, cp.br_level)
 
     def compress(self, cts: list) -> CompressedCiphertextList:
         p = self.params
-        n_poly = p.polynomial_size
+        cp = self.comp
+        shift = np.uint64(p.bits - cp.storage_log_modulus)
         glwes = []
-        for start in range(0, len(cts), n_poly):
-            chunk = cts[start : start + n_poly]
+        for start in range(0, len(cts), cp.lwe_per_glwe):
+            chunk = cts[start : start + cp.lwe_per_glwe]
             batch = jnp.asarray(np.stack([np.asarray(c.data) for c in chunk]))
             glwe = srv.packing_keyswitch(batch, self.pksk_mont, self.plan,
-                                         p.ks_base_log, p.ks_level, p.bits)
-            glwes.append(np.asarray(glwe))
+                                         cp.packing_ks_base_log,
+                                         cp.packing_ks_level, p.bits)
+            msed = np.asarray(srv.modulus_switch(
+                glwe, cp.storage_log_modulus, p.bits)).astype(np.uint16)
+            glwes.append(msed)
         first = cts[0]
-        return CompressedCiphertextList(
-            np.stack(glwes), len(cts), [c.degree for c in cts],
-            first.message_modulus, first.carry_modulus,
-        )
+        packed = CompressedCiphertextList(
+            np.stack(glwes), cp.storage_log_modulus, len(cts),
+            [c.degree for c in cts], first.message_modulus, first.carry_modulus)
+        packed._decompression_key = self.decompression
+        packed._compute_params = p
+        return packed
+
+    def decompress(self, packed: CompressedCiphertextList, indices=None) -> list:
+        return decompress(packed, indices, self.decompression, self.params)
 
 
-def decompress(packed: CompressedCiphertextList, indices=None) -> list:
-    """Extract LWEs back out of the packed GLWEs (exact sample extract)."""
-    import jax
-
-    n_poly = packed.glwes.shape[-1]
-    indices = range(packed.count) if indices is None else indices
-    out = []
+def decompress(packed: CompressedCiphertextList, indices=None,
+               key: DecompressionKey | None = None, compute_params=None) -> list:
+    """Extract slots from the storage domain and refresh each through the
+    decompression blind rotation (list_compression decompression path)."""
+    key = key or getattr(packed, "_decompression_key", None)
+    compute_params = compute_params or getattr(packed, "_compute_params", None)
+    if key is None or compute_params is None:
+        raise ValueError("decompression requires the DecompressionKey "
+                         "(use CompressionKey.decompress or pass key=)")
+    p = compute_params
+    n_c = packed.glwes.shape[-1]
+    log_mod = packed.storage_log_modulus
+    top = np.uint64(64 - log_mod)
+    indices = list(range(packed.count)) if indices is None else list(indices)
+    # top-aligned u64 so negacyclic negation wraps correctly mod 2^log_mod
+    glwes_u64 = jnp.asarray(packed.glwes.astype(np.uint64) << top)
+    rows = []
     for idx in indices:
-        g, j = divmod(idx, n_poly)
-        glwe = jnp.asarray(packed.glwes[g])[None]
-        rotated = srv.monomial_div(glwe, jnp.asarray([[[j]]], dtype=jnp.uint64))
-        lwe = np.asarray(srv.sample_extract(rotated))[0]
-        out.append(Ciphertext(lwe, packed.degrees[idx], NOMINAL_NOISE,
-                              packed.message_modulus, packed.carry_modulus))
-    return out
+        g, j = divmod(idx, n_c)
+        rotated = srv.monomial_div(glwes_u64[g][None],
+                                   jnp.asarray([[[j]]], dtype=jnp.uint64))
+        rows.append(np.asarray(srv.sample_extract(rotated))[0])
+    msed = (np.stack(rows) >> top)  # (B, n_in+1) in [0, 2N_compute)
+    lut = srv.generate_lut(p.polynomial_size, p.glwe_dimension + 1,
+                           p.total_modulus, p.delta, lambda x: x, p.bits)
+    b = len(indices)
+    lut_b = jnp.asarray(np.broadcast_to(lut, (b,) + lut.shape))
+    out = np.asarray(srv.pbs_from_switched_batch(
+        jnp.asarray(msed), lut_b, key.bsk_mont, key.plan,
+        key.br_base_log, key.br_level, p.bits))
+    return [Ciphertext(out[i], packed.degrees[idx], NOMINAL_NOISE,
+                       packed.message_modulus, packed.carry_modulus)
+            for i, idx in enumerate(indices)]

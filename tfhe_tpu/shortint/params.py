@@ -195,3 +195,163 @@ V1_4_PARAM_MESSAGE_2_CARRY_2_KS32_PBS_TUNIFORM_2M128 = _dc.replace(
 
 PARAM_MESSAGE_2_CARRY_2_KS_PBS = V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
 DEFAULT_PARAMS = V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+
+
+# ---------------------------------------------------------------------------
+# pfail tiers (v1_4/classic/tuniform/p_fail_2_minus_{64,40}/ks_pbs.rs — the
+# reference versions these via v1_1 aliases; numeric values preserved)
+# ---------------------------------------------------------------------------
+
+V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M64 = ShortintParams(
+    lwe_dimension=879,
+    glwe_dimension=1,
+    polynomial_size=2048,
+    lwe_noise=TUniform(46),
+    glwe_noise=TUniform(17),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=3,
+    ks_level=5,
+    message_modulus=4,
+    carry_modulus=4,
+    max_noise_level=5,
+    log2_p_fail=-72.178,
+)
+
+V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M40 = ShortintParams(
+    lwe_dimension=839,
+    glwe_dimension=1,
+    polynomial_size=2048,
+    lwe_noise=TUniform(47),
+    glwe_noise=TUniform(17),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=3,
+    ks_level=5,
+    message_modulus=4,
+    carry_modulus=4,
+    max_noise_level=5,
+    log2_p_fail=-57.015,
+)
+
+# Gaussian-noise family (v1_4/classic/gaussian/p_fail_2_minus_128/ks_pbs.rs)
+V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_GAUSSIAN_2M128 = ShortintParams(
+    lwe_dimension=866,
+    glwe_dimension=1,
+    polynomial_size=2048,
+    lwe_noise=Gaussian(2.046151696979124e-06),
+    glwe_noise=Gaussian(2.845267479601915e-15),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=3,
+    ks_level=5,
+    message_modulus=4,
+    carry_modulus=4,
+    max_noise_level=5,
+    log2_p_fail=-128.377,
+)
+
+
+# ---------------------------------------------------------------------------
+# Multi-bit PBS parameters (shortint/parameters/multi_bit.rs
+# MultiBitPBSParameters; values from v1_4/multi_bit/tuniform/
+# p_fail_2_minus_128/ks_pbs_gpu.rs — the reference's GPU-default family)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MultiBitPBSParameters(ShortintParams):
+    grouping_factor: int = 2
+    deterministic_execution: bool = False
+
+
+V1_4_PARAM_GPU_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = \
+    MultiBitPBSParameters(
+        lwe_dimension=918,
+        glwe_dimension=1,
+        polynomial_size=4096,
+        lwe_noise=TUniform(45),
+        glwe_noise=TUniform(3),
+        pbs_base_log=21,
+        pbs_level=1,
+        ks_base_log=3,
+        ks_level=5,
+        message_modulus=4,
+        carry_modulus=4,
+        max_noise_level=5,
+        log2_p_fail=-140.341,
+        grouping_factor=2,
+    )
+
+V1_4_PARAM_GPU_MULTI_BIT_GROUP_3_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = \
+    MultiBitPBSParameters(
+        lwe_dimension=879,
+        glwe_dimension=1,
+        polynomial_size=2048,
+        lwe_noise=TUniform(46),
+        glwe_noise=TUniform(17),
+        pbs_base_log=14,
+        pbs_level=2,
+        ks_base_log=2,
+        ks_level=8,
+        message_modulus=4,
+        carry_modulus=4,
+        max_noise_level=5,
+        log2_p_fail=-128.29,
+        grouping_factor=3,
+    )
+
+V1_4_PARAM_GPU_MULTI_BIT_GROUP_4_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = \
+    MultiBitPBSParameters(
+        lwe_dimension=920,
+        glwe_dimension=1,
+        polynomial_size=2048,
+        lwe_noise=TUniform(45),
+        glwe_noise=TUniform(17),
+        pbs_base_log=22,
+        pbs_level=1,
+        ks_base_log=3,
+        ks_level=5,
+        message_modulus=4,
+        carry_modulus=4,
+        max_noise_level=5,
+        log2_p_fail=-134.345,
+        grouping_factor=4,
+    )
+
+V1_4_PARAM_GPU_MULTI_BIT_GROUP_4_MESSAGE_1_CARRY_1_KS_PBS_TUNIFORM_2M128 = \
+    MultiBitPBSParameters(
+        lwe_dimension=760,
+        glwe_dimension=1,
+        polynomial_size=2048,
+        lwe_noise=TUniform(49),
+        glwe_noise=TUniform(17),
+        pbs_base_log=22,
+        pbs_level=1,
+        ks_base_log=3,
+        ks_level=4,
+        message_modulus=2,
+        carry_modulus=2,
+        max_noise_level=3,
+        log2_p_fail=-145.020,
+        grouping_factor=4,
+    )
+
+# fast insecure multi-bit test config (grouping must divide lwe_dimension)
+TEST_PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2 = MultiBitPBSParameters(
+    lwe_dimension=16,
+    glwe_dimension=1,
+    polynomial_size=512,
+    lwe_noise=TUniform(3),
+    glwe_noise=TUniform(3),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=4,
+    ks_level=4,
+    message_modulus=4,
+    carry_modulus=4,
+    max_noise_level=5,
+    log2_p_fail=-40.0,
+    ms_noise_reduction=MsNoiseReduction.NONE,
+    grouping_factor=2,
+)

@@ -88,6 +88,25 @@ class ServerKey:
             core.ks_decomp, p.lwe_noise, gen,
             32 if getattr(p, "ks32", False) else p.bits,
         )
+        if getattr(p, "grouping_factor", None):
+            # MultiBit arm (shortint/server_key/mod.rs:165): 2^g subset GGSWs
+            # per group of g key bits; n/g CMux steps at rotation time
+            from ..core import multibit as mb
+
+            mb_bsk = mb.generate_multibit_bootstrap_key(
+                client_key.lwe_secret_key, client_key.glwe_secret_key,
+                core.pbs_decomp, p.grouping_factor, p.glwe_noise, gen, p.bits)
+            mb_mont, plan = mb.multibit_bsk_to_ntt(mb_bsk)
+            self.params = p
+            self.ksk = jnp.asarray(np.asarray(ksk.data))
+            self.bsk_mont = None
+            self.mb_bsk_mont = jnp.asarray(mb_mont)
+            self.plan = plan
+            self.max_degree = p.total_modulus - 1
+            self.max_noise_level = p.max_noise_level
+            self.pbs_count = 0
+            self.drift_zeros = None
+            return
         bsk = kg.generate_lwe_bootstrap_key(
             client_key.lwe_secret_key, client_key.glwe_secret_key,
             core.pbs_decomp, p.glwe_noise, gen, p.bits,
@@ -118,6 +137,7 @@ class ServerKey:
         bsk_mont, plan = kg.bootstrap_key_to_ntt(bsk)
         self.ksk = jnp.asarray(np.asarray(ksk_data))
         self.bsk_mont = jnp.asarray(bsk_mont)
+        self.mb_bsk_mont = None
         self.plan = plan
         self.max_degree = p.total_modulus - 1
         self.max_noise_level = p.max_noise_level
@@ -132,7 +152,8 @@ class ServerKey:
 
         p = self.params
         return (
-            jax.default_backend() not in ("cpu",)
+            getattr(self, "mb_bsk_mont", None) is None  # no multibit kernel yet
+            and jax.default_backend() not in ("cpu",)
             and os.environ.get("TFHE_TPU_DISABLE_PALLAS") != "1"
             and p.polynomial_size % 128 == 0
             and p.pbs_base_log * p.pbs_level <= 31
@@ -190,16 +211,28 @@ class ServerKey:
             pad_to = ((n_pad + 7) // 8) * 8
             batch = np.concatenate([batch, np.broadcast_to(batch[:1], (pad_to - n_pad,) + batch.shape[1:])])
             lut_b = np.concatenate([lut_b, np.broadcast_to(lut_b[:1], (pad_to - n_pad,) + lut_b.shape[1:])])
-        out = srv.ks_pbs_batch(
-            jnp.asarray(batch), jnp.asarray(lut_b), self.ksk, self.bsk_mont, self.plan,
-            p.ks_base_log, p.ks_level, p.pbs_base_log, p.pbs_level, p.bits,
-            p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
-            self.use_pallas,
-            getattr(p, "ks32", False),
-            getattr(self, "drift_zeros", None),
-            p.drift_r_sigma, p.drift_ms_bound,
-            p.drift_input_variance * (2.0 ** 64) ** 2,
-        )
+        if getattr(self, "mb_bsk_mont", None) is not None:
+            out = srv.ks_pbs_batch_multibit(
+                jnp.asarray(batch), jnp.asarray(lut_b), self.ksk,
+                self.mb_bsk_mont, self.plan, p.ks_base_log, p.ks_level,
+                p.pbs_base_log, p.pbs_level, p.grouping_factor, p.bits,
+                p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
+                getattr(p, "ks32", False),
+                getattr(self, "drift_zeros", None),
+                p.drift_r_sigma, p.drift_ms_bound,
+                p.drift_input_variance * (2.0 ** 64) ** 2,
+            )
+        else:
+            out = srv.ks_pbs_batch(
+                jnp.asarray(batch), jnp.asarray(lut_b), self.ksk, self.bsk_mont, self.plan,
+                p.ks_base_log, p.ks_level, p.pbs_base_log, p.pbs_level, p.bits,
+                p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
+                self.use_pallas,
+                getattr(p, "ks32", False),
+                getattr(self, "drift_zeros", None),
+                p.drift_r_sigma, p.drift_ms_bound,
+                p.drift_input_variance * (2.0 ** 64) ** 2,
+            )
         out_np = np.asarray(out)[:n_real]
         self.pbs_count += n_real
         return [
@@ -258,9 +291,15 @@ class ServerKey:
                 [msed, np.broadcast_to(msed[:1], (n_pad - n_real,) + msed.shape[1:])])
             lut_b = np.concatenate(
                 [lut_b, np.broadcast_to(lut_b[:1], (n_pad - n_real,) + lut_b.shape[1:])])
-        out = np.asarray(srv.pbs_from_switched_batch(
-            jnp.asarray(msed), jnp.asarray(lut_b), self.bsk_mont, self.plan,
-            p.pbs_base_log, p.pbs_level, p.bits, self.use_pallas))[:n_real]
+        if getattr(self, "mb_bsk_mont", None) is not None:
+            out = np.asarray(srv.pbs_from_switched_batch_multibit(
+                jnp.asarray(msed), jnp.asarray(lut_b), self.mb_bsk_mont,
+                self.plan, p.pbs_base_log, p.pbs_level, p.grouping_factor,
+                p.bits))[:n_real]
+        else:
+            out = np.asarray(srv.pbs_from_switched_batch(
+                jnp.asarray(msed), jnp.asarray(lut_b), self.bsk_mont, self.plan,
+                p.pbs_base_log, p.pbs_level, p.bits, self.use_pallas))[:n_real]
         self.pbs_count += n_real
         return [
             Ciphertext(out[i], luts[i].degree, NOMINAL_NOISE,
@@ -323,17 +362,32 @@ class ServerKey:
                          [np.asarray(cts[0].data)] * (n_pad - n_real))
         lut_b = np.broadcast_to(mlut.acc, (n_pad,) + mlut.acc.shape)
         offsets = tuple(i * mlut.stride for i in range(len(mlut.degrees)))
-        out = srv.ks_pbs_many_batch(
-            jnp.asarray(batch), jnp.asarray(lut_b), self.ksk, self.bsk_mont,
-            self.plan, p.ks_base_log, p.ks_level, p.pbs_base_log, p.pbs_level,
-            offsets, p.bits,
-            p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
-            self.use_pallas,
-            getattr(p, "ks32", False),
-            getattr(self, "drift_zeros", None),
-            p.drift_r_sigma, p.drift_ms_bound,
-            p.drift_input_variance * (2.0 ** 64) ** 2,
-        )
+        if getattr(self, "mb_bsk_mont", None) is not None:
+            log_mod = p.polynomial_size.bit_length()
+            msed = srv.ks_ms_batch(
+                jnp.asarray(batch), self.ksk, log_mod, p.ks_base_log,
+                p.ks_level, p.bits,
+                p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
+                getattr(p, "ks32", False),
+                getattr(self, "drift_zeros", None),
+                p.drift_r_sigma, p.drift_ms_bound,
+                p.drift_input_variance * (2.0 ** 64) ** 2)
+            out = srv.pbs_many_from_switched_multibit(
+                msed, jnp.asarray(lut_b), self.mb_bsk_mont, self.plan,
+                p.pbs_base_log, p.pbs_level, p.grouping_factor, offsets,
+                p.bits)
+        else:
+            out = srv.ks_pbs_many_batch(
+                jnp.asarray(batch), jnp.asarray(lut_b), self.ksk, self.bsk_mont,
+                self.plan, p.ks_base_log, p.ks_level, p.pbs_base_log, p.pbs_level,
+                offsets, p.bits,
+                p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
+                self.use_pallas,
+                getattr(p, "ks32", False),
+                getattr(self, "drift_zeros", None),
+                p.drift_r_sigma, p.drift_ms_bound,
+                p.drift_input_variance * (2.0 ** 64) ** 2,
+            )
         out_np = np.asarray(out)[:n_real]
         self.pbs_count += n_real
         return [
