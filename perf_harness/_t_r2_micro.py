@@ -62,12 +62,16 @@ def bench_mxu():
         (4, 128, 512, 512, 3000, 15000),
         (16, 256, 128, 512, 1500, 7500),
         (1, 128, 128, 512, 20000, 100000),
-        # batched dot_general: 128 groups of (64, 32) @ (32, 32) — the
-        # middle-matmul shape class (N1=128 four-step)
+        # batched dot_general middle-matmul candidates:
+        #   N1=128 layout: 128 groups of (128, 128) @ (128, 32)
+        #   N1=64  layout:  64 groups of (128, 256) @ (256, 64)
         ("bat", 128, 32, 32, 3000, 15000),
+        ("bat2", 128, 128, 32, 600, 3000),
+        ("bat3", 64, 256, 64, 600, 3000),
+        ("s64", 64, 64, 4096, 600, 3000),
     ]:
-        if nd == "bat":
-            G, rows = 128, 64
+        if nd in ("bat", "bat2", "bat3"):
+            G, rows = (128, 64) if nd == "bat" else ((128, 128) if nd == "bat2" else (64, 128))
 
             def make(iters, G=G, rows=rows, K=K, NN=NN):
                 def kernel(w_ref, x_ref, o_ref):
@@ -95,6 +99,33 @@ def bench_mxu():
             work = G * rows * K * NN
             _bench2(make, sets, il, ih, work, " int8-MACs",
                     f"mxu batched G={G} {rows}x{K}x{NN}")
+            continue
+
+        if nd == "s64":
+            def make(iters, K=K, NN=NN):
+                def kernel(w_ref, x_ref, o_ref):
+                    def body(i, acc):
+                        x = x_ref[i % 2]
+                        s = acc
+                        for d in range(16):
+                            s = s + jnp.dot(w_ref[d], x,
+                                            preferred_element_type=jnp.int32)
+                        return s
+                    o_ref[...] = jax.lax.fori_loop(
+                        0, iters, body, jnp.zeros((64, NN), jnp.int32))
+                return jax.jit(pl.pallas_call(
+                    kernel,
+                    out_shape=jax.ShapeDtypeStruct((64, NN), jnp.int32),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                ))
+            sets = []
+            for s in range(NSETS):
+                w = rng.integers(0, 127, (16, 64, K), dtype=np.int8)
+                x = rng.integers(0, 127, (2, K, NN), dtype=np.int8)
+                sets.append((jax.device_put(w), jax.device_put(x)))
+            _bench2(make, sets, il, ih, 16 * 64 * K * NN, " int8-MACs",
+                    f"mxu s64 64x{K}x{NN}")
             continue
 
         def make(iters, nd=nd, M=M, K=K, NN=NN):

@@ -27,10 +27,12 @@ from .params import (
     MultiBitPBSParameters,
     ShortintParams,
 )
-from .server_key import LookupTable, ServerKey
+try:  # server-side surface needs jax; client-only environments skip it
+    from .server_key import LookupTable, ServerKey
 
-
-def gen_keys(params=DEFAULT_PARAMS, seed=None):
-    ck = ClientKey(params, seed)
-    sk = ServerKey(ck, seed)
-    return ck, sk
+    def gen_keys(params=DEFAULT_PARAMS, seed=None):
+        ck = ClientKey(params, seed)
+        sk = ServerKey(ck, seed)
+        return ck, sk
+except ImportError:  # pragma: no cover - exercised by test_client_only
+    pass

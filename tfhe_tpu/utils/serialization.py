@@ -218,9 +218,13 @@ def _register_all():
             list(p["moduli"])),
     )
 
-    from ..shortint.noise_squashing import SquashedNoiseCiphertext
+    try:  # needs jax (server-side type); skipped in client-only mode
+        from ..shortint.noise_squashing import SquashedNoiseCiphertext
+    except ImportError:  # pragma: no cover
+        SquashedNoiseCiphertext = None
 
-    register_type(
+    if SquashedNoiseCiphertext is not None:
+        register_type(
         "SquashedNoiseCiphertext", 0,
         lambda c: {"lo": np.asarray(c.lo), "hi": np.asarray(c.hi),
                    "degree": c.degree, "message_modulus": c.message_modulus,
@@ -265,19 +269,23 @@ def _register_all():
 
     from ..zk.pke import Proof
 
-    from ..shortint.server_key import CompressedModulusSwitchedCiphertext
+    try:  # server-side type (needs jax); skipped in client-only mode
+        from ..shortint.server_key import CompressedModulusSwitchedCiphertext
+    except ImportError:  # pragma: no cover
+        CompressedModulusSwitchedCiphertext = None
 
-    register_type(
-        "CompressedModulusSwitchedCiphertext", 0,
-        lambda c: {"packed": np.asarray(c.packed), "count": c.count,
-                   "log_modulus": c.log_modulus, "degree": c.degree,
-                   "message_modulus": c.message_modulus,
-                   "carry_modulus": c.carry_modulus},
-        lambda p: CompressedModulusSwitchedCiphertext(
-            np.asarray(p["packed"], dtype=np.uint8), p["count"],
-            p["log_modulus"], p["degree"], p["message_modulus"],
-            p["carry_modulus"]),
-    )
+    if CompressedModulusSwitchedCiphertext is not None:
+        register_type(
+            "CompressedModulusSwitchedCiphertext", 0,
+            lambda c: {"packed": np.asarray(c.packed), "count": c.count,
+                       "log_modulus": c.log_modulus, "degree": c.degree,
+                       "message_modulus": c.message_modulus,
+                       "carry_modulus": c.carry_modulus},
+            lambda p: CompressedModulusSwitchedCiphertext(
+                np.asarray(p["packed"], dtype=np.uint8), p["count"],
+                p["log_modulus"], p["degree"], p["message_modulus"],
+                p["carry_modulus"]),
+        )
 
     from ..integer.ciphertext import CompressedModulusSwitchedRadixCiphertext
 
