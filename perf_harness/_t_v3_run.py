@@ -1,0 +1,81 @@
+"""v3 kernel on the real TPU: compile, correctness spot-check, timing.
+
+Run from repo root: python perf_harness/_t_v3_run.py [tb] [B]
+Uses the cached middle tensors from _t_mxu_e2e.py (.keys/mxu_2_2_r2.npz).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_tpu.ops import mxu, pallas_mxu, server as srv
+    from tfhe_tpu.shortint import V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 as P
+
+    tb = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    n_poly, n_in, k = P.polynomial_size, P.lwe_dimension, P.glwe_dimension
+
+    z = np.load(".keys/mxu_2_2_r2.npz")
+    m_limbs = z["m_limbs"]
+    plan = mxu.make_mxu_plan(n_poly)
+    print(f"# m_limbs {m_limbs.nbytes/1e9:.2f} GB; tb={tb} B={b}", flush=True)
+
+    t0 = time.time()
+    m_dev = jax.device_put(m_limbs)
+    np.asarray(m_dev[0, 0, 0, 0, 0])
+    print(f"# device_put {time.time()-t0:.1f}s", flush=True)
+
+    import functools
+    run = jax.jit(functools.partial(
+        pallas_mxu.blind_rotate_pallas_v3, plan=plan, base_log=P.pbs_base_log,
+        levels=P.pbs_level, tb=tb))
+
+    rng = np.random.default_rng(3)
+
+    def inputs(bb):
+        mask = rng.integers(0, 2 * n_poly, (bb, n_in), dtype=np.uint64)
+        body = rng.integers(0, 2 * n_poly, (bb,), dtype=np.uint64)
+        lut = rng.integers(0, 1 << 63, (bb, k + 1, n_poly), dtype=np.uint64)
+        return (jax.device_put(mask), jax.device_put(body),
+                jax.device_put(lut))
+
+    # correctness spot check at small B vs the XLA reference path
+    if os.environ.get("V3_SKIP_CHECK") != "1":
+        bsk_small = None
+        sm = inputs(tb)
+        t0 = time.time()
+        got = np.asarray(run(*sm, m_limbs=m_dev))
+        print(f"# small compile+run {time.time()-t0:.1f}s", flush=True)
+        # reference via the MXU XLA path on the same inputs (exact)
+        t0 = time.time()
+        want = np.asarray(mxu.blind_rotate_mxu(
+            sm[0], sm[1], sm[2], m_dev, plan, P.pbs_base_log, P.pbs_level))
+        print(f"# ref compile+run {time.time()-t0:.1f}s; "
+              f"MATCH={np.array_equal(got, want)}", flush=True)
+
+    sets = [inputs(b) for _ in range(3)]
+    t0 = time.time()
+    out = run(*sets[0], m_limbs=m_dev)
+    np.asarray(out)
+    print(f"# full compile+first {time.time()-t0:.1f}s", flush=True)
+    iters = 3
+    t0 = time.time()
+    for i in range(iters):
+        out = run(*sets[i % 3], m_limbs=m_dev)
+    np.asarray(out)
+    dt = (time.time() - t0) / iters
+    print(f"v3 blind_rotate: {dt*1e3:.1f} ms/batch({b}) -> {b/dt:.1f} BR/s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -71,3 +71,24 @@ def test_mxu_prime_pool():
     prod = math.prod(mxu.MXU_PRIMES)
     # exact-product bound for the classic families (l*(k+1)*N*B/2*2^63 * 2)
     assert prod > 2 * 1 * 2 * 2048 * (1 << 22) * (1 << 63)
+
+
+def test_v3_kernel_parity_interpret(setup):
+    """The fused v3 Pallas kernel (pallas_mxu) vs the XLA MXU path —
+    bit-exact through the interpreter."""
+    from tfhe_tpu.ops import pallas_mxu
+
+    bsk_mont, plan_ref, m_limbs, plan_mxu = setup
+    rng = np.random.default_rng(5)
+    b = 4
+    mask = rng.integers(0, 2 * N, (b, N_IN), dtype=np.uint64)
+    body = rng.integers(0, 2 * N, (b,), dtype=np.uint64)
+    lut = rng.integers(0, 1 << 64, (b, K_GLWE + 1, N), dtype=np.uint64)
+    want = np.asarray(srv.blind_rotate(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(bsk_mont).astype(jnp.uint64), plan_ref, BASE_LOG, LEVELS))
+    got = np.asarray(pallas_mxu.blind_rotate_pallas_v3(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(m_limbs), plan_mxu, BASE_LOG, LEVELS, tb=2,
+        interpret=True))
+    assert (got == want).all()

@@ -175,3 +175,29 @@ def test_modulus_switched_compression(keys):
     comps = [sk.switch_modulus_and_compress(ck.encrypt(m)) for m in (3, 1)]
     outs = sk.decompress_and_apply_lookup_table_batch(comps, lut)
     assert [ck.decrypt_raw(o) for o in outs] == [(3 * 3 + 2) % 16, (3 * 1 + 2) % 16]
+
+
+def test_checked_flavor(keys):
+    """Four-flavor convention: checked_* errors instead of bootstrapping
+    (server_key/add.rs:131 CheckError)."""
+    from tfhe_tpu.shortint.server_key import CarryFullError
+
+    ck, sk = keys
+    a = ck.encrypt(3)
+    b = ck.encrypt(2)
+    out = sk.checked_add(a, b)
+    assert ck.decrypt_raw(out) == 5
+    # saturate the degree budget, then checked_add must refuse
+    big = sk.unchecked_scalar_mul(a, 5)  # degree 15 = max
+    try:
+        sk.checked_add(big, b)
+        assert False, "expected CarryFullError"
+    except CarryFullError:
+        pass
+    out2 = sk.checked_mul(a, b)
+    assert ck.decrypt_raw(out2) == (3 * 2) % 4  # mul_lsb semantics
+    try:
+        sk.checked_scalar_mul(a, 7)
+        assert False, "expected CarryFullError"
+    except CarryFullError:
+        pass

@@ -1,0 +1,403 @@
+"""v3 blind-rotate kernel: the MXU-factorized external product, fused.
+
+Brings ops/mxu.py's factorization (four-step NTT stage-1s as 128x128
+int8-limb matmuls + the per-k1 middle collapse) into a single Pallas kernel
+with the accumulator VMEM-resident across all n CMux steps, replacing the
+VPU-Montgomery butterflies of pallas_ntt.build_blind_rotate_v2 with MXU
+matmuls (~97% of multiplies on the systolic array).
+
+Layout ("lane-major four-step"): coefficient i = i1*N2 + i2 maps to
+row (el*k1 + poly)*N2 + i2, lane i1 — so the stage-1 contraction (over i1)
+is a plain matmul contracting the lane dimension, and rotation decomposes
+into a dynamic lane-roll (X^(N2*a1)) plus a dynamic sublane-roll with
+lane-borrow (X^(a2)).
+
+Everything is bit-identical to ops/mxu.py (tested in interpret mode on CPU)
+which is itself bit-identical to the XLA/butterfly path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import mxu as mxu_mod
+from . import ntt as ntt_mod
+from .pallas_ntt import (
+    U32,
+    _decompose32,
+    _u32,
+    add64,
+    add_mod32,
+    mont_mul32,
+    mulwide,
+    neg64,
+    sub64,
+    shr64_to32,
+)
+
+LANES = 128
+LB = mxu_mod.LIMB_BITS     # 7
+NL = mxu_mod.N_LIMBS       # 4
+
+
+# ---------------------------------------------------------------------------
+# host-side constant prep
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _fold_consts(n: int):
+    """Per-prime constants for the diagonal-fold epilogue.
+
+    value = t0 + t1*2^14 + t2*2^28 + t3*2^42 (mod p), via Montgomery
+    multiplies by c_k = 2^(14k)*R mod p (c_0 = R makes REDC the identity).
+    Signed inputs are pre-shifted by K_p (a multiple of p >= 2^30); the
+    accumulated excess E = (sum_k K_p * 2^(14k)) mod p is subtracted once.
+    """
+    plan = mxu_mod.make_mxu_plan(n)
+    out = []
+    for p in plan.primes:
+        r = (1 << 32) % p
+        cks = [pow(2, 14 * k, p) * r % p for k in range(4)]
+        k_p = ((1 << 30) // p + 1) * p          # < 2^31
+        excess = sum(k_p * pow(2, 14 * k, p) for k in range(4)) % p
+        out.append({"cks": cks, "k_p": k_p, "excess": excess})
+    return tuple(out)
+
+
+@lru_cache(maxsize=None)
+def _kernel_tables(n: int):
+    """(w1t_limbs, w1i_limbs, plan) — stage-1 matrices in matmul orientation.
+
+    w1t: (P, L, i1, k1) int8 (rhs of the forward stage-1);
+    w1i: (P, L, j1, k1) int8 (lhs of the inverse stage-1)."""
+    plan = mxu_mod.make_mxu_plan(n)
+    w1t = np.ascontiguousarray(np.swapaxes(plan.w1_limbs, -1, -2))
+    w1i = plan.w1i_limbs
+    return w1t, w1i, plan
+
+
+def to_v3_layout(x, k1: int, n: int, n1: int = 128):
+    """(B, k1, N) u32 -> (B*k1*N2, 128) rows=(el,poly,i2), lanes=i1."""
+    b = x.shape[0]
+    n2 = n // n1
+    y = x.reshape(b * k1, n1, n2)          # i = i1*N2 + i2
+    return jnp.transpose(y, (0, 2, 1)).reshape(b * k1 * n2, n1)
+
+
+def from_v3_layout(x, b: int, k1: int, n: int, n1: int = 128):
+    n2 = n // n1
+    y = x.reshape(b * k1, n2, n1)
+    return jnp.transpose(y, (0, 2, 1)).reshape(b, k1, n)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _digit_limbs_i8(d_u32):
+    """Signed-wrapped u32 digits -> 4 balanced int8 limbs (radix 128)."""
+    d = d_u32.astype(jnp.int32)
+    limbs = []
+    for _ in range(NL):
+        le = ((d + 64) & 127) - 64
+        limbs.append(le.astype(jnp.int8))
+        d = (d - le) >> 7
+    return limbs
+
+
+def _residue_limbs_i8(x_u32):
+    """Canonical residues < 2^28 -> 4 unsigned 7-bit limbs as int8."""
+    return [((x_u32 >> U32(LB * e)) & U32(127)).astype(jnp.int8)
+            for e in range(NL)]
+
+
+def _fold_diags(diags, p: np.uint32, pinv: np.uint32, fc, signed: bool):
+    """7 int32 diagonal arrays -> canonical residues u32 < p."""
+    t0 = diags[0] + (diags[1] << 7)
+    t1 = diags[2] + (diags[3] << 7)
+    t2 = diags[4] + (diags[5] << 7)
+    t3 = diags[6]
+    ts = [t0, t1, t2, t3]
+    if signed:
+        kp = np.int32(fc["k_p"])
+        ts = [(t + kp) for t in ts]
+    acc = None
+    for k, t in enumerate(ts):
+        tu = t.astype(U32) if t.dtype != jnp.uint32 else t
+        term = mont_mul32(tu, jnp.full(tu.shape, _u32(fc["cks"][k]), U32),
+                          p, pinv)
+        acc = term if acc is None else add_mod32(acc, term, p)
+    if signed:
+        e = _u32(fc["excess"])
+        d = acc + U32(p) - e
+        acc = jnp.where(d >= U32(p), d - U32(p), d)
+    return acc
+
+
+def _int8_dot(lhs, rhs):
+    return jax.lax.dot_general(lhs, rhs, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
+                          tb: int, n_steps: int, interpret: bool = False):
+    """Whole-blind-rotate kernel over the MXU factorization.
+
+    Caller layout: acc_lo/hi (B*k1*N2, 128) u32 (to_v3_layout); adegs
+    (n_steps, B) i32; m_limbs (n_steps, P, L, N1, K, C) int8 from
+    mxu.bsk_to_mxu.  Returns (lo, hi) in the same layout.
+    """
+    n1 = 128
+    n2 = n // n1
+    plan = mxu_mod.make_mxu_plan(n)
+    num_primes = plan.num_primes
+    primes = [int(p) for p in plan.primes]
+    pinvs = [int(ntt_mod.make_plan(n, num_primes, primes=plan.primes)
+               .plans[i].p_inv_neg32) for i in range(num_primes)]
+    fcs = _fold_consts(n)
+    w1t_np, w1i_np, _ = _kernel_tables(n)
+    gplan = plan.garner
+    gc = ntt_mod._garner_consts(gplan.primes)
+    inv_mont = [int(gc[f"inv_mont_{j}"]) for j in range(1, num_primes)]
+    pm_mont = {k: int(v) for k, v in gc["pm_mont"].items()}
+    prods64 = [int(v) for v in gc["prods64"]]
+    half_digits = [int(v) for v in gc["half_digits"]]
+    p_mod64 = int(gc["P_mod64"])
+
+    R = tb * k1 * n2           # rows per tile
+    kmid = levels * k1 * n2    # middle contraction
+    cmid = k1 * n2             # middle output columns
+
+    def kernel(adeg_ref, acc_lo_in, acc_hi_in, m_ref, w1t_ref, w1i_ref,
+               out_lo_ref, out_hi_ref, acc_lo_s, acc_hi_s, rot_lo_s,
+               rot_hi_s, v_scr):
+        t = pl.program_id(0)
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            acc_lo_s[:] = acc_lo_in[:]
+            acc_hi_s[:] = acc_hi_in[:]
+
+        acc_lo = acc_lo_s[:]   # (R, 128)
+        acc_hi = acc_hi_s[:]
+
+        # ---- rotation: X^a * acc, a = a1*N2 + a2 ------------------------
+        # In this layout coeff i = i1*N2 + i2 sits at (row i2, lane i1).
+        # X^(N2*a1) is a lane-roll by a1 (sign flips per negacyclic wrap:
+        # lane-axis wrap = shift by N); X^(a2) is a roll of the i2 sub-axis
+        # with a one-lane borrow for wrapped rows.
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (k1 * n2, LANES), 1)
+        row_i2 = jax.lax.broadcasted_iota(
+            jnp.int32, (k1, n2, LANES), 1).reshape(k1 * n2, LANES)
+        rows_per_el = k1 * n2
+
+        def rot_body(el, _):
+            a = adeg_ref[0, 0, t * tb + el]
+            a1 = jax.lax.div(a, np.int32(n2))          # [0, 2N/n2)
+            a2 = jax.lax.rem(a, np.int32(n2))
+            rsl = pl.ds(el * rows_per_el, rows_per_el)
+            borrow = row_i2 < a2
+            q = jnp.where(borrow, a1 + np.int32(1), a1)
+            qm_a = jax.lax.rem(a1, np.int32(LANES))
+            qm_b = jax.lax.rem(a1 + np.int32(1), np.int32(LANES))
+            flip = (((lane_idx < jax.lax.rem(q, np.int32(LANES)))
+                     .astype(jnp.int32) + jax.lax.div(q, np.int32(LANES)))
+                    & 1) == 1
+
+            def rolled(src_ref):
+                v3 = src_ref[rsl, :].reshape(k1, n2, LANES)
+                rb = pltpu.roll(v3, a2, 1).reshape(k1 * n2, LANES)
+                za = pltpu.roll(rb, qm_a, 1)
+                zb = pltpu.roll(rb, qm_b, 1)
+                return jnp.where(borrow, zb, za)
+
+            z_lo = rolled(acc_lo_s)
+            z_hi = rolled(acc_hi_s)
+            n_lo, n_hi = neg64(z_lo, z_hi)   # joint 64-bit negation
+            rot_lo_s[rsl, :] = jnp.where(flip, n_lo, z_lo)
+            rot_hi_s[rsl, :] = jnp.where(flip, n_hi, z_hi)
+            return 0
+
+        jax.lax.fori_loop(0, tb, rot_body, 0)
+
+        ct1_lo, ct1_hi = sub64(rot_lo_s[:], rot_hi_s[:], acc_lo, acc_hi)
+        digits = _decompose32(ct1_lo, ct1_hi, base_log, levels)  # l x (R,128)
+        dlimbs = [_digit_limbs_i8(d) for d in digits]            # l x 4 x i8
+
+        res_primes = []
+        for pi in range(num_primes):
+            p = _u32(primes[pi])
+            pinv = _u32(pinvs[pi])
+            fc = fcs[pi]
+            # ---- stage 1 (fwd): contract lanes (i1) with W1'^T ----------
+            # rows (el, poly, i2) keep their meaning; output lanes = k1
+            s_levels = []
+            for lev in range(levels):
+                diags = [None] * (2 * NL - 1)
+                for e in range(NL):
+                    for f in range(NL):
+                        prod = _int8_dot(dlimbs[lev][e],
+                                         w1t_ref[pi, f].astype(jnp.int8))
+                        d = e + f
+                        diags[d] = prod if diags[d] is None else diags[d] + prod
+                s_levels.append(_fold_diags(diags, p, pinv, fc, signed=True))
+            # ---- transpose to (k1-lanes -> rows) for the middle ---------
+            # build St (128 k1, tb, kmid) with kmid = (lev, poly, i2)
+            st_parts = []
+            for lev in range(levels):
+                sl = s_levels[lev].reshape(tb, k1 * n2, LANES)
+                st_parts.append(jnp.transpose(sl, (2, 0, 1)))  # (128, tb, k1*n2)
+            st = jnp.concatenate(
+                [pt[:, :, None, :] for pt in st_parts], axis=2
+            ).reshape(LANES, tb, kmid)
+            stl = _residue_limbs_i8(st)               # 4 x (128, tb, kmid) i8
+            # ---- middle: per-k1 collapse matrices (fori over k1) --------
+            def mid_body(g, _):
+                diags = [None] * (2 * NL - 1)
+                for e in range(NL):
+                    lhs = jax.lax.dynamic_index_in_dim(
+                        stl[e], g, axis=0, keepdims=False)   # (tb, kmid)
+                    for f in range(NL):
+                        rhs = m_ref[0, pi, f, g]             # (kmid, cmid) i8
+                        prod = _int8_dot(lhs, rhs)
+                        d = e + f
+                        diags[d] = prod if diags[d] is None else diags[d] + prod
+                v_scr[g] = _fold_diags(diags, p, pinv, fc, signed=False)
+                return 0
+
+            jax.lax.fori_loop(0, n1, mid_body, 0)
+            # ---- inverse stage 1: contract k1 (rows of v_scr) -----------
+            vflat = v_scr[:].reshape(n1, tb * cmid)
+            vl = _residue_limbs_i8(vflat)                 # 4 x (128, tb*cmid)
+            diags = [None] * (2 * NL - 1)
+            for e in range(NL):
+                for f in range(NL):
+                    prod = _int8_dot(w1i_ref[pi, f].astype(jnp.int8), vl[e])
+                    d = e + f
+                    diags[d] = prod if diags[d] is None else diags[d] + prod
+            y = _fold_diags(diags, p, pinv, fc, signed=False)  # (128 j1, tb*cmid)
+            # back to acc layout: rows=(el, c, j2), lanes=j1
+            yr = jnp.transpose(y.reshape(LANES, tb, cmid), (1, 2, 0)
+                               ).reshape(R, LANES)
+            res_primes.append(yr)
+
+        # ---- Garner to u64 pairs + accumulate ---------------------------
+        a_digits = [res_primes[0]]
+        for j in range(1, num_primes):
+            pj = _u32(primes[j])
+            pinv_j = _u32(pinvs[j])
+            v = jnp.where(a_digits[0] >= pj, a_digits[0] - pj, a_digits[0])
+            for i in range(1, j):
+                term = mont_mul32(a_digits[i],
+                                  jnp.full(v.shape, _u32(pm_mont[(i - 1, j)]), U32),
+                                  pj, pinv_j)
+                vv = v + term
+                v = jnp.where(vv >= pj, vv - pj, vv)
+            r = res_primes[j]
+            d = jnp.where(r >= v, r - v, r + pj - v)
+            a_digits.append(mont_mul32(
+                d, jnp.full(d.shape, _u32(inv_mont[j - 1]), U32), pj, pinv_j))
+        out_lo = a_digits[0]
+        out_hi = jnp.zeros_like(out_lo)
+        for i in range(1, num_primes):
+            cc = prods64[i]
+            c_lo, c_hi = _u32(cc & 0xFFFFFFFF), _u32((cc >> 32) & 0xFFFFFFFF)
+            t_lo, t_hi = mulwide(a_digits[i], jnp.full(out_lo.shape, c_lo, U32))
+            t_hi = t_hi + a_digits[i] * c_hi
+            out_lo, out_hi = add64(out_lo, out_hi, t_lo, t_hi)
+        is_neg = a_digits[0] > _u32(half_digits[0])
+        for i in range(1, num_primes):
+            hd = _u32(half_digits[i])
+            is_neg = (a_digits[i] > hd) | ((a_digits[i] == hd) & is_neg)
+        pm_lo, pm_hi = _u32(p_mod64 & 0xFFFFFFFF), _u32((p_mod64 >> 32) & 0xFFFFFFFF)
+        corr_lo, corr_hi = sub64(out_lo, out_hi,
+                                 jnp.full(out_lo.shape, pm_lo, U32),
+                                 jnp.full(out_lo.shape, pm_hi, U32))
+        out_lo = jnp.where(is_neg, corr_lo, out_lo)
+        out_hi = jnp.where(is_neg, corr_hi, out_hi)
+
+        new_lo, new_hi = add64(acc_lo, acc_hi, out_lo, out_hi)
+        acc_lo_s[:] = new_lo
+        acc_hi_s[:] = new_hi
+
+        @pl.when(s == pl.num_programs(1) - 1)
+        def _():
+            out_lo_ref[:] = new_lo
+            out_hi_ref[:] = new_hi
+
+    def run(acc_lo, acc_hi, adegs, m_limbs):
+        batch_rows = acc_lo.shape[0]
+        assert acc_lo.shape == (batch_rows, LANES)
+        assert batch_rows % R == 0
+        n_tiles = batch_rows // R
+        batch = batch_rows // (k1 * n2)
+        vmem = pltpu.VMEM
+        z = lambda t: t * 0
+        in_specs = [
+            pl.BlockSpec((1, 1, batch), lambda t, s: (s, z(t), z(t)),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
+            pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
+            pl.BlockSpec((1, num_primes, NL, n1, kmid, cmid),
+                         lambda t, s: (s, z(t), z(t), z(t), z(t), z(t)),
+                         memory_space=vmem),
+            pl.BlockSpec((num_primes, NL, n1, n1),
+                         lambda t, s: (z(t),) * 4, memory_space=vmem),
+            pl.BlockSpec((num_primes, NL, n1, n1),
+                         lambda t, s: (z(t),) * 4, memory_space=vmem),
+        ]
+        out_specs = [pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)),
+                                  memory_space=vmem)] * 2
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, n_steps),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[jax.ShapeDtypeStruct((batch_rows, LANES), U32)] * 2,
+            scratch_shapes=[pltpu.VMEM((R, LANES), U32)] * 4 +
+                           [pltpu.VMEM((n1, tb, cmid), U32)],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+        )
+        return call(adegs.reshape(n_steps, 1, batch), acc_lo, acc_hi,
+                    m_limbs, jnp.asarray(w1t_np), jnp.asarray(w1i_np))
+
+    return run
+
+
+def blind_rotate_pallas_v3(msed_mask, msed_body, lut, m_limbs, plan,
+                           base_log: int, levels: int, tb: int = 8,
+                           interpret: bool = False):
+    """Blind rotation through the v3 MXU kernel; same semantics as
+    ops.server.blind_rotate / ops.mxu.blind_rotate_mxu."""
+    from .server import monomial_div
+
+    b, k1, n = lut.shape
+    n_in = m_limbs.shape[0]
+    acc0 = monomial_div(lut, msed_body[:, None, None])
+    lo0 = to_v3_layout((acc0 & np.uint64(0xFFFFFFFF)).astype(jnp.uint32), k1, n)
+    hi0 = to_v3_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n)
+    run = build_blind_rotate_v3(n, base_log, levels, k1, tb, n_in, interpret)
+    lo, hi = run(lo0, hi0, msed_mask.T.astype(jnp.int32), m_limbs)
+    lo = from_v3_layout(lo, b, k1, n)
+    hi = from_v3_layout(hi, b, k1, n)
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))

@@ -29,6 +29,11 @@ from .client_key import ClientKey
 from .params import MsNoiseReduction, ShortintParams
 
 
+class CarryFullError(Exception):
+    """checked_* flavor failure (the reference's CheckError): the operation
+    would exceed the degree or noise budget."""
+
+
 @dataclass
 class LookupTable:
     acc: np.ndarray  # (k+1, N) uint64 trivial GLWE accumulator
@@ -469,6 +474,56 @@ class ServerKey:
 
     def _fits(self, degree: int, noise: int) -> bool:
         return degree <= self.max_degree and noise <= self.max_noise_level
+
+    # ------------------------------------------------------------------
+    # checked_* flavor (server_key/add.rs:131 CheckError convention): error
+    # out when the operation would overflow the degree/noise budget, never
+    # bootstrap implicitly.  Completes the four-flavor convention
+    # unchecked_/checked_/smart_/default.
+    # ------------------------------------------------------------------
+
+    def _check(self, degree: int, noise: int) -> None:
+        if not self._fits(degree, noise):
+            raise CarryFullError(
+                f"operation would exceed the budget: degree {degree} > "
+                f"{self.max_degree} or noise {noise} > {self.max_noise_level}")
+
+    def checked_add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        self._check(a.degree + b.degree, a.noise_level + b.noise_level)
+        return self.unchecked_add(a, b)
+
+    def checked_sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        p = self.params
+        z = (b.degree + p.message_modulus) // p.message_modulus * p.message_modulus
+        self._check(a.degree + z, a.noise_level + b.noise_level)
+        return self.unchecked_sub(a, b)
+
+    def checked_neg(self, a: Ciphertext) -> Ciphertext:
+        p = self.params
+        z = (a.degree + p.message_modulus) // p.message_modulus * p.message_modulus
+        self._check(z, a.noise_level)
+        return self.unchecked_neg(a)
+
+    def checked_scalar_add(self, a: Ciphertext, scalar: int) -> Ciphertext:
+        self._check(a.degree + scalar, a.noise_level)
+        return self.unchecked_scalar_add(a, scalar)
+
+    def checked_scalar_mul(self, a: Ciphertext, scalar: int) -> Ciphertext:
+        self._check(a.degree * scalar, a.noise_level * scalar)
+        return self.unchecked_scalar_mul(a, scalar)
+
+    def checked_apply_bivariate(self, a: Ciphertext, b: Ciphertext, f) -> Ciphertext:
+        p = self.params
+        msg = p.message_modulus
+        if b.degree >= msg:
+            raise CarryFullError(f"rhs degree {b.degree} >= {msg} cannot pack")
+        self._check(a.degree * msg + b.degree, a.noise_level * msg + b.noise_level)
+        return self.unchecked_apply_bivariate(a, b, f)
+
+    def checked_mul(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        p = self.params
+        return self.checked_apply_bivariate(
+            a, b, lambda x, y: (x * y) % p.message_modulus)
 
     def smart_add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         if not self._fits(a.degree + b.degree, a.noise_level + b.noise_level):
