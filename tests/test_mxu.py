@@ -92,3 +92,25 @@ def test_v3_kernel_parity_interpret(setup):
         jnp.asarray(m_limbs), plan_mxu, BASE_LOG, LEVELS, tb=2,
         interpret=True))
     assert (got == want).all()
+
+
+def test_device_middle_build_matches_host(setup):
+    """bsk_eval_domain + middle_from_eval_device == bsk_to_mxu."""
+    bsk_mont, plan_ref, m_limbs, plan_mxu = setup
+    import tfhe_tpu.core.keygen as kg2  # noqa: F401  (setup already built bsk)
+    # rebuild the bsk deterministically (same seeds as the fixture)
+    from tfhe_tpu.core import keygen as kgx
+    from tfhe_tpu.utils.csprng import (
+        DeterministicSeeder, EncryptionRandomGenerator, SecretRandomGenerator,
+        TUniform)
+    gen_s = SecretRandomGenerator(123)
+    lwe_sk = kgx.generate_binary_lwe_secret_key(N_IN, gen_s)
+    glwe_sk = kgx.generate_binary_glwe_secret_key(K_GLWE, N, gen_s)
+    gen_e = EncryptionRandomGenerator(7, DeterministicSeeder(99))
+    from tfhe_tpu.core.params import DecompParams
+    bsk = kgx.generate_lwe_bootstrap_key(
+        lwe_sk, glwe_sk, DecompParams(BASE_LOG, LEVELS), TUniform(3), gen_e)
+    bhat, plan2 = mxu.bsk_eval_domain(bsk)
+    dev = np.asarray(mxu.middle_from_eval_device(jnp.asarray(bhat), plan2))
+    assert dev.shape == m_limbs.shape
+    assert (dev == m_limbs).all()

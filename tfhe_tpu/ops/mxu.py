@@ -217,6 +217,64 @@ def bsk_to_mxu(bsk, plan: MxuPlan = None):
     return m_limbs, plan
 
 
+def bsk_eval_domain(bsk, plan: MxuPlan = None):
+    """Host half of the key conversion: coefficient BSK -> NTT evaluations
+    b_hat (n, l, k+1, k+1, P, N1, N2) u32 (the ~16x smaller precursor of the
+    middle tensors; the heavy M assembly runs on device)."""
+    if plan is None:
+        plan = make_mxu_plan(bsk.polynomial_size)
+    data = bsk.data.astype(U64)
+    outs = []
+    for pi in range(plan.num_primes):
+        outs.append(_forward_eval(data, plan, pi).astype(np.uint32))
+    return np.ascontiguousarray(np.stack(outs, axis=-3)), plan
+
+
+def middle_from_eval_device(bhat, plan: MxuPlan):
+    """Device-side M assembly: M = F * diag(b_hat) * G mod p, limb-extracted.
+
+    bhat: (n, l, r, c, P, N1, N2) u32 on device.  Returns m_limbs int8
+    (n, P, L, N1, l*r*N2, c*N2) materialized in HBM — avoids shipping the
+    ~16x larger middle tensors over the host link (which is the bottleneck
+    behind a tunnel and a waste of PCIe anywhere).
+
+    Arithmetic: u64 Montgomery (REDC32) — no division, XLA-exact.
+    """
+    n_in, lev, r_, c_, p_, n1, n2 = bhat.shape
+    r64 = 1 << 32
+    per_prime = []
+    for pi, p in enumerate(plan.primes):
+        pinv = U64(((r64 - pow(p, -1, r64)) % r64))
+        pu = U64(p)
+        g_m = jnp.asarray((plan.g_mid[pi].astype(object) * r64 % p)
+                          .astype(np.uint64))                # (N1, N2k2, N2j2) Mont
+        f_m = jnp.asarray((plan.f_mid[pi].astype(object) * r64 % p)
+                          .astype(np.uint64))                # (N1, N2i2, N2k2) Mont
+        bh = bhat[..., pi, :, :].astype(jnp.uint64)          # (n,l,r,c,N1,N2k2)
+        # H[k1, k2, j2] = bhat[k1, k2] * G[k1, k2, j2] mod p (normal domain)
+        h = ntt.mont_mul(bh[..., :, None],
+                         g_m[None, None, None, None], pu, pinv, jnp)
+        # M[k1, i2, j2] = sum_k2 F[k1, i2, k2] * H[k1, k2, j2] mod p
+        acc = None
+        for k2 in range(n2):
+            term = ntt.mont_mul(h[..., k2, :][..., None, :],
+                                f_m[None, None, None, None, :, :, k2, None],
+                                pu, pinv, jnp)   # (n,l,r,c,N1,N2i2,N2j2)
+            acc = term if acc is None else acc + term
+        # lazy sum < N2*p < 2^33: one REDC then re-enter via R^2
+        r2 = U64((r64 * r64) % p)
+        y = ntt.mont_mul(acc, U64(1), pu, pinv, jnp)
+        m = ntt.mont_mul(y, r2, pu, pinv, jnp)
+        # (n, l, r, c, N1, i2, j2) -> (n, N1, l, r, i2, c, j2)
+        m = m.transpose(0, 4, 1, 2, 5, 3, 6).reshape(
+            n_in, n1, lev * r_ * n2, c_ * n2)
+        limbs = jnp.stack([((m >> np.uint64(LIMB_BITS * e)) & np.uint64(127))
+                           .astype(jnp.int8) for e in range(N_LIMBS)])
+        per_prime.append(limbs)                              # (L, n, N1, K, C)
+    stacked = jnp.stack(per_prime)                           # (P, L, n, N1, K, C)
+    return jnp.transpose(stacked, (2, 0, 1, 3, 4, 5))
+
+
 # ---------------------------------------------------------------------------
 # Device-side (jnp) — exact, XLA-traceable; the Pallas kernel mirrors this
 # ---------------------------------------------------------------------------
