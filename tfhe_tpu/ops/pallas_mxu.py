@@ -80,8 +80,8 @@ def _kernel_tables(n: int):
     w1i: (P, L, j1, k1) int8 (lhs of the inverse stage-1)."""
     plan = mxu_mod.make_mxu_plan(n)
     w1t = np.ascontiguousarray(np.swapaxes(plan.w1_limbs, -1, -2))
-    w1i = plan.w1i_limbs
-    return w1t, w1i, plan
+    w1it = np.ascontiguousarray(np.swapaxes(plan.w1i_limbs, -1, -2))
+    return w1t, w1it, plan
 
 
 def to_v3_layout(x, k1: int, n: int, n1: int = 128):
@@ -115,9 +115,12 @@ def _digit_limbs_i8(d_u32):
 
 
 def _residue_limbs_i8(x_u32):
-    """Canonical residues < 2^28 -> 4 unsigned 7-bit limbs as int8."""
-    return [((x_u32 >> U32(LB * e)) & U32(127)).astype(jnp.int8)
-            for e in range(NL)]
+    """Canonical residues < 2^28 -> 4 unsigned 7-bit limbs as int8.
+
+    Mosaic cannot lower u32->i8 directly (its convert helper recurses);
+    hop through i32."""
+    return [((x_u32 >> U32(LB * e)) & U32(127)).astype(jnp.int32)
+            .astype(jnp.int8) for e in range(NL)]
 
 
 def _fold_diags(diags, p: np.uint32, pinv: np.uint32, fc, signed: bool):
@@ -170,7 +173,7 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
     pinvs = [int(ntt_mod.make_plan(n, num_primes, primes=plan.primes)
                .plans[i].p_inv_neg32) for i in range(num_primes)]
     fcs = _fold_consts(n)
-    w1t_np, w1i_np, _ = _kernel_tables(n)
+    w1t_np, w1it_np, _ = _kernel_tables(n)
     gplan = plan.garner
     gc = ntt_mod._garner_consts(gplan.primes)
     inv_mont = [int(gc[f"inv_mont_{j}"]) for j in range(1, num_primes)]
@@ -183,9 +186,9 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
     kmid = levels * k1 * n2    # middle contraction
     cmid = k1 * n2             # middle output columns
 
-    def kernel(adeg_ref, acc_lo_in, acc_hi_in, m_ref, w1t_ref, w1i_ref,
+    def kernel(adeg_ref, acc_lo_in, acc_hi_in, m_ref, w1t_ref, w1it_ref,
                out_lo_ref, out_hi_ref, acc_lo_s, acc_hi_s, rot_lo_s,
-               rot_hi_s, v_scr):
+               rot_hi_s, st_scr, vt_scr):
         t = pl.program_id(0)
         s = pl.program_id(1)
 
@@ -207,8 +210,9 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             jnp.int32, (k1, n2, LANES), 1).reshape(k1 * n2, LANES)
         rows_per_el = k1 * n2
 
-        def rot_body(el, _):
-            a = adeg_ref[0, 0, t * tb + el]
+        def rot_body(el, a):
+            # `a` is passed in (SMEM scalar reads want static-ish indices;
+            # the caller reads them in an unrolled loop)
             a1 = jax.lax.div(a, np.int32(n2))          # [0, 2N/n2)
             a2 = jax.lax.rem(a, np.int32(n2))
             rsl = pl.ds(el * rows_per_el, rows_per_el)
@@ -232,9 +236,10 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             n_lo, n_hi = neg64(z_lo, z_hi)   # joint 64-bit negation
             rot_lo_s[rsl, :] = jnp.where(flip, n_lo, z_lo)
             rot_hi_s[rsl, :] = jnp.where(flip, n_hi, z_hi)
-            return 0
+            return a
 
-        jax.lax.fori_loop(0, tb, rot_body, 0)
+        for el in range(tb):
+            rot_body(el, adeg_ref[0, 0, t * tb + el])
 
         ct1_lo, ct1_hi = sub64(rot_lo_s[:], rot_hi_s[:], acc_lo, acc_hi)
         digits = _decompose32(ct1_lo, ct1_hi, base_log, levels)  # l x (R,128)
@@ -257,45 +262,43 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                         d = e + f
                         diags[d] = prod if diags[d] is None else diags[d] + prod
                 s_levels.append(_fold_diags(diags, p, pinv, fc, signed=True))
-            # ---- transpose to (k1-lanes -> rows) for the middle ---------
-            # build St (128 k1, tb, kmid) with kmid = (lev, poly, i2)
-            st_parts = []
+            # ---- relayout for the middle: St (128 k1, tb, kmid) ---------
+            # 2D lane transpose (Mosaic supports it) + static lane-slice
+            # writes into scratch (minor-dim SPLITS are unsupported).
             for lev in range(levels):
-                sl = s_levels[lev].reshape(tb, k1 * n2, LANES)
-                st_parts.append(jnp.transpose(sl, (2, 0, 1)))  # (128, tb, k1*n2)
-            st = jnp.concatenate(
-                [pt[:, :, None, :] for pt in st_parts], axis=2
-            ).reshape(LANES, tb, kmid)
-            stl = _residue_limbs_i8(st)               # 4 x (128, tb, kmid) i8
-            # ---- middle: per-k1 collapse matrices (fori over k1) --------
-            def mid_body(g, _):
-                diags = [None] * (2 * NL - 1)
-                for e in range(NL):
-                    lhs = jax.lax.dynamic_index_in_dim(
-                        stl[e], g, axis=0, keepdims=False)   # (tb, kmid)
-                    for f in range(NL):
-                        rhs = m_ref[0, pi, f, g]             # (kmid, cmid) i8
-                        prod = _int8_dot(lhs, rhs)
-                        d = e + f
-                        diags[d] = prod if diags[d] is None else diags[d] + prod
-                v_scr[g] = _fold_diags(diags, p, pinv, fc, signed=False)
-                return 0
+                stT = jnp.transpose(s_levels[lev])        # (128, R)
+                for el in range(tb):
+                    st_scr[:, el, lev * k1 * n2:(lev + 1) * k1 * n2] = \
+                        stT[:, el * k1 * n2:(el + 1) * k1 * n2]
 
-            jax.lax.fori_loop(0, n1, mid_body, 0)
-            # ---- inverse stage 1: contract k1 (rows of v_scr) -----------
-            vflat = v_scr[:].reshape(n1, tb * cmid)
-            vl = _residue_limbs_i8(vflat)                 # 4 x (128, tb*cmid)
+            # ---- middle: one batched (over k1) int8 dot_general ---------
+            stl = _residue_limbs_i8(st_scr[:])            # 4 x (128,tb,kmid)
             diags = [None] * (2 * NL - 1)
             for e in range(NL):
                 for f in range(NL):
-                    prod = _int8_dot(w1i_ref[pi, f].astype(jnp.int8), vl[e])
+                    prod = jax.lax.dot_general(
+                        stl[e], m_ref[0, pi, f],
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)  # (128, tb, cmid)
                     d = e + f
                     diags[d] = prod if diags[d] is None else diags[d] + prod
-            y = _fold_diags(diags, p, pinv, fc, signed=False)  # (128 j1, tb*cmid)
-            # back to acc layout: rows=(el, c, j2), lanes=j1
-            yr = jnp.transpose(y.reshape(LANES, tb, cmid), (1, 2, 0)
-                               ).reshape(R, LANES)
-            res_primes.append(yr)
+            v = _fold_diags(diags, p, pinv, fc, signed=False)  # (128,tb,cmid)
+
+            # ---- inverse stage 1: contract k1 on lanes ------------------
+            # relayout V (128 k1, tb, cmid) -> (R rows=(el,c,j2), 128 k1)
+            # via per-element 2D transposes (the only relayout Mosaic takes)
+            for el in range(tb):
+                vt_scr[el * cmid:(el + 1) * cmid, :] = \
+                    jnp.transpose(v[:, el, :])
+            vl = _residue_limbs_i8(vt_scr[:])             # 4 x (R, 128)
+            diags = [None] * (2 * NL - 1)
+            for e in range(NL):
+                for f in range(NL):
+                    prod = _int8_dot(vl[e], w1it_ref[pi, f])  # (R, 128 j1)
+                    d = e + f
+                    diags[d] = prod if diags[d] is None else diags[d] + prod
+            y = _fold_diags(diags, p, pinv, fc, signed=False)  # (R, 128)
+            res_primes.append(y)
 
         # ---- Garner to u64 pairs + accumulate ---------------------------
         a_digits = [res_primes[0]]
@@ -371,7 +374,8 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             out_specs=out_specs,
             out_shape=[jax.ShapeDtypeStruct((batch_rows, LANES), U32)] * 2,
             scratch_shapes=[pltpu.VMEM((R, LANES), U32)] * 4 +
-                           [pltpu.VMEM((n1, tb, cmid), U32)],
+                           [pltpu.VMEM((n1, tb, kmid), U32),
+                            pltpu.VMEM((R, LANES), U32)],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=120 * 1024 * 1024,
@@ -379,7 +383,7 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             ),
         )
         return call(adegs.reshape(n_steps, 1, batch), acc_lo, acc_hi,
-                    m_limbs, jnp.asarray(w1t_np), jnp.asarray(w1i_np))
+                    m_limbs, jnp.asarray(w1t_np), jnp.asarray(w1it_np))
 
     return run
 
