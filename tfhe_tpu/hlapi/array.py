@@ -1,9 +1,9 @@
 """Encrypted arrays (high_level_api/array/): n-dimensional containers of
 FheUint elements with elementwise ops.
 
-Each element op batches its own block-PBS rounds through the integer layer;
-cross-element coalescing (one device round spanning all array elements) is
-the round-coalescing scheduler's job — see integer/scheduler.py."""
+Elementwise add/sub coalesce EVERY internal PBS round across all array
+elements through the round scheduler (integer/scheduler.py); other ops
+batch per element pending their *_many variants."""
 
 from __future__ import annotations
 
@@ -37,9 +37,18 @@ class FheUintArray:
         flat = [ik.decrypt_radix(e) for e in self.elems]
         return np.asarray(flat, dtype=object).reshape(self.shape)
 
+    _MANY = {"add_parallelized": "add_many_parallelized",
+             "sub_parallelized": "sub_many_parallelized"}
+
     def _zip_op(self, other: "FheUintArray", opname: str) -> "FheUintArray":
         assert self.shape == other.shape, (self.shape, other.shape)
         sk = internal_server_key().integer_key
+        many = self._MANY.get(opname)
+        if many is not None:
+            from ..integer import scheduler as sched
+
+            outs = getattr(sched, many)(sk, list(zip(self.elems, other.elems)))
+            return FheUintArray(outs, self.shape, self.element_type)
         op = getattr(sk, opname)
         return FheUintArray([op(a, b) for a, b in zip(self.elems, other.elems)],
                             self.shape, self.element_type)

@@ -1,8 +1,9 @@
 """KVStore: encrypted-key lookup/update over a clear-keyed map
 (high_level_api/kv_store.rs:67, integer kv_store primitives).
 
-get(enc_key):   sum_k [enc_key == k] * value_k      (one masked-select round
-                per entry, batched; zero if absent)
+get(enc_key):   sum_k [enc_key == k] * value_k — ONE coalesced eq + ONE
+                coalesced masked-select round spanning every entry
+                (integer/scheduler.py); zero if absent
 update(enc_key, new_value): value_k' = select([enc_key == k], new_value,
                 value_k) for every entry.
 map_values(f):  apply a clear function to every stored value.
@@ -26,22 +27,46 @@ class KVStore:
     def __len__(self) -> int:
         return len(self._entries)
 
-    def get(self, enc_key: RadixCiphertext) -> RadixCiphertext:
-        """Encrypted lookup; encrypts 0 when the key is absent."""
+    def _hits(self, enc_key: RadixCiphertext, keys: list) -> list:
+        """[enc_key == k] for every stored key, all rounds coalesced."""
+        from ..integer import scheduler as sched
+
         sk = self.sk
-        acc = sk.create_trivial_radix(0, self.num_blocks)
+        kn = enc_key.num_blocks
+        pairs = [(enc_key, sk.create_trivial_radix(int(k), kn)) for k in keys]
+        return sched.eq_many_parallelized(sk, pairs)
+
+    def get(self, enc_key: RadixCiphertext) -> RadixCiphertext:
+        """Encrypted lookup; encrypts 0 when the key is absent.  One
+        coalesced eq round-set + one coalesced masked-select round over ALL
+        entries (integer/scheduler.py), then a carry-save sum."""
+        from ..integer import scheduler as sched
+
+        sk = self.sk
+        if not self._entries:
+            return sk.create_trivial_radix(0, self.num_blocks)
+        keys = list(self._entries)
+        hits = self._hits(enc_key, keys)
         zero = sk.create_trivial_radix(0, self.num_blocks)
-        for k, v in self._entries.items():
-            hit = sk.scalar_eq_parallelized(enc_key, k)
-            masked = sk.if_then_else_parallelized(hit, v, zero)
-            acc = sk.add_parallelized(acc, masked)
-        return acc
+        masked = sched.if_then_else_many_parallelized(
+            sk, [(h, self._entries[k], zero) for h, k in zip(hits, keys)])
+        if len(masked) == 1:
+            return masked[0]
+        return sk.sum_ciphertexts(masked, self.num_blocks)
 
     def update(self, enc_key: RadixCiphertext, new_value: RadixCiphertext) -> None:
+        from ..integer import scheduler as sched
+
         sk = self.sk
-        for k, v in list(self._entries.items()):
-            hit = sk.scalar_eq_parallelized(enc_key, k)
-            self._entries[k] = sk.if_then_else_parallelized(hit, new_value, v)
+        if not self._entries:
+            return
+        keys = list(self._entries)
+        hits = self._hits(enc_key, keys)
+        outs = sched.if_then_else_many_parallelized(
+            sk, [(h, new_value, self._entries[k])
+                 for h, k in zip(hits, keys)])
+        for k, o in zip(keys, outs):
+            self._entries[k] = o
 
     def map_values(self, f) -> None:
         """Apply an encrypted-domain function v -> f(v) to every value."""

@@ -477,10 +477,12 @@ class ExtendedOpsMixin:
         return (lo, hi) if ascending else (hi, lo)
 
     def sort_parallelized(self, values: list, ascending: bool = True) -> list:
-        """Bitonic sort of encrypted radix values: log^2(n) rounds of
-        oblivious compare-exchanges.  Each compare-exchange batches its own
-        PBS rounds; coalescing a whole round's n/2 exchanges into one device
-        batch is the round-coalescing scheduler's job (integer/scheduler.py)."""
+        """Bitonic sort of encrypted radix values: log^2(n) rounds, each
+        round's n/2 oblivious compare-exchanges coalesced into ONE device
+        batch through the round scheduler (integer/scheduler.py — the HPU
+        batch-pipelining analog, SURVEY §2.13 P8)."""
+        from . import scheduler as sched
+
         n0 = len(values)
         if n0 <= 1:
             return [v.copy() for v in values]
@@ -494,12 +496,16 @@ class ExtendedOpsMixin:
         while k <= n:
             j = k // 2
             while j >= 1:
+                idx, pairs, dirs = [], [], []
                 for i in range(n):
                     partner = i ^ j
                     if partner > i:
-                        up = ((i & k) == 0) == ascending
-                        arr[i], arr[partner] = self._compare_exchange(
-                            arr[i], arr[partner], up)
+                        idx.append((i, partner))
+                        pairs.append((arr[i], arr[partner]))
+                        dirs.append(((i & k) == 0) == ascending)
+                for (i, partner), (lo, hi) in zip(
+                        idx, sched.compare_exchange_many(self, pairs, dirs)):
+                    arr[i], arr[partner] = lo, hi
                 j //= 2
             k *= 2
-        return arr[:n0] if ascending else arr[:n0]
+        return arr[:n0]
