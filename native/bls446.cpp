@@ -516,6 +516,349 @@ static void powers(uint8_t *out, const uint8_t *base, const uint8_t *alpha,
     }
 }
 
+
+// --------------------------------------------------------------------------
+// Pairing: Fp6/Fp12 towers, Miller loop, final exponentiation
+// (port of the Python tower in tfhe_tpu/zk/curve446.py; M-type twist,
+// xi = 1 + u, Fq6 = Fq2[v]/(v^3 - xi), Fq12 = Fq6[w]/(w^2 - v))
+// --------------------------------------------------------------------------
+
+struct Fp6 {
+    Fp2 c0, c1, c2;
+};
+struct Fp12 {
+    Fp6 c0, c1;
+};
+
+static Fp2 GAMMA[6];         // frobenius coefficients xi^((p-1)i/6)
+static std::vector<uint8_t> HARD_EXP;  // (p^4-p^2+1)/r, big-endian bytes
+static std::vector<uint8_t> X_ABS_BE;  // |x| big-endian bytes
+static int X_NEG = 1;
+
+static inline void fp2_neg(Fp2 &r, const Fp2 &a) {
+    Fp z;
+    memset(&z, 0, sizeof(z));
+    fp_sub(r.c0, z, a.c0);
+    fp_sub(r.c1, z, a.c1);
+}
+
+static inline void fp2_conj(Fp2 &r, const Fp2 &a) {
+    Fp z;
+    memset(&z, 0, sizeof(z));
+    r.c0 = a.c0;
+    fp_sub(r.c1, z, a.c1);
+}
+
+static inline void fp2_mul_xi(Fp2 &r, const Fp2 &a) {
+    // (a+bu)(1+u) = (a-b) + (a+b)u
+    Fp t0, t1;
+    fp_sub(t0, a.c0, a.c1);
+    fp_add(t1, a.c0, a.c1);
+    r.c0 = t0;
+    r.c1 = t1;
+}
+
+static void fp6_add(Fp6 &r, const Fp6 &a, const Fp6 &b) {
+    fp2_add(r.c0, a.c0, b.c0);
+    fp2_add(r.c1, a.c1, b.c1);
+    fp2_add(r.c2, a.c2, b.c2);
+}
+
+static void fp6_sub(Fp6 &r, const Fp6 &a, const Fp6 &b) {
+    fp2_sub(r.c0, a.c0, b.c0);
+    fp2_sub(r.c1, a.c1, b.c1);
+    fp2_sub(r.c2, a.c2, b.c2);
+}
+
+static void fp6_neg(Fp6 &r, const Fp6 &a) {
+    fp2_neg(r.c0, a.c0);
+    fp2_neg(r.c1, a.c1);
+    fp2_neg(r.c2, a.c2);
+}
+
+static void fp6_mul(Fp6 &r, const Fp6 &x, const Fp6 &y) {
+    Fp2 t0, t1, t2, s, u, w;
+    fp2_mul(t0, x.c0, y.c0);
+    fp2_mul(t1, x.c1, y.c1);
+    fp2_mul(t2, x.c2, y.c2);
+    // c0 = t0 + xi*((a1+a2)(b1+b2) - t1 - t2)
+    Fp2 a12, b12, c0;
+    fp2_add(a12, x.c1, x.c2);
+    fp2_add(b12, y.c1, y.c2);
+    fp2_mul(s, a12, b12);
+    fp2_sub(s, s, t1);
+    fp2_sub(s, s, t2);
+    fp2_mul_xi(u, s);
+    fp2_add(c0, t0, u);
+    // c1 = (a0+a1)(b0+b1) - t0 - t1 + xi*t2
+    Fp2 a01, b01, c1;
+    fp2_add(a01, x.c0, x.c1);
+    fp2_add(b01, y.c0, y.c1);
+    fp2_mul(s, a01, b01);
+    fp2_sub(s, s, t0);
+    fp2_sub(s, s, t1);
+    fp2_mul_xi(u, t2);
+    fp2_add(c1, s, u);
+    // c2 = (a0+a2)(b0+b2) - t0 - t2 + t1
+    Fp2 a02, b02, c2;
+    fp2_add(a02, x.c0, x.c2);
+    fp2_add(b02, y.c0, y.c2);
+    fp2_mul(s, a02, b02);
+    fp2_sub(s, s, t0);
+    fp2_sub(s, s, t2);
+    fp2_add(c2, s, t1);
+    r.c0 = c0;
+    r.c1 = c1;
+    r.c2 = c2;
+}
+
+static void fp6_mul_v(Fp6 &r, const Fp6 &a) {
+    Fp2 t;
+    fp2_mul_xi(t, a.c2);
+    Fp2 c1 = a.c0, c2 = a.c1;
+    r.c0 = t;
+    r.c1 = c1;
+    r.c2 = c2;
+}
+
+static void fp6_inv(Fp6 &r, const Fp6 &x) {
+    Fp2 c0, c1, c2, t, u, w;
+    fp2_sqr(t, x.c0);
+    fp2_mul(u, x.c1, x.c2);
+    fp2_mul_xi(w, u);
+    fp2_sub(c0, t, w);
+    fp2_sqr(t, x.c2);
+    fp2_mul_xi(u, t);
+    fp2_mul(w, x.c0, x.c1);
+    fp2_sub(c1, u, w);
+    fp2_sqr(t, x.c1);
+    fp2_mul(u, x.c0, x.c2);
+    fp2_sub(c2, t, u);
+    Fp2 den, d1, d2;
+    fp2_mul(den, x.c0, c0);
+    fp2_mul(t, x.c2, c1);
+    fp2_mul_xi(d1, t);
+    fp2_mul(t, x.c1, c2);
+    fp2_mul_xi(d2, t);
+    fp2_add(den, den, d1);
+    fp2_add(den, den, d2);
+    fp2_inv(den, den);
+    fp2_mul(r.c0, c0, den);
+    fp2_mul(r.c1, c1, den);
+    fp2_mul(r.c2, c2, den);
+}
+
+static void fp12_mul(Fp12 &r, const Fp12 &x, const Fp12 &y) {
+    Fp6 t0, t1, s, u;
+    fp6_mul(t0, x.c0, y.c0);
+    fp6_mul(t1, x.c1, y.c1);
+    Fp6 a01, b01;
+    fp6_add(a01, x.c0, x.c1);
+    fp6_add(b01, y.c0, y.c1);
+    fp6_mul(s, a01, b01);
+    fp6_sub(s, s, t0);
+    fp6_sub(s, s, t1);
+    fp6_mul_v(u, t1);
+    fp6_add(r.c0, t0, u);
+    r.c1 = s;
+}
+
+static void fp12_sqr(Fp12 &r, const Fp12 &x) {
+    // mirror of f12_sq: c0 = (a0+a1)(a0+v*a1) - t - v*t; c1 = 2t
+    Fp6 t, s0, s1, u, w;
+    fp6_mul(t, x.c0, x.c1);
+    fp6_add(s0, x.c0, x.c1);
+    fp6_mul_v(u, x.c1);
+    fp6_add(s1, x.c0, u);
+    fp6_mul(w, s0, s1);
+    fp6_mul_v(u, t);
+    fp6_add(u, u, t);
+    fp6_sub(r.c0, w, u);
+    fp6_add(r.c1, t, t);
+}
+
+static void fp12_inv(Fp12 &r, const Fp12 &x) {
+    Fp6 t0, t1, t;
+    Fp6 a0sq, a1sq;
+    fp6_mul(a0sq, x.c0, x.c0);
+    fp6_mul(a1sq, x.c1, x.c1);
+    fp6_mul_v(t1, a1sq);
+    fp6_sub(t, a0sq, t1);
+    fp6_inv(t, t);
+    fp6_mul(r.c0, x.c0, t);
+    fp6_mul(t0, x.c1, t);
+    fp6_neg(r.c1, t0);
+}
+
+static void fp12_conj(Fp12 &r, const Fp12 &x) {
+    r.c0 = x.c0;
+    fp6_neg(r.c1, x.c1);
+}
+
+static void fp12_one(Fp12 &r) {
+    memset(&r, 0, sizeof(r));
+    r.c0.c0.c0 = ONE_M;
+}
+
+static void fp12_frobenius(Fp12 &r, const Fp12 &x) {
+    Fp2 t;
+    fp2_conj(r.c0.c0, x.c0.c0);
+    fp2_conj(t, x.c0.c1);
+    fp2_mul(r.c0.c1, t, GAMMA[2]);
+    fp2_conj(t, x.c0.c2);
+    fp2_mul(r.c0.c2, t, GAMMA[4]);
+    fp2_conj(t, x.c1.c0);
+    fp2_mul(r.c1.c0, t, GAMMA[1]);
+    fp2_conj(t, x.c1.c1);
+    fp2_mul(r.c1.c1, t, GAMMA[3]);
+    fp2_conj(t, x.c1.c2);
+    fp2_mul(r.c1.c2, t, GAMMA[5]);
+}
+
+static void fp12_pow_be(Fp12 &r, const Fp12 &x, const uint8_t *be, size_t n) {
+    Fp12 acc;
+    fp12_one(acc);
+    bool started = false;
+    for (size_t i = 0; i < n; i++) {
+        for (int b = 7; b >= 0; b--) {
+            if (started) fp12_sqr(acc, acc);
+            if ((be[i] >> b) & 1) {
+                if (!started) {
+                    acc = x;
+                    started = true;
+                } else {
+                    fp12_mul(acc, acc, x);
+                }
+            }
+        }
+    }
+    r = acc;
+}
+
+// affine G2 helpers (infinity cannot occur inside the Miller loop for
+// prime-order inputs; mirrors the Python affine path)
+struct G2Aff {
+    Fp2 x, y;
+};
+
+static void g2aff_dbl(G2Aff &r, const G2Aff &p) {
+    Fp2 num, den, lam, t;
+    fp2_sqr(t, p.x);
+    fp2_add(num, t, t);
+    fp2_add(num, num, t);         // 3x^2
+    fp2_add(den, p.y, p.y);       // 2y
+    fp2_inv(den, den);
+    fp2_mul(lam, num, den);
+    Fp2 x3, y3;
+    fp2_sqr(x3, lam);
+    fp2_sub(x3, x3, p.x);
+    fp2_sub(x3, x3, p.x);
+    fp2_sub(t, p.x, x3);
+    fp2_mul(y3, lam, t);
+    fp2_sub(y3, y3, p.y);
+    r.x = x3;
+    r.y = y3;
+}
+
+static void g2aff_add(G2Aff &r, const G2Aff &p, const G2Aff &q) {
+    Fp2 num, den, lam, t;
+    fp2_sub(num, q.y, p.y);
+    fp2_sub(den, q.x, p.x);
+    fp2_inv(den, den);
+    fp2_mul(lam, num, den);
+    Fp2 x3, y3;
+    fp2_sqr(x3, lam);
+    fp2_sub(x3, x3, p.x);
+    fp2_sub(x3, x3, q.x);
+    fp2_sub(t, p.x, x3);
+    fp2_mul(y3, lam, t);
+    fp2_sub(y3, y3, p.y);
+    r.x = x3;
+    r.y = y3;
+}
+
+// line through q1, q2 evaluated at (xp, yp), as a full Fp12
+// (mirrors _line_eval: w^0 -> c0.c0, w^2 -> c0.c1, w^3 -> c1.c1)
+static void line_eval(Fp12 &out, const G2Aff &q1, const G2Aff &q2,
+                      const Fp &xp, const Fp &yp) {
+    memset(&out, 0, sizeof(out));
+    Fp2 lam_num, lam_den, t;
+    bool same_x = fp2_eq(q1.x, q2.x);
+    bool same_y = fp2_eq(q1.y, q2.y);
+    if (same_x && same_y) {
+        fp2_sqr(t, q1.x);
+        fp2_add(lam_num, t, t);
+        fp2_add(lam_num, lam_num, t);
+        fp2_add(lam_den, q1.y, q1.y);
+    } else if (same_x) {
+        // vertical: (-x1) + xp * w^2
+        fp2_neg(out.c0.c0, q1.x);
+        out.c0.c1.c0 = xp;
+        return;
+    } else {
+        fp2_sub(lam_num, q2.y, q1.y);
+        fp2_sub(lam_den, q2.x, q1.x);
+    }
+    Fp2 a, b, c, u;
+    fp2_mul(a, lam_num, q1.x);
+    fp2_mul(u, lam_den, q1.y);
+    fp2_sub(a, a, u);                    // w^0
+    // b = -lam_num * xp  (xp in Fp)
+    Fp2 xp2, yp2;
+    memset(&xp2, 0, sizeof(xp2));
+    memset(&yp2, 0, sizeof(yp2));
+    xp2.c0 = xp;
+    yp2.c0 = yp;
+    fp2_mul(b, lam_num, xp2);
+    fp2_neg(b, b);                       // w^2
+    fp2_mul(c, lam_den, yp2);            // w^3
+    out.c0.c0 = a;
+    out.c0.c1 = b;
+    out.c1.c1 = c;
+}
+
+static void miller_loop(Fp12 &f, const G2Aff &q, const Fp &xp, const Fp &yp) {
+    fp12_one(f);
+    G2Aff t = q;
+    // iterate bits of |x| after the leading one
+    bool lead = true;
+    for (size_t i = 0; i < X_ABS_BE.size(); i++) {
+        for (int b = 7; b >= 0; b--) {
+            int bit = (X_ABS_BE[i] >> b) & 1;
+            if (lead) {
+                if (bit) lead = false;
+                continue;
+            }
+            Fp12 l;
+            fp12_sqr(f, f);
+            line_eval(l, t, t, xp, yp);
+            fp12_mul(f, f, l);
+            g2aff_dbl(t, t);
+            if (bit) {
+                line_eval(l, t, q, xp, yp);
+                fp12_mul(f, f, l);
+                g2aff_add(t, t, q);
+            }
+        }
+    }
+    if (X_NEG) {
+        Fp12 c;
+        fp12_conj(c, f);
+        f = c;
+    }
+}
+
+static void final_exponentiation(Fp12 &r, const Fp12 &f) {
+    Fp12 fc, fi, f1, f2a, f2;
+    fp12_conj(fc, f);
+    fp12_inv(fi, f);
+    fp12_mul(f1, fc, fi);                // f^(p^6 - 1)
+    fp12_frobenius(f2a, f1);
+    fp12_frobenius(f2a, f2a);
+    fp12_mul(f2, f2a, f1);               // ^(p^2 + 1)
+    fp12_pow_be(r, f2, HARD_EXP.data(), HARD_EXP.size());
+}
+
 // --------------------------------------------------------------------------
 // C ABI
 // --------------------------------------------------------------------------
@@ -578,6 +921,40 @@ void bls446_g2_mul(const uint8_t *pt, const uint8_t *scalar, uint8_t *out) {
     point_from_bytes<Fp2>(p, pt);
     jac_scalar_mul(r, p, scalar);
     point_to_bytes<Fp2>(out, r);
+}
+
+
+void bls446_pairing_init(const uint8_t *gammas, const uint8_t *hard_be,
+                         u64 hard_len, const uint8_t *x_be, u64 x_len,
+                         int x_neg) {
+    for (int i = 1; i <= 5; i++) f_from_bytes<Fp2>(GAMMA[i], gammas + (i - 1) * 112);
+    HARD_EXP.assign(hard_be, hard_be + hard_len);
+    X_ABS_BE.assign(x_be, x_be + x_len);
+    X_NEG = x_neg;
+}
+
+void bls446_pairing(const uint8_t *p112, const uint8_t *q224, uint8_t *out672) {
+    // infinity on either side -> 1
+    bool p_inf = true, q_inf = true;
+    for (int i = 0; i < 112; i++) if (p112[i]) { p_inf = false; break; }
+    for (int i = 0; i < 224; i++) if (q224[i]) { q_inf = false; break; }
+    Fp12 f;
+    if (p_inf || q_inf) {
+        fp12_one(f);
+    } else {
+        Fp xp, yp;
+        fp_from_bytes(xp, p112);
+        fp_from_bytes(yp, p112 + 56);
+        G2Aff q;
+        f_from_bytes<Fp2>(q.x, q224);
+        f_from_bytes<Fp2>(q.y, q224 + 112);
+        Fp12 m;
+        miller_loop(m, q, xp, yp);
+        final_exponentiation(f, m);
+    }
+    const Fp2 *cs[6] = {&f.c0.c0, &f.c0.c1, &f.c0.c2,
+                        &f.c1.c0, &f.c1.c1, &f.c1.c2};
+    for (int i = 0; i < 6; i++) f_to_bytes<Fp2>(out672 + i * 112, *cs[i]);
 }
 
 } // extern "C"

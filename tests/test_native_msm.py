@@ -100,3 +100,28 @@ def test_msm_results_on_curve():
     out2 = cv.msm_g2([_py_g2_mul(cv.G2_GEN, 3), _py_g2_mul(cv.G2_GEN, 9)],
                      [rng.randrange(cv.R) for _ in range(2)])
     assert cv.g2_is_on_curve(out2)
+
+
+def test_native_pairing_matches_python():
+    """Full native pairing (Fp6/Fp12 towers + Miller + final exp) vs the
+    pure-Python tower, plus bilinearity."""
+    from tfhe_tpu.zk import curve446 as cv
+
+    if cv._NATIVE is None or not getattr(cv._NATIVE, "_has_pairing", False):
+        import pytest
+        pytest.skip("native pairing not built")
+    p, q = cv.G1_GEN, cv.G2_GEN
+    e_native = cv.pairing(p, q)
+    nat = cv._NATIVE
+    try:
+        cv._NATIVE = None
+        e_py = cv.pairing(p, q)
+    finally:
+        cv._NATIVE = nat
+    assert e_native == e_py
+    # bilinearity: e(aP, bQ) == e(P, Q)^(ab)
+    a, b = 7, 11
+    lhs = cv.pairing(cv.g1_mul(p, a), cv.g2_mul(q, b))
+    rhs = cv.f12_pow(e_native, a * b)
+    assert lhs == rhs
+    assert cv.pairing(None, q) == cv.F12_ONE

@@ -500,9 +500,22 @@ def final_exponentiation(f):
 
 
 def pairing(p, q):
-    """e(P in G1, Q in G2) in Fq12 (unit target group element)."""
+    """e(P in G1, Q in G2) in Fq12 (unit target group element).
+
+    Hot path (proof verification) runs in native/bls446.cpp (full
+    Fp6/Fp12 towers + Miller loop + final exponentiation); the pure-Python
+    tower below is the reference/fallback."""
     if p is None or q is None:
         return F12_ONE
+    if _NATIVE is not None and getattr(_NATIVE, "_has_pairing", False):
+        import ctypes
+
+        out = ctypes.create_string_buffer(672)
+        _NATIVE.bls446_pairing(_pt1_pack(p), _pt2_pack(q), out)
+        v = [int.from_bytes(out.raw[56 * i:56 * (i + 1)], "little")
+             for i in range(12)]
+        return (((v[0], v[1]), (v[2], v[3]), (v[4], v[5])),
+                ((v[6], v[7]), (v[8], v[9]), (v[10], v[11])))
     return final_exponentiation(miller_loop(q, p))
 
 
@@ -538,6 +551,23 @@ def _load_native():
     n0 = (-pow(P, -1, 1 << 64)) % (1 << 64)
     lib.bls446_init(P.to_bytes(56, "little"), r2.to_bytes(56, "little"),
                     u64(n0))
+    # pairing constants (optional: older .so builds lack the symbols)
+    try:
+        lib.bls446_pairing_init.argtypes = [cp, cp, u64, cp, u64,
+                                            ctypes.c_int]
+        lib.bls446_pairing.argtypes = [cp, cp, vp]
+        gam = b"".join(int(g[0]).to_bytes(56, "little")
+                       + int(g[1]).to_bytes(56, "little")
+                       for g in _GAMMA[1:6])
+        hard = (P ** 4 - P ** 2 + 1) // R
+        hard_be = hard.to_bytes((hard.bit_length() + 7) // 8, "big")
+        x_be = X_ABS.to_bytes((X_ABS.bit_length() + 7) // 8, "big")
+        lib.bls446_pairing_init(gam, hard_be, u64(len(hard_be)),
+                                x_be, u64(len(x_be)),
+                                1 if X_IS_NEGATIVE else 0)
+        lib._has_pairing = True
+    except AttributeError:
+        lib._has_pairing = False
     return lib
 
 
