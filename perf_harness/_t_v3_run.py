@@ -25,14 +25,19 @@ def main():
     n_poly, n_in, k = P.polynomial_size, P.lwe_dimension, P.glwe_dimension
 
     z = np.load(".keys/mxu_2_2_r2.npz")
-    m_limbs = z["m_limbs"]
     plan = mxu.make_mxu_plan(n_poly)
-    print(f"# m_limbs {m_limbs.nbytes/1e9:.2f} GB; tb={tb} B={b}", flush=True)
-
+    from tfhe_tpu.core.entities import LweBootstrapKey
+    from tfhe_tpu.core.params import DecompParams
+    bsk = LweBootstrapKey(z["bsk_data"],
+                          DecompParams(P.pbs_base_log, P.pbs_level), 64)
     t0 = time.time()
-    m_dev = jax.device_put(m_limbs)
-    np.asarray(m_dev[0, 0, 0, 0, 0])
-    print(f"# device_put {time.time()-t0:.1f}s", flush=True)
+    bhat, _ = mxu.bsk_eval_domain(bsk, plan)
+    print(f"# host eval-domain {time.time()-t0:.1f}s "
+          f"({bhat.nbytes/1e6:.0f} MB); tb={tb} B={b}", flush=True)
+    t0 = time.time()
+    m_dev = mxu.middle_from_eval_device(jax.device_put(bhat), plan)
+    np.asarray(m_dev[0, 0, 0, 0, 0, 0])
+    print(f"# device M build {time.time()-t0:.1f}s", flush=True)
 
     import functools
     run = jax.jit(functools.partial(
