@@ -141,3 +141,22 @@ def test_chunked_bsk_generation_matches_monolithic():
     c3 = kg.generate_lwe_bootstrap_key_chunk(in_sk, glwe_sk, decomp,
                                              TUniform(7), fresh_gen(), 3, 4)
     assert np.array_equal(c3, full.data[3:7])
+
+
+def test_mxu_keyswitch_matmul_matches_u64():
+    """The int8-limb MXU keyswitch contraction vs the exact u64 dot."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tfhe_tpu.ops import server as srv
+
+    rng = np.random.default_rng(9)
+    b_sz, kdim, m = 4, 96, 17
+    base_log = 4
+    bound = 1 << (base_log - 1)
+    digits = rng.integers(-bound, bound + 1, (b_sz, kdim)).astype(np.int64)
+    d_u64 = digits.astype(np.uint64)
+    k = rng.integers(0, 1 << 64, (kdim, m), dtype=np.uint64)
+    want = np.asarray(srv._matmul_u64(jnp.asarray(d_u64), jnp.asarray(k)))
+    got = np.asarray(srv._matmul_digits_u64_mxu(
+        jnp.asarray(d_u64), jnp.asarray(k), bound))
+    assert (got == want).all()

@@ -95,7 +95,12 @@ def keyswitch(ct, ksk, base_log: int, levels: int, bits: int = 64):
     b = ct.shape[0]
     d = jnp.transpose(digits, (1, 2, 0)).reshape(b, -1)  # (B, n_in*l)
     k = ksk.reshape(-1, ksk.shape[-1])  # (n_in*l, n_out+1)
-    acc = _matmul_u64(d, k)
+    digit_bound = 1 << (base_log - 1)
+    if (jax.default_backend() != "cpu" and digit_bound <= 127
+            and d.shape[1] * digit_bound * 127 < (1 << 31)):
+        acc = _matmul_digits_u64_mxu(d, k, digit_bound)
+    else:
+        acc = _matmul_u64(d, k)
     out = jnp.zeros((b, ksk.shape[-1]), dtype=U64)
     out = out.at[:, -1].set(body_in[:, 0])
     return out - acc
@@ -147,6 +152,27 @@ def _matmul_u32(a, b):
     init = jnp.broadcast_to(a[:, :1] * np.uint32(0), (a.shape[0], b.shape[1]))
     out, _ = jax.lax.scan(step, init, (a3, b3))
     return out
+
+
+def _matmul_digits_u64_mxu(digits, b, digit_bound: int):
+    """Wrapping u64 matmul with SMALL signed lhs digits via int8-limb MXU
+    dots (the keyswitch is "the matmul half" of the atomic pattern,
+    lwe_keyswitch.rs:103 — on TPU it belongs on the systolic array).
+
+    digits: (B, K) signed values wrapped in u64, |d| <= digit_bound <= 127;
+    b: (K, M) u64.  Exact: per-limb int32 accumulators stay below 2^31
+    (K * digit_bound * 127 < 2^31 checked by the caller), and the final
+    limb recombination wraps mod 2^64 by construction.
+    """
+    d8 = digits.astype(jnp.int64).astype(jnp.int8)
+    acc = None
+    for e in range(10):  # 7-bit limbs of the u64 rhs; weights >= 2^70 vanish
+        lb = ((b >> np.uint64(7 * e)) & np.uint64(127)).astype(jnp.int8)
+        diag = jax.lax.dot_general(d8, lb, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        term = diag.astype(jnp.int64).astype(U64) << np.uint64(7 * e)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def _matmul_u64(a, b):
