@@ -275,6 +275,24 @@ def middle_from_eval_device(bhat, plan: MxuPlan):
     return jnp.transpose(stacked, (2, 0, 1, 3, 4, 5))
 
 
+def regroup_middle_d(m_limbs):
+    """(n, P, L, N1, K, C) per-limb middle tensors -> diagonal-grouped
+    (n, P, 2L-1, N1, L*K, C): for output diagonal d, contraction block e
+    holds M-limb (d - e) or zeros.  Lets the kernel contract all limb pairs
+    of a diagonal in ONE K=L*K matmul (1.75x bytes, ~4x fewer/larger dots).
+    Works on numpy or jax arrays.
+    """
+    xp = jnp if hasattr(m_limbs, "device") else np
+    n, p_, l_, n1, k, c = m_limbs.shape
+    zeros = xp.zeros_like(m_limbs[:, :, 0])
+    blocks = []
+    for d in range(2 * l_ - 1):
+        rows = [m_limbs[:, :, d - e] if 0 <= d - e < l_ else zeros
+                for e in range(l_)]
+        blocks.append(xp.concatenate(rows, axis=-2))
+    return xp.stack(blocks, axis=2)
+
+
 # ---------------------------------------------------------------------------
 # Device-side (jnp) — exact, XLA-traceable; the Pallas kernel mirrors this
 # ---------------------------------------------------------------------------

@@ -79,8 +79,19 @@ def _kernel_tables(n: int):
     w1t: (P, L, i1, k1) int8 (rhs of the forward stage-1);
     w1i: (P, L, j1, k1) int8 (lhs of the inverse stage-1)."""
     plan = mxu_mod.make_mxu_plan(n)
-    w1t = np.ascontiguousarray(np.swapaxes(plan.w1_limbs, -1, -2))
-    w1it = np.ascontiguousarray(np.swapaxes(plan.w1i_limbs, -1, -2))
+
+    def dgroup(limbs):
+        # (P, L, K, N1) -> (P, 2L-1, L*K, N1): diagonal-grouped contraction
+        zeros = np.zeros_like(limbs[:, 0])
+        blocks = []
+        for d in range(2 * NL - 1):
+            rows = [limbs[:, d - e] if 0 <= d - e < NL else zeros
+                    for e in range(NL)]
+            blocks.append(np.concatenate(rows, axis=-2))
+        return np.ascontiguousarray(np.stack(blocks, axis=1))
+
+    w1t = dgroup(np.swapaxes(plan.w1_limbs, -1, -2))
+    w1it = dgroup(np.swapaxes(plan.w1i_limbs, -1, -2))
     return w1t, w1it, plan
 
 
@@ -162,8 +173,9 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
     """Whole-blind-rotate kernel over the MXU factorization.
 
     Caller layout: acc_lo/hi (B*k1*N2, 128) u32 (to_v3_layout); adegs
-    (n_steps, B) i32; m_limbs (n_steps, P, L, N1, K, C) int8 from
-    mxu.bsk_to_mxu.  Returns (lo, hi) in the same layout.
+    (n_steps, B) i32; m_limbs (n_steps, P, 2L-1, N1, L*K, C) int8 —
+    mxu.regroup_middle_d(mxu.bsk_to_mxu(...)).  Returns (lo, hi) in the
+    same layout.
     """
     n1 = 128
     n2 = n // n1
@@ -254,13 +266,9 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             # rows (el, poly, i2) keep their meaning; output lanes = k1
             s_levels = []
             for lev in range(levels):
-                diags = [None] * (2 * NL - 1)
-                for e in range(NL):
-                    for f in range(NL):
-                        prod = _int8_dot(dlimbs[lev][e],
-                                         w1t_ref[pi, f].astype(jnp.int8))
-                        d = e + f
-                        diags[d] = prod if diags[d] is None else diags[d] + prod
+                lhs = jnp.concatenate(dlimbs[lev], axis=1)  # (R, L*128)
+                diags = [_int8_dot(lhs, w1t_ref[pi, d])
+                         for d in range(2 * NL - 1)]
                 s_levels.append(_fold_diags(diags, p, pinv, fc, signed=True))
             # ---- relayout for the middle: St (128 k1, tb, kmid) ---------
             # 2D lane transpose (Mosaic supports it) + static lane-slice
@@ -273,15 +281,12 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
 
             # ---- middle: one batched (over k1) int8 dot_general ---------
             stl = _residue_limbs_i8(st_scr[:])            # 4 x (128,tb,kmid)
-            diags = [None] * (2 * NL - 1)
-            for e in range(NL):
-                for f in range(NL):
-                    prod = jax.lax.dot_general(
-                        stl[e], m_ref[0, pi, f],
-                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.int32)  # (128, tb, cmid)
-                    d = e + f
-                    diags[d] = prod if diags[d] is None else diags[d] + prod
+            lhs3 = jnp.concatenate(stl, axis=2)           # (128, tb, L*kmid)
+            diags = [jax.lax.dot_general(
+                lhs3, m_ref[0, pi, d],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)         # (128, tb, cmid)
+                for d in range(2 * NL - 1)]
             v = _fold_diags(diags, p, pinv, fc, signed=False)  # (128,tb,cmid)
 
             # ---- inverse stage 1: contract k1 on lanes ------------------
@@ -291,12 +296,9 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                 vt_scr[el * cmid:(el + 1) * cmid, :] = \
                     jnp.transpose(v[:, el, :])
             vl = _residue_limbs_i8(vt_scr[:])             # 4 x (R, 128)
-            diags = [None] * (2 * NL - 1)
-            for e in range(NL):
-                for f in range(NL):
-                    prod = _int8_dot(vl[e], w1it_ref[pi, f])  # (R, 128 j1)
-                    d = e + f
-                    diags[d] = prod if diags[d] is None else diags[d] + prod
+            lhs2 = jnp.concatenate(vl, axis=1)            # (R, L*128)
+            diags = [_int8_dot(lhs2, w1it_ref[pi, d])     # (R, 128 j1)
+                     for d in range(2 * NL - 1)]
             y = _fold_diags(diags, p, pinv, fc, signed=False)  # (R, 128)
             res_primes.append(y)
 
@@ -357,12 +359,12 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
             pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
-            pl.BlockSpec((1, num_primes, NL, n1, kmid, cmid),
+            pl.BlockSpec((1, num_primes, 2 * NL - 1, n1, NL * kmid, cmid),
                          lambda t, s: (s, z(t), z(t), z(t), z(t), z(t)),
                          memory_space=vmem),
-            pl.BlockSpec((num_primes, NL, n1, n1),
+            pl.BlockSpec((num_primes, 2 * NL - 1, NL * n1, n1),
                          lambda t, s: (z(t),) * 4, memory_space=vmem),
-            pl.BlockSpec((num_primes, NL, n1, n1),
+            pl.BlockSpec((num_primes, 2 * NL - 1, NL * n1, n1),
                          lambda t, s: (z(t),) * 4, memory_space=vmem),
         ]
         out_specs = [pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)),
@@ -401,6 +403,8 @@ def blind_rotate_pallas_v3(msed_mask, msed_body, lut, m_limbs, plan,
     lo0 = to_v3_layout((acc0 & np.uint64(0xFFFFFFFF)).astype(jnp.uint32), k1, n)
     hi0 = to_v3_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n)
     run = build_blind_rotate_v3(n, base_log, levels, k1, tb, n_in, interpret)
+    if m_limbs.ndim == 6 and m_limbs.shape[2] == mxu_mod.N_LIMBS:
+        m_limbs = mxu_mod.regroup_middle_d(m_limbs)   # accept compact form
     lo, hi = run(lo0, hi0, msed_mask.T.astype(jnp.int32), m_limbs)
     lo = from_v3_layout(lo, b, k1, n)
     hi = from_v3_layout(hi, b, k1, n)
