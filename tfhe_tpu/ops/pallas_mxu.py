@@ -147,8 +147,15 @@ def _fold_diags(diags, p: np.uint32, pinv: np.uint32, fc, signed: bool):
     acc = None
     for k, t in enumerate(ts):
         tu = t.astype(U32) if t.dtype != jnp.uint32 else t
-        term = mont_mul32(tu, jnp.full(tu.shape, _u32(fc["cks"][k]), U32),
-                          p, pinv)
+        if k == 0:
+            # t0 < 2^31 < 8p: three conditional subtractions beat a REDC
+            term = tu
+            for m in (4, 2, 1):
+                mp = _u32(int(p) * m)
+                term = jnp.where(term >= mp, term - mp, term)
+        else:
+            term = mont_mul32(tu, jnp.full(tu.shape, _u32(fc["cks"][k]), U32),
+                              p, pinv)
         acc = term if acc is None else add_mod32(acc, term, p)
     if signed:
         e = _u32(fc["excess"])
