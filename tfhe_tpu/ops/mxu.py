@@ -282,7 +282,7 @@ def regroup_middle_d(m_limbs):
     of a diagonal in ONE K=L*K matmul (1.75x bytes, ~4x fewer/larger dots).
     Works on numpy or jax arrays.
     """
-    xp = jnp if hasattr(m_limbs, "device") else np
+    xp = np if isinstance(m_limbs, np.ndarray) else jnp
     n, p_, l_, n1, k, c = m_limbs.shape
     zeros = xp.zeros_like(m_limbs[:, :, 0])
     blocks = []
