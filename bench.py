@@ -30,10 +30,14 @@ def main():
     params = (V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
               if which == "prod" else TEST_PARAM_MESSAGE_2_CARRY_2)
     batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH", "256"))
+    pipeline = os.environ.get("TFHE_TPU_BENCH_PIPELINE", "v2")
 
     t0 = time.time()
     ck, sk = get_shortint_keys(params)
     print(f"# keygen/load: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if pipeline == "v3":
+        return bench_v3(ck, sk, params, batch)
 
     cts = [ck.encrypt(i % 4) for i in range(batch)]
     lut = sk.generate_lookup_table(lambda x: (x * 3 + 1) % 16)
@@ -65,3 +69,64 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_v3(ck, sk, params, batch):
+    """MXU-stack pipeline (ops/server.ks_pbs_batch_mxu + pallas_mxu v3):
+    opt-in via TFHE_TPU_BENCH_PIPELINE=v3 while first-compile latency of the
+    fused kernel (~17 min cold, cached afterwards) exceeds driver budgets."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_tpu.core import keygen as kg
+    from tfhe_tpu.ops import mxu, server as srv
+
+    p = params
+    t0 = time.time()
+    # rebuild the coefficient BSK deterministically from the cached seed
+    bsk = kg.generate_lwe_bootstrap_key(
+        ck.lwe_secret_key, ck.glwe_secret_key, p.core.pbs_decomp,
+        p.glwe_noise,
+        __import__("tfhe_tpu.utils.csprng", fromlist=["x"]).EncryptionRandomGenerator(
+            0x7FEE, __import__("tfhe_tpu.utils.csprng", fromlist=["x"]).DeterministicSeeder(0x7FEE ^ 0xB5297A4D)),
+        p.bits)
+    mplan = mxu.make_mxu_plan(p.polynomial_size)
+    bhat, _ = mxu.bsk_eval_domain(bsk, mplan)
+    m_dev = mxu.regroup_middle_d(
+        mxu.middle_from_eval_device(jax.device_put(bhat), mplan))
+    np.asarray(m_dev[0, 0, 0, 0, 0, 0])
+    print(f"# mxu key build: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    tb = int(os.environ.get("TFHE_TPU_BENCH_TB", "64"))
+    cts = [ck.encrypt(i % 4) for i in range(batch)]
+    lut = sk.generate_lookup_table(lambda x: (x * 3 + 1) % 16)
+    batch_ct = jnp.asarray(np.stack([np.asarray(c.data) for c in cts]))
+    lut_b = jnp.asarray(np.broadcast_to(lut.acc, (batch,) + lut.acc.shape))
+
+    def run():
+        return srv.ks_pbs_batch_mxu(
+            batch_ct, lut_b, sk.ksk, m_dev, mplan, p.ks_base_log, p.ks_level,
+            p.pbs_base_log, p.pbs_level, p.bits, True, tb)
+
+    t0 = time.time()
+    out = run()
+    np.asarray(out)
+    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        out = run()
+    np.asarray(out)
+    dt = time.time() - t0
+    pbs_per_s = batch * iters / dt
+
+    from tfhe_tpu.shortint.ciphertext import NOMINAL_NOISE, Ciphertext
+    dec = ck.decrypt_raw(Ciphertext(np.asarray(out)[5], 15, NOMINAL_NOISE,
+                                    p.message_modulus, p.carry_modulus))
+    assert dec == (5 % 4 * 3 + 1) % 16, f"wrong PBS result: {dec}"
+    print(json.dumps({
+        "metric": "ks_pbs_throughput_2_2",
+        "value": round(pbs_per_s, 2),
+        "unit": "PBS/s per chip",
+        "vs_baseline": round(pbs_per_s / 10000.0, 4),
+    }))

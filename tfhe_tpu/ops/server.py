@@ -842,3 +842,44 @@ def pbs_many_from_switched_multibit(msed, lut, mb_bsk_mont, plan,
         rot = monomial_div(acc, jnp.full((b, 1, 1), off, U64))
         outs.append(sample_extract(rot))
     return jnp.stack(outs, axis=1)
+
+
+@partial(jax.jit, static_argnames=("ks_base_log", "ks_levels", "pbs_base_log",
+                                   "pbs_levels", "mplan", "bits",
+                                   "centered_ms", "tb", "ks32",
+                                   "drift_r_sigma", "drift_bound",
+                                   "drift_input_variance"))
+def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
+                     ks_levels: int, pbs_base_log: int, pbs_levels: int,
+                     bits: int = 64, centered_ms: bool = False, tb: int = 64,
+                     ks32: bool = False, drift_zeros=None,
+                     drift_r_sigma: float = 0.0, drift_bound: float = 0.0,
+                     drift_input_variance: float = 0.0):
+    """The atomic pattern over the MXU stack: int8-limb keyswitch matmul,
+    modulus switch, the fused v3 MXU blind-rotate kernel, sample extract.
+
+    m_limbs: d-grouped middle tensors (mxu.regroup_middle_d(bsk_to_mxu or
+    the on-device build)); mplan: mxu.make_mxu_plan(N).
+    """
+    from .pallas_mxu import blind_rotate_pallas_v3
+
+    n_poly = lut.shape[-1]
+    log_mod = n_poly.bit_length()
+    if ks32:
+        ks = keyswitch32(ct, ksk, ks_base_log, ks_levels)
+        body = modulus_switch(ks[:, -1], log_mod, 32).astype(U64)
+        msed_mask = modulus_switch(ks[:, :-1], log_mod, 32).astype(U64)
+    else:
+        ks = keyswitch(ct, ksk, ks_base_log, ks_levels, bits)
+        if drift_zeros is not None:
+            ks = drift_ms_improve(ks, drift_zeros, log_mod, drift_r_sigma,
+                                  drift_bound, drift_input_variance)
+        if centered_ms:
+            corr = centered_binary_ms_correction(ks, log_mod, bits)
+            body = modulus_switch(ks[:, -1] + corr, log_mod, bits)
+        else:
+            body = modulus_switch(ks[:, -1], log_mod, bits)
+        msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
+    acc = blind_rotate_pallas_v3(msed_mask, body, lut, m_limbs, mplan,
+                                 pbs_base_log, pbs_levels, tb=tb)
+    return sample_extract(acc)
