@@ -97,5 +97,6 @@ def test_compact_public_key(int_keys):
     sck = ck.key
     for m, ct in zip(msgs, expanded):
         assert sck.decrypt(ct) == m
-    with pytest.raises(NotImplementedError):
-        pk.build_with_proof()
+    # build_with_proof now routes to the proven-compact-list implementation
+    # (covered in tests/test_proven_compact_list.py); just check the plumb
+    assert callable(pk.build_with_proof)

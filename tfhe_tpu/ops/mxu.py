@@ -230,16 +230,34 @@ def bsk_eval_domain(bsk, plan: MxuPlan = None):
     return np.ascontiguousarray(np.stack(outs, axis=-3)), plan
 
 
-def middle_from_eval_device(bhat, plan: MxuPlan):
+def middle_from_eval_device(bhat, plan: MxuPlan, dgroup: bool = False,
+                            chunk: int = 128):
     """Device-side M assembly: M = F * diag(b_hat) * G mod p, limb-extracted.
 
     bhat: (n, l, r, c, P, N1, N2) u32 on device.  Returns m_limbs int8
     (n, P, L, N1, l*r*N2, c*N2) materialized in HBM — avoids shipping the
     ~16x larger middle tensors over the host link (which is the bottleneck
-    behind a tunnel and a waste of PCIe anywhere).
+    behind a tunnel and a waste of PCIe anywhere).  dgroup=True emits the
+    kernel's diagonal-grouped layout directly.
+
+    Processed in chunks of `chunk` mask elements so the emulated-u64
+    workspace stays a small fraction of HBM (full-key intermediates are
+    ~4 GB each and overflow a 16 GB chip alongside the outputs).
 
     Arithmetic: u64 Montgomery (REDC32) — no division, XLA-exact.
     """
+    n_in = bhat.shape[0]
+    if n_in > chunk:
+        parts = []
+        for s in range(0, n_in, chunk):
+            part = _middle_from_eval_chunk(bhat[s:s + chunk], plan)
+            parts.append(regroup_middle_d(part) if dgroup else part)
+        return jnp.concatenate(parts, axis=0)
+    part = _middle_from_eval_chunk(bhat, plan)
+    return regroup_middle_d(part) if dgroup else part
+
+
+def _middle_from_eval_chunk(bhat, plan: MxuPlan):
     n_in, lev, r_, c_, p_, n1, n2 = bhat.shape
     r64 = 1 << 32
     per_prime = []
