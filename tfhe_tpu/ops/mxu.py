@@ -231,7 +231,7 @@ def bsk_eval_domain(bsk, plan: MxuPlan = None):
 
 
 def middle_from_eval_device(bhat, plan: MxuPlan, dgroup: bool = False,
-                            chunk: int = 128):
+                            chunk: int = 48):
     """Device-side M assembly: M = F * diag(b_hat) * G mod p, limb-extracted.
 
     bhat: (n, l, r, c, P, N1, N2) u32 on device.  Returns m_limbs int8
