@@ -92,8 +92,7 @@ def bench_v3(ck, sk, params, batch):
         p.bits)
     mplan = mxu.make_mxu_plan(p.polynomial_size)
     bhat, _ = mxu.bsk_eval_domain(bsk, mplan)
-    m_dev = mxu.middle_from_eval_device(jax.device_put(bhat), mplan,
-                                        dgroup=True)
+    m_dev = mxu.middle_from_eval_device(jax.device_put(bhat), mplan)
     np.asarray(m_dev[0, 0, 0, 0, 0, 0])
     print(f"# mxu key build: {time.time()-t0:.1f}s", file=sys.stderr)
 

@@ -35,8 +35,7 @@ def main():
     print(f"# host eval-domain {time.time()-t0:.1f}s "
           f"({bhat.nbytes/1e6:.0f} MB); tb={tb} B={b}", flush=True)
     t0 = time.time()
-    m_dev = mxu.middle_from_eval_device(jax.device_put(bhat), plan,
-                                        dgroup=True)
+    m_dev = mxu.middle_from_eval_device(jax.device_put(bhat), plan)
     np.asarray(m_dev[0, 0, 0, 0, 0, 0])
     print(f"# device M build {time.time()-t0:.1f}s "
           f"({m_dev.nbytes/1e9:.2f} GB)", flush=True)

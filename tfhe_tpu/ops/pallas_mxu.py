@@ -180,9 +180,9 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
     """Whole-blind-rotate kernel over the MXU factorization.
 
     Caller layout: acc_lo/hi (B*k1*N2, 128) u32 (to_v3_layout); adegs
-    (n_steps, B) i32; m_limbs (n_steps, P, 2L-1, N1, L*K, C) int8 —
-    mxu.regroup_middle_d(mxu.bsk_to_mxu(...)).  Returns (lo, hi) in the
-    same layout.
+    (n_steps, B) i32; m_limbs (n_steps, P, L, N1, K, C) int8 from
+    mxu.bsk_to_mxu (compact; the kernel assembles the diagonal-grouped
+    contraction blocks in VMEM).  Returns (lo, hi) in the same layout.
     """
     n1 = 128
     n2 = n // n1
@@ -289,11 +289,17 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             # ---- middle: one batched (over k1) int8 dot_general ---------
             stl = _residue_limbs_i8(st_scr[:])            # 4 x (128,tb,kmid)
             lhs3 = jnp.concatenate(stl, axis=2)           # (128, tb, L*kmid)
-            diags = [jax.lax.dot_general(
-                lhs3, m_ref[0, pi, d],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32)         # (128, tb, cmid)
-                for d in range(2 * NL - 1)]
+            mz = jnp.zeros((n1, kmid, cmid), jnp.int8)
+            diags = []
+            for d in range(2 * NL - 1):
+                # d-grouped rhs assembled in VMEM from the compact tensors
+                rhs = jnp.concatenate(
+                    [m_ref[0, pi, d - e] if 0 <= d - e < NL else mz
+                     for e in range(NL)], axis=1)         # (128, L*kmid, cmid)
+                diags.append(jax.lax.dot_general(
+                    lhs3, rhs,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32))    # (128, tb, cmid)
             v = _fold_diags(diags, p, pinv, fc, signed=False)  # (128,tb,cmid)
 
             # ---- inverse stage 1: contract k1 on lanes ------------------
@@ -366,7 +372,7 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
             pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
-            pl.BlockSpec((1, num_primes, 2 * NL - 1, n1, NL * kmid, cmid),
+            pl.BlockSpec((1, num_primes, NL, n1, kmid, cmid),
                          lambda t, s: (s, z(t), z(t), z(t), z(t), z(t)),
                          memory_space=vmem),
             pl.BlockSpec((num_primes, 2 * NL - 1, NL * n1, n1),
@@ -410,8 +416,6 @@ def blind_rotate_pallas_v3(msed_mask, msed_body, lut, m_limbs, plan,
     lo0 = to_v3_layout((acc0 & np.uint64(0xFFFFFFFF)).astype(jnp.uint32), k1, n)
     hi0 = to_v3_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n)
     run = build_blind_rotate_v3(n, base_log, levels, k1, tb, n_in, interpret)
-    if m_limbs.ndim == 6 and m_limbs.shape[2] == mxu_mod.N_LIMBS:
-        m_limbs = mxu_mod.regroup_middle_d(m_limbs)   # accept compact form
     lo, hi = run(lo0, hi0, msed_mask.T.astype(jnp.int32), m_limbs)
     lo = from_v3_layout(lo, b, k1, n)
     hi = from_v3_layout(hi, b, k1, n)
