@@ -41,9 +41,14 @@ def main():
           f"({m_dev.nbytes/1e9:.2f} GB)", flush=True)
 
     import functools
+    ablate = os.environ.get("V3_ABLATE") or None
+    onehot = os.environ.get("V3_ONEHOT") == "1"
+    if ablate:
+        os.environ["V3_SKIP_CHECK"] = "1"   # ablated kernels are wrong
+        print(f"# ABLATE={ablate} onehot={onehot}", flush=True)
     run = jax.jit(functools.partial(
         pallas_mxu.blind_rotate_pallas_v3, plan=plan, base_log=P.pbs_base_log,
-        levels=P.pbs_level, tb=tb))
+        levels=P.pbs_level, tb=tb, rot_onehot=onehot, ablate=ablate))
 
     rng = np.random.default_rng(3)
 

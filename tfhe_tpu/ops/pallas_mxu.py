@@ -176,11 +176,19 @@ def _int8_dot(lhs, rhs):
 
 @lru_cache(maxsize=None)
 def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
-                          tb: int, n_steps: int, interpret: bool = False):
+                          tb: int, n_steps: int, interpret: bool = False,
+                          rot_onehot: bool = False, ablate: str | None = None):
     """Whole-blind-rotate kernel over the MXU factorization.
 
-    Caller layout: acc_lo/hi (B*k1*N2, 128) u32 (to_v3_layout); adegs
-    (n_steps, B) i32; m_limbs (n_steps, P, L, N1, K, C) int8 from
+    rot_onehot selects the vectorized one-hot rotation (default: unrolled
+    per-element dynamic rolls).  ablate ∈ {rot, s1, mid, inv, fold, gar}
+    replaces one stage with a data-dependent no-op for per-stage timing —
+    results are WRONG under ablation; perf harness use only.
+
+    Caller layout: acc_lo/hi (B*k1*N2, 128) u32 (to_v3_layout); a_rows
+    (B*k1*N2, pad128(n_steps)) i32 (per-row rotation degrees, each
+    element's degree repeated k1*N2 times, step axis zero-padded to a
+    multiple of 128); m_limbs (n_steps, P, L, N1, K, C) int8 from
     mxu.bsk_to_mxu (compact; the kernel assembles the diagonal-grouped
     contraction blocks in VMEM).  Returns (lo, hi) in the same layout.
     """
@@ -205,9 +213,9 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
     kmid = levels * k1 * n2    # middle contraction
     cmid = k1 * n2             # middle output columns
 
-    def kernel(adeg_ref, acc_lo_in, acc_hi_in, m_ref, w1t_ref, w1it_ref,
-               out_lo_ref, out_hi_ref, acc_lo_s, acc_hi_s, rot_lo_s,
-               rot_hi_s, st_scr, vt_scr):
+    def kernel(adeg_ref, arow_ref, acc_lo_in, acc_hi_in, m_ref, w1t_ref,
+               w1it_ref, out_lo_ref, out_hi_ref, acc_lo_s, acc_hi_s,
+               rot_lo_s, rot_hi_s, st_scr, vt_scr):
         t = pl.program_id(0)
         s = pl.program_id(1)
 
@@ -223,44 +231,95 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
         # In this layout coeff i = i1*N2 + i2 sits at (row i2, lane i1).
         # X^(N2*a1) is a lane-roll by a1 (sign flips per negacyclic wrap:
         # lane-axis wrap = shift by N); X^(a2) is a roll of the i2 sub-axis
-        # with a one-lane borrow for wrapped rows.
-        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (k1 * n2, LANES), 1)
-        row_i2 = jax.lax.broadcasted_iota(
-            jnp.int32, (k1, n2, LANES), 1).reshape(k1 * n2, LANES)
-        rows_per_el = k1 * n2
-
-        def rot_body(el, a):
-            # `a` is passed in (SMEM scalar reads want static-ish indices;
-            # the caller reads them in an unrolled loop)
-            a1 = jax.lax.div(a, np.int32(n2))          # [0, 2N/n2)
-            a2 = jax.lax.rem(a, np.int32(n2))
-            rsl = pl.ds(el * rows_per_el, rows_per_el)
-            borrow = row_i2 < a2
-            q = jnp.where(borrow, a1 + np.int32(1), a1)
-            qm_a = jax.lax.rem(a1, np.int32(LANES))
-            qm_b = jax.lax.rem(a1 + np.int32(1), np.int32(LANES))
-            flip = (((lane_idx < jax.lax.rem(q, np.int32(LANES)))
-                     .astype(jnp.int32) + jax.lax.div(q, np.int32(LANES)))
-                    & 1) == 1
+        # with a one-lane borrow for wrapped rows.  Two implementations,
+        # both bit-exact: a per-element unrolled loop over dynamic rolls
+        # (default; measured faster at tb=64) and a vectorized one-hot
+        # select over static rolls (rot_onehot=True).
+        if ablate == "rot":
+            rot_lo = pltpu.roll(acc_lo, np.int32(1), 1)
+            rot_hi = pltpu.roll(acc_hi, np.int32(1), 1)
+        elif rot_onehot:
+            # per-row shift amounts come in as a 128-step-wide (R, 128)
+            # VMEM block (lane-width-1 blocks are rejected); the current
+            # step's column is extracted by lane-mask + roll-add reduction.
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+            col = jax.lax.rem(s, np.int32(LANES))
+            masked = jnp.where(lane2 == col, arow_ref[:], np.int32(0))
+            for sh in (64, 32, 16, 8, 4, 2, 1):
+                masked = masked + pltpu.roll(masked, np.int32(sh), 1)
+            a_vec = masked[:, 0:1]                       # (R, 1) i32
+            a1v = jax.lax.div(a_vec, np.int32(n2))       # [0, 2N/n2)
+            a2v = jax.lax.rem(a_vec, np.int32(n2))
+            i2_row = jax.lax.broadcasted_iota(
+                jnp.int32, (tb * k1, n2, 1), 1).reshape(R, 1)
+            q = a1v + (i2_row < a2v).astype(jnp.int32)   # incl. lane borrow
+            qm = jax.lax.rem(q, np.int32(LANES))
+            qd = jax.lax.div(q, np.int32(LANES))
+            flip = (((lane2 < qm).astype(jnp.int32) + qd) & 1) == 1
+            q0 = jax.lax.rem(qm, np.int32(8))
+            q1 = jax.lax.div(qm, np.int32(8))
 
             def rolled(src_ref):
-                v3 = src_ref[rsl, :].reshape(k1, n2, LANES)
-                rb = pltpu.roll(v3, a2, 1).reshape(k1 * n2, LANES)
-                za = pltpu.roll(rb, qm_a, 1)
-                zb = pltpu.roll(rb, qm_b, 1)
-                return jnp.where(borrow, zb, za)
+                x3 = src_ref[:].reshape(tb * k1, n2, LANES)
+                y = None
+                for r in range(n2):                      # i2 sub-axis roll
+                    rr = pltpu.roll(x3, np.int32(r), 1).reshape(R, LANES)
+                    y = rr if y is None else jnp.where(a2v == r, rr, y)
+                z = None
+                for r0 in range(8):                      # lane roll, low
+                    rr = pltpu.roll(y, np.int32(r0), 1)
+                    z = rr if z is None else jnp.where(q0 == r0, rr, z)
+                w = None
+                for r1 in range(LANES // 8):             # lane roll, high
+                    rr = pltpu.roll(z, np.int32(8 * r1), 1)
+                    w = rr if w is None else jnp.where(q1 == r1, rr, w)
+                return w
 
             z_lo = rolled(acc_lo_s)
             z_hi = rolled(acc_hi_s)
             n_lo, n_hi = neg64(z_lo, z_hi)   # joint 64-bit negation
-            rot_lo_s[rsl, :] = jnp.where(flip, n_lo, z_lo)
-            rot_hi_s[rsl, :] = jnp.where(flip, n_hi, z_hi)
-            return a
+            rot_lo = jnp.where(flip, n_lo, z_lo)
+            rot_hi = jnp.where(flip, n_hi, z_hi)
+        else:
+            lane_idx = jax.lax.broadcasted_iota(
+                jnp.int32, (k1 * n2, LANES), 1)
+            row_i2 = jax.lax.broadcasted_iota(
+                jnp.int32, (k1, n2, LANES), 1).reshape(k1 * n2, LANES)
+            rows_per_el = k1 * n2
 
-        for el in range(tb):
-            rot_body(el, adeg_ref[0, 0, t * tb + el])
+            def rot_body(el, a):
+                # `a` is read in an unrolled loop (SMEM scalar reads want
+                # static-ish indices)
+                a1 = jax.lax.div(a, np.int32(n2))        # [0, 2N/n2)
+                a2 = jax.lax.rem(a, np.int32(n2))
+                rsl = pl.ds(el * rows_per_el, rows_per_el)
+                borrow = row_i2 < a2
+                q = jnp.where(borrow, a1 + np.int32(1), a1)
+                qm_a = jax.lax.rem(a1, np.int32(LANES))
+                qm_b = jax.lax.rem(a1 + np.int32(1), np.int32(LANES))
+                flip = (((lane_idx < jax.lax.rem(q, np.int32(LANES)))
+                         .astype(jnp.int32) + jax.lax.div(q, np.int32(LANES)))
+                        & 1) == 1
 
-        ct1_lo, ct1_hi = sub64(rot_lo_s[:], rot_hi_s[:], acc_lo, acc_hi)
+                def rolled(src_ref):
+                    v3 = src_ref[rsl, :].reshape(k1, n2, LANES)
+                    rb = pltpu.roll(v3, a2, 1).reshape(k1 * n2, LANES)
+                    za = pltpu.roll(rb, qm_a, 1)
+                    zb = pltpu.roll(rb, qm_b, 1)
+                    return jnp.where(borrow, zb, za)
+
+                z_lo = rolled(acc_lo_s)
+                z_hi = rolled(acc_hi_s)
+                n_lo, n_hi = neg64(z_lo, z_hi)   # joint 64-bit negation
+                rot_lo_s[rsl, :] = jnp.where(flip, n_lo, z_lo)
+                rot_hi_s[rsl, :] = jnp.where(flip, n_hi, z_hi)
+
+            for el in range(tb):
+                rot_body(el, adeg_ref[0, 0, t * tb + el])
+            rot_lo = rot_lo_s[:]
+            rot_hi = rot_hi_s[:]
+
+        ct1_lo, ct1_hi = sub64(rot_lo, rot_hi, acc_lo, acc_hi)
         digits = _decompose32(ct1_lo, ct1_hi, base_log, levels)  # l x (R,128)
         dlimbs = [_digit_limbs_i8(d) for d in digits]            # l x 4 x i8
 
@@ -269,14 +328,24 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             p = _u32(primes[pi])
             pinv = _u32(pinvs[pi])
             fc = fcs[pi]
+
+            def fold(diags, signed):
+                # ablate="fold": data-dependent but trivially cheap stand-in
+                if ablate == "fold":
+                    return (diags[0] & np.int32((1 << 27) - 1)).astype(U32)
+                return _fold_diags(diags, p, pinv, fc, signed)
+
             # ---- stage 1 (fwd): contract lanes (i1) with W1'^T ----------
             # rows (el, poly, i2) keep their meaning; output lanes = k1
             s_levels = []
             for lev in range(levels):
-                lhs = jnp.concatenate(dlimbs[lev], axis=1)  # (R, L*128)
-                diags = [_int8_dot(lhs, w1t_ref[pi, d])
-                         for d in range(2 * NL - 1)]
-                s_levels.append(_fold_diags(diags, p, pinv, fc, signed=True))
+                if ablate == "s1":
+                    diags = [dlimbs[lev][0].astype(jnp.int32)] * (2 * NL - 1)
+                else:
+                    lhs = jnp.concatenate(dlimbs[lev], axis=1)  # (R, L*128)
+                    diags = [_int8_dot(lhs, w1t_ref[pi, d])
+                             for d in range(2 * NL - 1)]
+                s_levels.append(fold(diags, signed=True))
             # ---- relayout for the middle: St (128 k1, tb, kmid) ---------
             # 2D lane transpose (Mosaic supports it) + static lane-slice
             # writes into scratch (minor-dim SPLITS are unsupported).
@@ -288,19 +357,22 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
 
             # ---- middle: one batched (over k1) int8 dot_general ---------
             stl = _residue_limbs_i8(st_scr[:])            # 4 x (128,tb,kmid)
-            lhs3 = jnp.concatenate(stl, axis=2)           # (128, tb, L*kmid)
-            mz = jnp.zeros((n1, kmid, cmid), jnp.int8)
-            diags = []
-            for d in range(2 * NL - 1):
-                # d-grouped rhs assembled in VMEM from the compact tensors
-                rhs = jnp.concatenate(
-                    [m_ref[0, pi, d - e] if 0 <= d - e < NL else mz
-                     for e in range(NL)], axis=1)         # (128, L*kmid, cmid)
-                diags.append(jax.lax.dot_general(
-                    lhs3, rhs,
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32))    # (128, tb, cmid)
-            v = _fold_diags(diags, p, pinv, fc, signed=False)  # (128,tb,cmid)
+            if ablate == "mid":
+                diags = [stl[0][:, :, :cmid].astype(jnp.int32)] * (2 * NL - 1)
+            else:
+                lhs3 = jnp.concatenate(stl, axis=2)       # (128, tb, L*kmid)
+                mz = jnp.zeros((n1, kmid, cmid), jnp.int8)
+                diags = []
+                for d in range(2 * NL - 1):
+                    # d-grouped rhs assembled in VMEM from compact tensors
+                    rhs = jnp.concatenate(
+                        [m_ref[0, pi, d - e] if 0 <= d - e < NL else mz
+                         for e in range(NL)], axis=1)     # (128,L*kmid,cmid)
+                    diags.append(jax.lax.dot_general(
+                        lhs3, rhs,
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32))  # (128,tb,cmid)
+            v = fold(diags, signed=False)                 # (128, tb, cmid)
 
             # ---- inverse stage 1: contract k1 on lanes ------------------
             # relayout V (128 k1, tb, cmid) -> (R rows=(el,c,j2), 128 k1)
@@ -309,46 +381,54 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                 vt_scr[el * cmid:(el + 1) * cmid, :] = \
                     jnp.transpose(v[:, el, :])
             vl = _residue_limbs_i8(vt_scr[:])             # 4 x (R, 128)
-            lhs2 = jnp.concatenate(vl, axis=1)            # (R, L*128)
-            diags = [_int8_dot(lhs2, w1it_ref[pi, d])     # (R, 128 j1)
-                     for d in range(2 * NL - 1)]
-            y = _fold_diags(diags, p, pinv, fc, signed=False)  # (R, 128)
+            if ablate == "inv":
+                diags = [vl[0].astype(jnp.int32)] * (2 * NL - 1)
+            else:
+                lhs2 = jnp.concatenate(vl, axis=1)        # (R, L*128)
+                diags = [_int8_dot(lhs2, w1it_ref[pi, d])  # (R, 128 j1)
+                         for d in range(2 * NL - 1)]
+            y = fold(diags, signed=False)                 # (R, 128)
             res_primes.append(y)
 
         # ---- Garner to u64 pairs + accumulate ---------------------------
-        a_digits = [res_primes[0]]
-        for j in range(1, num_primes):
-            pj = _u32(primes[j])
-            pinv_j = _u32(pinvs[j])
-            v = jnp.where(a_digits[0] >= pj, a_digits[0] - pj, a_digits[0])
-            for i in range(1, j):
-                term = mont_mul32(a_digits[i],
-                                  jnp.full(v.shape, _u32(pm_mont[(i - 1, j)]), U32),
-                                  pj, pinv_j)
-                vv = v + term
-                v = jnp.where(vv >= pj, vv - pj, vv)
-            r = res_primes[j]
-            d = jnp.where(r >= v, r - v, r + pj - v)
-            a_digits.append(mont_mul32(
-                d, jnp.full(d.shape, _u32(inv_mont[j - 1]), U32), pj, pinv_j))
-        out_lo = a_digits[0]
-        out_hi = jnp.zeros_like(out_lo)
-        for i in range(1, num_primes):
-            cc = prods64[i]
-            c_lo, c_hi = _u32(cc & 0xFFFFFFFF), _u32((cc >> 32) & 0xFFFFFFFF)
-            t_lo, t_hi = mulwide(a_digits[i], jnp.full(out_lo.shape, c_lo, U32))
-            t_hi = t_hi + a_digits[i] * c_hi
-            out_lo, out_hi = add64(out_lo, out_hi, t_lo, t_hi)
-        is_neg = a_digits[0] > _u32(half_digits[0])
-        for i in range(1, num_primes):
-            hd = _u32(half_digits[i])
-            is_neg = (a_digits[i] > hd) | ((a_digits[i] == hd) & is_neg)
-        pm_lo, pm_hi = _u32(p_mod64 & 0xFFFFFFFF), _u32((p_mod64 >> 32) & 0xFFFFFFFF)
-        corr_lo, corr_hi = sub64(out_lo, out_hi,
-                                 jnp.full(out_lo.shape, pm_lo, U32),
-                                 jnp.full(out_lo.shape, pm_hi, U32))
-        out_lo = jnp.where(is_neg, corr_lo, out_lo)
-        out_hi = jnp.where(is_neg, corr_hi, out_hi)
+        if ablate == "gar":
+            out_lo = res_primes[0]
+            out_hi = res_primes[1] ^ res_primes[2] ^ res_primes[3]
+        else:
+            a_digits = [res_primes[0]]
+            for j in range(1, num_primes):
+                pj = _u32(primes[j])
+                pinv_j = _u32(pinvs[j])
+                v = jnp.where(a_digits[0] >= pj, a_digits[0] - pj, a_digits[0])
+                for i in range(1, j):
+                    term = mont_mul32(a_digits[i],
+                                      jnp.full(v.shape, _u32(pm_mont[(i - 1, j)]), U32),
+                                      pj, pinv_j)
+                    vv = v + term
+                    v = jnp.where(vv >= pj, vv - pj, vv)
+                r = res_primes[j]
+                d = jnp.where(r >= v, r - v, r + pj - v)
+                a_digits.append(mont_mul32(
+                    d, jnp.full(d.shape, _u32(inv_mont[j - 1]), U32), pj, pinv_j))
+            out_lo = a_digits[0]
+            out_hi = jnp.zeros_like(out_lo)
+            for i in range(1, num_primes):
+                cc = prods64[i]
+                c_lo, c_hi = _u32(cc & 0xFFFFFFFF), _u32((cc >> 32) & 0xFFFFFFFF)
+                t_lo, t_hi = mulwide(a_digits[i], jnp.full(out_lo.shape, c_lo, U32))
+                t_hi = t_hi + a_digits[i] * c_hi
+                out_lo, out_hi = add64(out_lo, out_hi, t_lo, t_hi)
+            is_neg = a_digits[0] > _u32(half_digits[0])
+            for i in range(1, num_primes):
+                hd = _u32(half_digits[i])
+                is_neg = (a_digits[i] > hd) | ((a_digits[i] == hd) & is_neg)
+            pm_lo, pm_hi = _u32(p_mod64 & 0xFFFFFFFF), _u32((p_mod64 >> 32) & 0xFFFFFFFF)
+            corr_lo, corr_hi = sub64(out_lo, out_hi,
+                                     jnp.full(out_lo.shape, pm_lo, U32),
+                                     jnp.full(out_lo.shape, pm_hi, U32))
+            out_lo = jnp.where(is_neg, corr_lo, out_lo)
+            out_hi = jnp.where(is_neg, corr_hi, out_hi)
+
 
         new_lo, new_hi = add64(acc_lo, acc_hi, out_lo, out_hi)
         acc_lo_s[:] = new_lo
@@ -359,10 +439,13 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             out_lo_ref[:] = new_lo
             out_hi_ref[:] = new_hi
 
-    def run(acc_lo, acc_hi, adegs, m_limbs):
+    n_steps_pad = -(-n_steps // LANES) * LANES
+
+    def run(acc_lo, acc_hi, adegs, a_rows, m_limbs):
         batch_rows = acc_lo.shape[0]
         assert acc_lo.shape == (batch_rows, LANES)
         assert batch_rows % R == 0
+        assert a_rows.shape == (batch_rows, n_steps_pad), a_rows.shape
         n_tiles = batch_rows // R
         batch = batch_rows // (k1 * n2)
         vmem = pltpu.VMEM
@@ -370,6 +453,9 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
         in_specs = [
             pl.BlockSpec((1, 1, batch), lambda t, s: (s, z(t), z(t)),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, LANES),
+                         lambda t, s: (t, jax.lax.div(s, np.int32(LANES))),
+                         memory_space=vmem),
             pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
             pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
             pl.BlockSpec((1, num_primes, NL, n1, kmid, cmid),
@@ -397,7 +483,7 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                 dimension_semantics=("arbitrary", "arbitrary"),
             ),
         )
-        return call(adegs.reshape(n_steps, 1, batch), acc_lo, acc_hi,
+        return call(adegs.reshape(n_steps, 1, batch), a_rows, acc_lo, acc_hi,
                     m_limbs, jnp.asarray(w1t_np), jnp.asarray(w1it_np))
 
     return run
@@ -405,7 +491,8 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
 
 def blind_rotate_pallas_v3(msed_mask, msed_body, lut, m_limbs, plan,
                            base_log: int, levels: int, tb: int = 8,
-                           interpret: bool = False):
+                           interpret: bool = False, rot_onehot: bool = False,
+                           ablate: str | None = None):
     """Blind rotation through the v3 MXU kernel; same semantics as
     ops.server.blind_rotate / ops.mxu.blind_rotate_mxu."""
     from .server import monomial_div
@@ -415,8 +502,13 @@ def blind_rotate_pallas_v3(msed_mask, msed_body, lut, m_limbs, plan,
     acc0 = monomial_div(lut, msed_body[:, None, None])
     lo0 = to_v3_layout((acc0 & np.uint64(0xFFFFFFFF)).astype(jnp.uint32), k1, n)
     hi0 = to_v3_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n)
-    run = build_blind_rotate_v3(n, base_log, levels, k1, tb, n_in, interpret)
-    lo, hi = run(lo0, hi0, msed_mask.T.astype(jnp.int32), m_limbs)
+    run = build_blind_rotate_v3(n, base_log, levels, k1, tb, n_in, interpret,
+                                rot_onehot=rot_onehot, ablate=ablate)
+    n2 = n // 128
+    n_pad = -(-n_in // 128) * 128
+    a_rows = jnp.repeat(msed_mask.astype(jnp.int32), k1 * n2, axis=0)
+    a_rows = jnp.pad(a_rows, ((0, 0), (0, n_pad - n_in)))
+    lo, hi = run(lo0, hi0, msed_mask.T.astype(jnp.int32), a_rows, m_limbs)
     lo = from_v3_layout(lo, b, k1, n)
     hi = from_v3_layout(hi, b, k1, n)
     return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))
