@@ -43,12 +43,14 @@ def main():
     import functools
     ablate = os.environ.get("V3_ABLATE") or None
     onehot = os.environ.get("V3_ONEHOT") == "1"
+    fold_mode = os.environ.get("V3_FOLD", "mont")
     if ablate:
         os.environ["V3_SKIP_CHECK"] = "1"   # ablated kernels are wrong
-        print(f"# ABLATE={ablate} onehot={onehot}", flush=True)
+    print(f"# ABLATE={ablate} onehot={onehot} fold={fold_mode}", flush=True)
     run = jax.jit(functools.partial(
         pallas_mxu.blind_rotate_pallas_v3, plan=plan, base_log=P.pbs_base_log,
-        levels=P.pbs_level, tb=tb, rot_onehot=onehot, ablate=ablate))
+        levels=P.pbs_level, tb=tb, rot_onehot=onehot, ablate=ablate,
+        fold_mode=fold_mode))
 
     rng = np.random.default_rng(3)
 

@@ -170,6 +170,127 @@ def _int8_dot(lhs, rhs):
 
 
 # ---------------------------------------------------------------------------
+# Solinas shift-fold: multiply-free diagonal fold for p = 2^28 - a*2^m + 1
+# ---------------------------------------------------------------------------
+# The VPU emulates 32-bit integer multiplies (mulwide is 4 hardware
+# multiplies plus carries), which makes the Montgomery fold the dominant
+# cost of the whole kernel (measured by ablation: ~55% of runtime).  The
+# MXU primes were chosen pseudo-Fermat so that eps = a*2^m - 1 (a in
+# {1,3,5,9}) multiplies by shift-adds only: 2^28 = eps + p ≡ eps (mod p).
+#
+# Values are tracked as (lo, hi_or_None, upper_bound) triples; hi is None
+# while the static bound proves the value fits u32, so no zero-register
+# arithmetic is emitted.  All bounds are checked with python ints at trace
+# time.
+
+
+def _sol_shl(v, s: int):
+    lo, hi, b = v
+    nb = b << s
+    if s == 0:
+        return v
+    if hi is None:
+        if nb < (1 << 32):
+            return lo << U32(s), None, nb
+        return lo << U32(s), lo >> U32(32 - s), nb
+    assert nb < (1 << 64)
+    return lo << U32(s), (hi << U32(s)) | (lo >> U32(32 - s)), nb
+
+
+def _sol_add(u, w):
+    ulo, uhi, ub = u
+    wlo, whi, wb = w
+    nb = ub + wb
+    assert nb < (1 << 64)
+    lo = ulo + wlo
+    if uhi is None and whi is None:
+        if nb < (1 << 32):
+            return lo, None, nb
+        return lo, (lo < ulo).astype(U32), nb
+    c = (lo < ulo).astype(U32)
+    hi = c
+    if uhi is not None:
+        hi = hi + uhi
+    if whi is not None:
+        hi = hi + whi
+    return lo, hi, nb
+
+
+def _sol_sub_le(u, w):
+    """u - w where w <= u holds value-wise (guaranteed by construction)."""
+    ulo, uhi, ub = u
+    wlo, whi, wb = w
+    lo = ulo - wlo
+    if uhi is None and whi is None:
+        return lo, None, ub
+    brw = (ulo < wlo).astype(U32)
+    hi = (uhi if uhi is not None else jnp.zeros_like(ulo)) - brw
+    if whi is not None:
+        hi = hi - whi
+    return lo, hi, ub
+
+
+def _sol_eps_mul(v, a: int, m: int):
+    """v * (a*2^m - 1) via shift-adds; a in {1, 3, 5, 9}."""
+    if a == 1:
+        av = v
+    else:
+        av = _sol_add(_sol_shl(v, {3: 1, 5: 2, 9: 3}[a]), v)
+    return _sol_sub_le(_sol_shl(av, m), v)
+
+
+def _sol_split28(v):
+    """v -> (v >> 28, v & (2^28-1)); the low part is a u32 triple."""
+    lo, hi, b = v
+    xl = (lo & U32((1 << 28) - 1), None, (1 << 28) - 1)
+    hb = b >> 28
+    if hi is None:
+        return (lo >> U32(28), None, hb), xl
+    xh_lo = (lo >> U32(28)) | (hi << U32(4))
+    if hb < (1 << 32):
+        return (xh_lo, None, hb), xl
+    return (xh_lo, hi >> U32(28), hb), xl
+
+
+def _fold_diags_solinas(diags, p_int: int, a: int, m: int, signed: bool,
+                        dneg: int, dpos: int):
+    """7 int32 diagonal arrays -> canonical residues u32 < p, without any
+    integer multiplies.  dneg/dpos bound each diag: -dneg <= d <= dpos."""
+    t0 = diags[0] + (diags[1] << 7)
+    t1 = diags[2] + (diags[3] << 7)
+    t2 = diags[4] + (diags[5] << 7)
+    t3 = diags[6]
+    tpos = dpos * 129
+    tneg = dneg * 129
+    if signed or tneg:
+        off = -(-tneg // p_int) * p_int     # k*p >= tneg: no excess mod p
+        assert tneg <= off and tpos + off < (1 << 31)
+        ofi = np.int32(off)
+        ts = [t0 + ofi, t1 + ofi, t2 + ofi, t3 + ofi]
+        tb = tpos + off      # 2p*(1+2^14+2^28+2^42) ≡ 0 mod p: no excess
+    else:
+        assert tpos < (1 << 31)
+        ts = [t0, t1, t2, t3]
+        tb = tpos
+    u = [(t.astype(U32), None, tb) for t in ts]
+    A = _sol_add(u[0], _sol_eps_mul(u[2], a, m))
+    B = _sol_add(u[1], _sol_eps_mul(u[3], a, m))
+    X = _sol_add(A, _sol_shl(B, 14))
+    while X[2] >= (1 << 30):
+        xh, xl = _sol_split28(X)
+        X = _sol_add(_sol_eps_mul(xh, a, m), xl)
+    xh, xl = _sol_split28(X)          # xh bound is tiny now
+    X = _sol_add(_sol_eps_mul(xh, a, m), xl)
+    lo, hi, b = X
+    assert hi is None
+    acc = lo
+    while b >= p_int:
+        acc = jnp.where(acc >= U32(p_int), acc - U32(p_int), acc)
+        b = max(p_int - 1, b - p_int)
+    return acc
+
+
+# ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
@@ -177,13 +298,15 @@ def _int8_dot(lhs, rhs):
 @lru_cache(maxsize=None)
 def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                           tb: int, n_steps: int, interpret: bool = False,
-                          rot_onehot: bool = False, ablate: str | None = None):
+                          rot_onehot: bool = False, ablate: str | None = None,
+                          fold_mode: str = "mont"):
     """Whole-blind-rotate kernel over the MXU factorization.
 
     rot_onehot selects the vectorized one-hot rotation (default: unrolled
     per-element dynamic rolls).  ablate ∈ {rot, s1, mid, inv, fold, gar}
     replaces one stage with a data-dependent no-op for per-stage timing —
-    results are WRONG under ablation; perf harness use only.
+    results are WRONG under ablation; perf harness use only.  fold_mode is
+    "solinas" (multiply-free shift fold; default) or "mont" (Montgomery).
 
     Caller layout: acc_lo/hi (B*k1*N2, 128) u32 (to_v3_layout); a_rows
     (B*k1*N2, pad128(n_steps)) i32 (per-row rotation degrees, each
@@ -212,6 +335,18 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
     R = tb * k1 * n2           # rows per tile
     kmid = levels * k1 * n2    # middle contraction
     cmid = k1 * n2             # middle output columns
+
+    # pseudo-Fermat decomposition p = 2^28 - a*2^m + 1 for the shift fold
+    ams = []
+    for p_ in primes:
+        e1 = (1 << 28) + 1 - p_          # eps + 1 = a * 2^m
+        m_ = (e1 & -e1).bit_length() - 1
+        ams.append((e1 >> m_, m_))
+        assert (ams[-1][0] << m_) == e1 and ams[-1][0] in (1, 3, 5, 9)
+    # per-site diag bounds (-dneg..dpos): lhs x rhs over the contraction
+    d_s1 = NL * n1 * 64 * 127            # balanced digits x unsigned W limbs
+    d_mid = NL * kmid * 127 * 127        # unsigned x unsigned
+    d_inv = NL * n1 * 127 * 127
 
     def kernel(adeg_ref, arow_ref, acc_lo_in, acc_hi_in, m_ref, w1t_ref,
                w1it_ref, out_lo_ref, out_hi_ref, acc_lo_s, acc_hi_s,
@@ -329,10 +464,14 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             pinv = _u32(pinvs[pi])
             fc = fcs[pi]
 
-            def fold(diags, signed):
+            def fold(diags, signed, dneg, dpos):
                 # ablate="fold": data-dependent but trivially cheap stand-in
                 if ablate == "fold":
                     return (diags[0] & np.int32((1 << 27) - 1)).astype(U32)
+                if fold_mode == "solinas":
+                    return _fold_diags_solinas(
+                        diags, primes[pi], ams[pi][0], ams[pi][1], signed,
+                        dneg, dpos)
                 return _fold_diags(diags, p, pinv, fc, signed)
 
             # ---- stage 1 (fwd): contract lanes (i1) with W1'^T ----------
@@ -345,7 +484,7 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                     lhs = jnp.concatenate(dlimbs[lev], axis=1)  # (R, L*128)
                     diags = [_int8_dot(lhs, w1t_ref[pi, d])
                              for d in range(2 * NL - 1)]
-                s_levels.append(fold(diags, signed=True))
+                s_levels.append(fold(diags, True, d_s1, d_s1))
             # ---- relayout for the middle: St (128 k1, tb, kmid) ---------
             # 2D lane transpose (Mosaic supports it) + static lane-slice
             # writes into scratch (minor-dim SPLITS are unsupported).
@@ -372,7 +511,7 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                         lhs3, rhs,
                         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.int32))  # (128,tb,cmid)
-            v = fold(diags, signed=False)                 # (128, tb, cmid)
+            v = fold(diags, False, 0, d_mid)              # (128, tb, cmid)
 
             # ---- inverse stage 1: contract k1 on lanes ------------------
             # relayout V (128 k1, tb, cmid) -> (R rows=(el,c,j2), 128 k1)
@@ -387,7 +526,7 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                 lhs2 = jnp.concatenate(vl, axis=1)        # (R, L*128)
                 diags = [_int8_dot(lhs2, w1it_ref[pi, d])  # (R, 128 j1)
                          for d in range(2 * NL - 1)]
-            y = fold(diags, signed=False)                 # (R, 128)
+            y = fold(diags, False, 0, d_inv)              # (R, 128)
             res_primes.append(y)
 
         # ---- Garner to u64 pairs + accumulate ---------------------------
@@ -492,7 +631,8 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
 def blind_rotate_pallas_v3(msed_mask, msed_body, lut, m_limbs, plan,
                            base_log: int, levels: int, tb: int = 8,
                            interpret: bool = False, rot_onehot: bool = False,
-                           ablate: str | None = None):
+                           ablate: str | None = None,
+                           fold_mode: str = "mont"):
     """Blind rotation through the v3 MXU kernel; same semantics as
     ops.server.blind_rotate / ops.mxu.blind_rotate_mxu."""
     from .server import monomial_div
@@ -503,7 +643,8 @@ def blind_rotate_pallas_v3(msed_mask, msed_body, lut, m_limbs, plan,
     lo0 = to_v3_layout((acc0 & np.uint64(0xFFFFFFFF)).astype(jnp.uint32), k1, n)
     hi0 = to_v3_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n)
     run = build_blind_rotate_v3(n, base_log, levels, k1, tb, n_in, interpret,
-                                rot_onehot=rot_onehot, ablate=ablate)
+                                rot_onehot=rot_onehot, ablate=ablate,
+                                fold_mode=fold_mode)
     n2 = n // 128
     n_pad = -(-n_in // 128) * 128
     a_rows = jnp.repeat(msed_mask.astype(jnp.int32), k1 * n2, axis=0)
