@@ -514,12 +514,13 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             v = fold(diags, False, 0, d_mid)              # (128, tb, cmid)
 
             # ---- inverse stage 1: contract k1 on lanes ------------------
-            # relayout V (128 k1, tb, cmid) -> (R rows=(el,c,j2), 128 k1)
-            # via per-element 2D transposes (the only relayout Mosaic takes)
+            # relayout V (128 k1, tb, cmid) -> (R rows=(el,c,j2), 128 k1):
+            # per-element static lane-slice writes into a (128, R) scratch,
+            # then ONE big 2D transpose (64 small transposes measured much
+            # slower than one large one)
             for el in range(tb):
-                vt_scr[el * cmid:(el + 1) * cmid, :] = \
-                    jnp.transpose(v[:, el, :])
-            vl = _residue_limbs_i8(vt_scr[:])             # 4 x (R, 128)
+                vt_scr[:, el * cmid:(el + 1) * cmid] = v[:, el, :]
+            vl = _residue_limbs_i8(jnp.transpose(vt_scr[:]))  # 4 x (R, 128)
             if ablate == "inv":
                 diags = [vl[0].astype(jnp.int32)] * (2 * NL - 1)
             else:
@@ -615,7 +616,7 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             out_shape=[jax.ShapeDtypeStruct((batch_rows, LANES), U32)] * 2,
             scratch_shapes=[pltpu.VMEM((R, LANES), U32)] * 4 +
                            [pltpu.VMEM((n1, tb, kmid), U32),
-                            pltpu.VMEM((R, LANES), U32)],
+                            pltpu.VMEM((n1, R), U32)],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=120 * 1024 * 1024,
