@@ -73,25 +73,26 @@ def _fold_consts(n: int):
 
 
 @lru_cache(maxsize=None)
-def _kernel_tables(n: int):
+def _kernel_tables(n: int, nl_inv: int = NL):
     """(w1t_limbs, w1i_limbs, plan) — stage-1 matrices in matmul orientation.
 
-    w1t: (P, L, i1, k1) int8 (rhs of the forward stage-1);
-    w1i: (P, L, j1, k1) int8 (lhs of the inverse stage-1)."""
+    w1t: (P, 2L-1, L*128, 128) int8 (rhs of the forward stage-1, 4-limb
+    digit lhs); w1i: (P, nl_inv+L-1, nl_inv*128, 128) (rhs of the inverse
+    stage-1, whose lhs has nl_inv limbs — 5 when the fold is lazy)."""
     plan = mxu_mod.make_mxu_plan(n)
 
-    def dgroup(limbs):
-        # (P, L, K, N1) -> (P, 2L-1, L*K, N1): diagonal-grouped contraction
+    def dgroup(limbs, nl_lhs):
+        # (P, L, K, N1) -> (P, nl_lhs+L-1, nl_lhs*K, N1): diagonal-grouped
         zeros = np.zeros_like(limbs[:, 0])
         blocks = []
-        for d in range(2 * NL - 1):
+        for d in range(nl_lhs + NL - 1):
             rows = [limbs[:, d - e] if 0 <= d - e < NL else zeros
-                    for e in range(NL)]
+                    for e in range(nl_lhs)]
             blocks.append(np.concatenate(rows, axis=-2))
         return np.ascontiguousarray(np.stack(blocks, axis=1))
 
-    w1t = dgroup(np.swapaxes(plan.w1_limbs, -1, -2))
-    w1it = dgroup(np.swapaxes(plan.w1i_limbs, -1, -2))
+    w1t = dgroup(np.swapaxes(plan.w1_limbs, -1, -2), NL)
+    w1it = dgroup(np.swapaxes(plan.w1i_limbs, -1, -2), nl_inv)
     return w1t, w1it, plan
 
 
@@ -125,21 +126,22 @@ def _digit_limbs_i8(d_u32):
     return limbs
 
 
-def _residue_limbs_i8(x_u32):
-    """Canonical residues < 2^28 -> 4 unsigned 7-bit limbs as int8.
+def _residue_limbs_i8(x_u32, nl: int = NL):
+    """Residues (< 2^28 canonical, or < 2^30 lazy with nl=5) -> nl unsigned
+    7-bit limbs as int8.
 
     Mosaic cannot lower u32->i8 directly (its convert helper recurses);
     hop through i32."""
     return [((x_u32 >> U32(LB * e)) & U32(127)).astype(jnp.int32)
-            .astype(jnp.int8) for e in range(NL)]
+            .astype(jnp.int8) for e in range(nl)]
 
 
 def _fold_diags(diags, p: np.uint32, pinv: np.uint32, fc, signed: bool):
-    """7 int32 diagonal arrays -> canonical residues u32 < p."""
+    """7 (or 8) int32 diagonal arrays -> canonical residues u32 < p."""
     t0 = diags[0] + (diags[1] << 7)
     t1 = diags[2] + (diags[3] << 7)
     t2 = diags[4] + (diags[5] << 7)
-    t3 = diags[6]
+    t3 = diags[6] if len(diags) == 7 else diags[6] + (diags[7] << 7)
     ts = [t0, t1, t2, t3]
     if signed:
         kp = np.int32(fc["k_p"])
@@ -253,13 +255,15 @@ def _sol_split28(v):
 
 
 def _fold_diags_solinas(diags, p_int: int, a: int, m: int, signed: bool,
-                        dneg: int, dpos: int):
-    """7 int32 diagonal arrays -> canonical residues u32 < p, without any
-    integer multiplies.  dneg/dpos bound each diag: -dneg <= d <= dpos."""
+                        dneg: int, dpos: int, lazy: bool = False):
+    """7 (or 8) int32 diagonal arrays -> residues u32, without any integer
+    multiplies.  dneg/dpos bound each diag: -dneg <= d <= dpos.  With
+    lazy=True the result is only guaranteed < 2^30 (skip the final
+    reduction round; the consumer takes 5 limbs instead of 4)."""
     t0 = diags[0] + (diags[1] << 7)
     t1 = diags[2] + (diags[3] << 7)
     t2 = diags[4] + (diags[5] << 7)
-    t3 = diags[6]
+    t3 = diags[6] if len(diags) == 7 else diags[6] + (diags[7] << 7)
     tpos = dpos * 129
     tneg = dneg * 129
     if signed or tneg:
@@ -279,6 +283,10 @@ def _fold_diags_solinas(diags, p_int: int, a: int, m: int, signed: bool,
     while X[2] >= (1 << 30):
         xh, xl = _sol_split28(X)
         X = _sol_add(_sol_eps_mul(xh, a, m), xl)
+    if lazy:
+        lo, hi, b = X
+        assert hi is None and b < (1 << 30)
+        return lo
     xh, xl = _sol_split28(X)          # xh bound is tiny now
     X = _sol_add(_sol_eps_mul(xh, a, m), xl)
     lo, hi, b = X
@@ -323,7 +331,11 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
     pinvs = [int(ntt_mod.make_plan(n, num_primes, primes=plan.primes)
                .plans[i].p_inv_neg32) for i in range(num_primes)]
     fcs = _fold_consts(n)
-    w1t_np, w1it_np, _ = _kernel_tables(n)
+    # Lazy interfaces under the Solinas fold: stage outputs stay < 2^30
+    # (final reduction round skipped) and the next matmul takes 5 limbs.
+    NLS = 5 if fold_mode == "solinas" else 4
+    ND = NLS + NL - 1            # mid/inv diagonal count
+    w1t_np, w1it_np, _ = _kernel_tables(n, NLS)
     gplan = plan.garner
     gc = ntt_mod._garner_consts(gplan.primes)
     inv_mont = [int(gc[f"inv_mont_{j}"]) for j in range(1, num_primes)]
@@ -464,14 +476,14 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             pinv = _u32(pinvs[pi])
             fc = fcs[pi]
 
-            def fold(diags, signed, dneg, dpos):
+            def fold(diags, signed, dneg, dpos, lazy=False):
                 # ablate="fold": data-dependent but trivially cheap stand-in
                 if ablate == "fold":
                     return (diags[0] & np.int32((1 << 27) - 1)).astype(U32)
                 if fold_mode == "solinas":
                     return _fold_diags_solinas(
                         diags, primes[pi], ams[pi][0], ams[pi][1], signed,
-                        dneg, dpos)
+                        dneg, dpos, lazy=lazy)
                 return _fold_diags(diags, p, pinv, fc, signed)
 
             # ---- stage 1 (fwd): contract lanes (i1) with W1'^T ----------
@@ -484,7 +496,7 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                     lhs = jnp.concatenate(dlimbs[lev], axis=1)  # (R, L*128)
                     diags = [_int8_dot(lhs, w1t_ref[pi, d])
                              for d in range(2 * NL - 1)]
-                s_levels.append(fold(diags, True, d_s1, d_s1))
+                s_levels.append(fold(diags, True, d_s1, d_s1, lazy=True))
             # ---- relayout for the middle: St (128 k1, tb, kmid) ---------
             # 2D lane transpose (Mosaic supports it) + static lane-slice
             # writes into scratch (minor-dim SPLITS are unsupported).
@@ -495,23 +507,23 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                         stT[:, el * k1 * n2:(el + 1) * k1 * n2]
 
             # ---- middle: one batched (over k1) int8 dot_general ---------
-            stl = _residue_limbs_i8(st_scr[:])            # 4 x (128,tb,kmid)
+            stl = _residue_limbs_i8(st_scr[:], NLS)       # NLS x (128,tb,kmid)
             if ablate == "mid":
-                diags = [stl[0][:, :, :cmid].astype(jnp.int32)] * (2 * NL - 1)
+                diags = [stl[0][:, :, :cmid].astype(jnp.int32)] * ND
             else:
-                lhs3 = jnp.concatenate(stl, axis=2)       # (128, tb, L*kmid)
+                lhs3 = jnp.concatenate(stl, axis=2)       # (128,tb,NLS*kmid)
                 mz = jnp.zeros((n1, kmid, cmid), jnp.int8)
                 diags = []
-                for d in range(2 * NL - 1):
+                for d in range(ND):
                     # d-grouped rhs assembled in VMEM from compact tensors
                     rhs = jnp.concatenate(
                         [m_ref[0, pi, d - e] if 0 <= d - e < NL else mz
-                         for e in range(NL)], axis=1)     # (128,L*kmid,cmid)
+                         for e in range(NLS)], axis=1)    # (128,NLS*kmid,cmid)
                     diags.append(jax.lax.dot_general(
                         lhs3, rhs,
                         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.int32))  # (128,tb,cmid)
-            v = fold(diags, False, 0, d_mid)              # (128, tb, cmid)
+            v = fold(diags, False, 0, d_mid, lazy=True)   # (128, tb, cmid)
 
             # ---- inverse stage 1: contract k1 on lanes ------------------
             # relayout V (128 k1, tb, cmid) -> (R rows=(el,c,j2), 128 k1):
@@ -520,13 +532,13 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             # slower than one large one)
             for el in range(tb):
                 vt_scr[:, el * cmid:(el + 1) * cmid] = v[:, el, :]
-            vl = _residue_limbs_i8(jnp.transpose(vt_scr[:]))  # 4 x (R, 128)
+            vl = _residue_limbs_i8(jnp.transpose(vt_scr[:]), NLS)  # (R, 128)
             if ablate == "inv":
-                diags = [vl[0].astype(jnp.int32)] * (2 * NL - 1)
+                diags = [vl[0].astype(jnp.int32)] * ND
             else:
-                lhs2 = jnp.concatenate(vl, axis=1)        # (R, L*128)
+                lhs2 = jnp.concatenate(vl, axis=1)        # (R, NLS*128)
                 diags = [_int8_dot(lhs2, w1it_ref[pi, d])  # (R, 128 j1)
-                         for d in range(2 * NL - 1)]
+                         for d in range(ND)]
             y = fold(diags, False, 0, d_inv)              # (R, 128)
             res_primes.append(y)
 
@@ -603,7 +615,7 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                          memory_space=vmem),
             pl.BlockSpec((num_primes, 2 * NL - 1, NL * n1, n1),
                          lambda t, s: (z(t),) * 4, memory_space=vmem),
-            pl.BlockSpec((num_primes, 2 * NL - 1, NL * n1, n1),
+            pl.BlockSpec((num_primes, ND, NLS * n1, n1),
                          lambda t, s: (z(t),) * 4, memory_space=vmem),
         ]
         out_specs = [pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)),
