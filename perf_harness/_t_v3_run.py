@@ -30,15 +30,22 @@ def main():
     from tfhe_tpu.core.params import DecompParams
     bsk = LweBootstrapKey(z["bsk_data"],
                           DecompParams(P.pbs_base_log, P.pbs_level), 64)
+    mont = os.environ.get("V3_FOLD") == "redc"
     t0 = time.time()
-    bhat, _ = mxu.bsk_eval_domain(bsk, plan)
+    bhat, _ = mxu.bsk_eval_domain(bsk, plan, mont=mont)
     print(f"# host eval-domain {time.time()-t0:.1f}s "
-          f"({bhat.nbytes/1e6:.0f} MB); tb={tb} B={b}", flush=True)
+          f"({bhat.nbytes/1e6:.0f} MB); tb={tb} B={b} mont={mont}", flush=True)
     t0 = time.time()
     m_dev = mxu.middle_from_eval_device(jax.device_put(bhat), plan)
     np.asarray(m_dev[0, 0, 0, 0, 0, 0])
     print(f"# device M build {time.time()-t0:.1f}s "
           f"({m_dev.nbytes/1e9:.2f} GB)", flush=True)
+    m_ref = m_dev
+    if mont and os.environ.get("V3_SKIP_CHECK") != "1":
+        bhat_p, _ = mxu.bsk_eval_domain(bsk, plan)
+        m_ref = mxu.middle_from_eval_device(jax.device_put(bhat_p), plan)
+        np.asarray(m_ref[0, 0, 0, 0, 0, 0])
+        print("# plain M for the reference check built", flush=True)
 
     import functools
     ablate = os.environ.get("V3_ABLATE") or None
@@ -71,7 +78,7 @@ def main():
         # reference via the MXU XLA path on the same inputs (exact)
         t0 = time.time()
         want = np.asarray(mxu.blind_rotate_mxu(
-            sm[0], sm[1], sm[2], m_dev, plan, P.pbs_base_log, P.pbs_level))
+            sm[0], sm[1], sm[2], m_ref, plan, P.pbs_base_log, P.pbs_level))
         print(f"# ref compile+run {time.time()-t0:.1f}s; "
               f"MATCH={np.array_equal(got, want)}", flush=True)
 

@@ -276,11 +276,26 @@ class FheUintBase:
     def ge(self, other) -> FheBool:
         return self._cmp(other, "ge_parallelized", "scalar_ge_parallelized")
 
-    # Python ordering operators as sugar over the named methods (the Rust
+    # Python comparison operators as sugar over the named methods (the Rust
     # reference can only offer .gt()/.lt()-style methods since its operators
-    # must return bool; Python's can return FheBool).  __eq__/__ne__ stay
-    # named-methods-only so ciphertexts keep default identity semantics for
-    # hashing and `in` checks.
+    # must return bool; Python's can return FheBool).  __eq__/__ne__ also
+    # return encrypted FheBool — an identity-based `a == 99` silently
+    # yielding a plaintext False is a far worse footgun than ciphertexts
+    # being unhashable (numpy arrays made the same trade).
+    __hash__ = None
+
+    def __eq__(self, other):
+        try:
+            return self.eq(other)
+        except (TypeError, AttributeError):
+            return NotImplemented
+
+    def __ne__(self, other):
+        try:
+            return self.ne(other)
+        except (TypeError, AttributeError):
+            return NotImplemented
+
     def __lt__(self, other) -> FheBool:
         return self.lt(other)
 

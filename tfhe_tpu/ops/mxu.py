@@ -168,15 +168,20 @@ def make_mxu_plan(n: int, n1: int = 128) -> MxuPlan:
     )
 
 
-def _forward_eval(polys: np.ndarray, plan: MxuPlan, pi: int) -> np.ndarray:
+def _forward_eval(polys: np.ndarray, plan: MxuPlan, pi: int,
+                  mont: bool = False) -> np.ndarray:
     """Host four-step forward NTT of u64 polys (..., N) mod prime pi.
 
     Returns evaluations ordered (..., N1 k1, N2 k2): slot (k1,k2) holds
-    P(psi^(2*(k2*N1+k1)+1))."""
+    P(psi^(2*(k2*N1+k1)+1)).  mont=True scales by 2^32 mod p (Montgomery
+    domain, consumed by the v3 kernel's single-REDC fold)."""
     p = plan.primes[pi]
     n1, n2 = plan.n1, plan.n2
     res = polys.astype(U64) % U64(p)
-    xt = (res * plan.tw_full[pi][None]) % U64(p)
+    tw = plan.tw_full[pi]
+    if mont:
+        tw = (tw * U64((1 << 32) % p)) % U64(p)
+    xt = (res * tw[None]) % U64(p)
     a = xt.reshape(xt.shape[:-1] + (n1, n2))
     s = _modmat_u64(a.swapaxes(-1, -2), plan.w1c[pi].T, p).swapaxes(-1, -2)
     # s[k1, i2] = sum_i1 W1c[k1,i1] a[i1,i2]
@@ -185,7 +190,7 @@ def _forward_eval(polys: np.ndarray, plan: MxuPlan, pi: int) -> np.ndarray:
     return xhat
 
 
-def bsk_to_mxu(bsk, plan: MxuPlan = None):
+def bsk_to_mxu(bsk, plan: MxuPlan = None, mont: bool = False):
     """Convert a coefficient-domain LweBootstrapKey into middle-collapse
     limb tensors.
 
@@ -202,7 +207,7 @@ def bsk_to_mxu(bsk, plan: MxuPlan = None):
     n1, n2 = plan.n1, plan.n2
     per_prime = []
     for pi, p in enumerate(plan.primes):
-        xhat = _forward_eval(data, plan, pi)    # (n_in, l, r, c, N1, N2)
+        xhat = _forward_eval(data, plan, pi, mont)  # (n_in, l, r, c, N1, N2)
         # H[k1, k2, j2] = xhat[k1, k2] * G[k1, k2, j2]
         h = (xhat[..., :, :, None] * plan.g_mid[pi][None, None, None, None]) % U64(p)
         # M[k1, i2, j2] = sum_k2 F[k1, i2, k2] * H[k1, k2, j2]
@@ -217,7 +222,7 @@ def bsk_to_mxu(bsk, plan: MxuPlan = None):
     return m_limbs, plan
 
 
-def bsk_eval_domain(bsk, plan: MxuPlan = None):
+def bsk_eval_domain(bsk, plan: MxuPlan = None, mont: bool = False):
     """Host half of the key conversion: coefficient BSK -> NTT evaluations
     b_hat (n, l, k+1, k+1, P, N1, N2) u32 (the ~16x smaller precursor of the
     middle tensors; the heavy M assembly runs on device)."""
@@ -226,7 +231,7 @@ def bsk_eval_domain(bsk, plan: MxuPlan = None):
     data = bsk.data.astype(U64)
     outs = []
     for pi in range(plan.num_primes):
-        outs.append(_forward_eval(data, plan, pi).astype(np.uint32))
+        outs.append(_forward_eval(data, plan, pi, mont).astype(np.uint32))
     return np.ascontiguousarray(np.stack(outs, axis=-3)), plan
 
 

@@ -73,13 +73,26 @@ def _fold_consts(n: int):
 
 
 @lru_cache(maxsize=None)
-def _kernel_tables(n: int, nl_inv: int = NL):
+def _kernel_tables(n: int, nl_inv: int = NL, mont: bool = False):
     """(w1t_limbs, w1i_limbs, plan) — stage-1 matrices in matmul orientation.
 
     w1t: (P, 2L-1, L*128, 128) int8 (rhs of the forward stage-1, 4-limb
     digit lhs); w1i: (P, nl_inv+L-1, nl_inv*128, 128) (rhs of the inverse
-    stage-1, whose lhs has nl_inv limbs — 5 when the fold is lazy)."""
+    stage-1, whose lhs has nl_inv limbs — 5 when the fold is lazy).
+    mont=True scales the matrices by 2^32 mod p (single-REDC fold)."""
     plan = mxu_mod.make_mxu_plan(n)
+
+    def rescale(limbs):
+        if not mont:
+            return limbs
+        vals = sum(limbs[:, e].astype(np.uint64) << np.uint64(LB * e)
+                   for e in range(NL))          # (P, N1, N1) u64
+        ps = np.array(plan.primes, dtype=np.uint64)[:, None, None]
+        r = np.array([(1 << 32) % p for p in plan.primes],
+                     dtype=np.uint64)[:, None, None]
+        scaled = (vals * r) % ps
+        return np.stack([((scaled >> np.uint64(LB * e)) & np.uint64(127))
+                         .astype(np.int8) for e in range(NL)], axis=1)
 
     def dgroup(limbs, nl_lhs):
         # (P, L, K, N1) -> (P, nl_lhs+L-1, nl_lhs*K, N1): diagonal-grouped
@@ -91,8 +104,8 @@ def _kernel_tables(n: int, nl_inv: int = NL):
             blocks.append(np.concatenate(rows, axis=-2))
         return np.ascontiguousarray(np.stack(blocks, axis=1))
 
-    w1t = dgroup(np.swapaxes(plan.w1_limbs, -1, -2), NL)
-    w1it = dgroup(np.swapaxes(plan.w1i_limbs, -1, -2), nl_inv)
+    w1t = dgroup(np.swapaxes(rescale(plan.w1_limbs), -1, -2), NL)
+    w1it = dgroup(np.swapaxes(rescale(plan.w1i_limbs), -1, -2), nl_inv)
     return w1t, w1it, plan
 
 
@@ -298,6 +311,57 @@ def _fold_diags_solinas(diags, p_int: int, a: int, m: int, signed: bool,
     return acc
 
 
+def _fold_diags_redc(diags, p_int: int, pinv_neg: int, a: int, m: int,
+                     signed: bool, dneg: int, dpos: int, lazy: bool = False):
+    """Diagonal fold for Montgomery-domain matrices: shift-assemble the
+    ~2^51 redundant value with eps-multiplies, then ONE 32-bit REDC.
+
+    Requires the stage's rhs matrix scaled by 2^32 mod p (mont=True
+    tables / bsk builds); the REDC divides it back out.  lazy=True skips
+    the final conditional subtraction (result < p + 2^20, 5-limb safe)."""
+    t0 = diags[0] + (diags[1] << 7)
+    t1 = diags[2] + (diags[3] << 7)
+    t2 = diags[4] + (diags[5] << 7)
+    t3 = diags[6] if len(diags) == 7 else diags[6] + (diags[7] << 7)
+    tpos = dpos * 129
+    tneg = dneg * 129
+    if signed or tneg:
+        off = -(-tneg // p_int) * p_int
+        assert tneg <= off and tpos + off < (1 << 31)
+        ofi = np.int32(off)
+        ts = [t0 + ofi, t1 + ofi, t2 + ofi, t3 + ofi]
+        tb = tpos + off
+    else:
+        assert tpos < (1 << 31)
+        ts = [t0, t1, t2, t3]
+        tb = tpos
+    u = [(t.astype(U32), None, tb) for t in ts]
+    # value = (u0 + 2^14 u1) + 2^28 (u2 + 2^14 u3) = L + 2^28 H
+    L = _sol_add(u[0], _sol_shl(u[1], 14))
+    H = _sol_add(u[2], _sol_shl(u[3], 14))
+    hh, hl = _sol_split28(H)
+    # 2^28 H = 2^56 hh + 2^28 hl ≡ eps*(eps*hh) + eps*hl (mod p)
+    X = _sol_add(L, _sol_add(_sol_eps_mul(hl, a, m),
+                             _sol_eps_mul(_sol_eps_mul(hh, a, m), a, m)))
+    xlo, xhi, xb = X
+    assert xb < p_int << 32, hex(xb)
+    mm = xlo * _u32(pinv_neg)
+    mp_lo, mp_hi = mulwide(mm, U32(p_int))
+    carry = (xlo != U32(0)).astype(U32)      # xlo + mp_lo is 0 or 2^32
+    res = mp_hi + carry
+    if xhi is not None:
+        res = res + xhi
+    # res < p + xb/2^32 + 1
+    rb = p_int + (xb >> 32) + 1
+    if lazy:
+        assert rb < (1 << 30)
+        return res
+    while rb >= p_int:
+        res = jnp.where(res >= U32(p_int), res - U32(p_int), res)
+        rb = max(p_int - 1, rb - p_int)
+    return res
+
+
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
@@ -331,11 +395,11 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
     pinvs = [int(ntt_mod.make_plan(n, num_primes, primes=plan.primes)
                .plans[i].p_inv_neg32) for i in range(num_primes)]
     fcs = _fold_consts(n)
-    # Lazy interfaces under the Solinas fold: stage outputs stay < 2^30
-    # (final reduction round skipped) and the next matmul takes 5 limbs.
-    NLS = 5 if fold_mode == "solinas" else 4
+    # Lazy interfaces under the Solinas/REDC folds: stage outputs stay
+    # < 2^30 (final reduction skipped) and the next matmul takes 5 limbs.
+    NLS = 4 if fold_mode == "mont" else 5
     ND = NLS + NL - 1            # mid/inv diagonal count
-    w1t_np, w1it_np, _ = _kernel_tables(n, NLS)
+    w1t_np, w1it_np, _ = _kernel_tables(n, NLS, mont=(fold_mode == "redc"))
     gplan = plan.garner
     gc = ntt_mod._garner_consts(gplan.primes)
     inv_mont = [int(gc[f"inv_mont_{j}"]) for j in range(1, num_primes)]
@@ -484,6 +548,10 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                     return _fold_diags_solinas(
                         diags, primes[pi], ams[pi][0], ams[pi][1], signed,
                         dneg, dpos, lazy=lazy)
+                if fold_mode == "redc":
+                    return _fold_diags_redc(
+                        diags, primes[pi], pinvs[pi], ams[pi][0], ams[pi][1],
+                        signed, dneg, dpos, lazy=lazy)
                 return _fold_diags(diags, p, pinv, fc, signed)
 
             # ---- stage 1 (fwd): contract lanes (i1) with W1'^T ----------
@@ -631,7 +699,7 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                             pltpu.VMEM((n1, R), U32)],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=120 * 1024 * 1024,
+                vmem_limit_bytes=126 * 1024 * 1024,
                 dimension_semantics=("arbitrary", "arbitrary"),
             ),
         )
