@@ -39,25 +39,29 @@ def main():
     if pipeline == "v3":
         return bench_v3(ck, sk, params, batch)
 
-    cts = [ck.encrypt(i % 4) for i in range(batch)]
+    # three distinct input sets: the axon runtime dedups identical enqueued
+    # executions, so timing the same batch repeatedly under-reads
+    ct_sets = [[ck.encrypt((i + s) % 4) for i in range(batch)]
+               for s in range(3)]
     lut = sk.generate_lookup_table(lambda x: (x * 3 + 1) % 16)
 
     # warm-up / compile
     t0 = time.time()
-    sk.apply_lookup_table_batch(cts, lut)
+    sk.apply_lookup_table_batch(ct_sets[0], lut)
     print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
     # steady state
     iters = 3
     t0 = time.time()
-    for _ in range(iters):
-        out = sk.apply_lookup_table_batch(cts, lut)
+    for it in range(iters):
+        out = sk.apply_lookup_table_batch(ct_sets[it % 3], lut)
     dt = time.time() - t0
     pbs_per_s = batch * iters / dt
 
-    # correctness spot check
+    # correctness spot check (out comes from ct_sets[(iters-1) % 3])
     dec = ck.decrypt_raw(out[5])
-    assert dec == (5 % 4 * 3 + 1) % 16, f"wrong PBS result: {dec}"
+    want = ((5 + (iters - 1) % 3) % 4 * 3 + 1) % 16
+    assert dec == want, f"wrong PBS result: {dec} != {want}"
 
     print(json.dumps({
         "metric": "ks_pbs_throughput_2_2",
@@ -82,6 +86,7 @@ def bench_v3(ck, sk, params, batch):
     from tfhe_tpu.ops import mxu, server as srv
 
     p = params
+    fold = os.environ.get("TFHE_TPU_BENCH_FOLD", "solinas")
     t0 = time.time()
     # rebuild the coefficient BSK deterministically from the cached seed
     bsk = kg.generate_lwe_bootstrap_key(
@@ -91,30 +96,34 @@ def bench_v3(ck, sk, params, batch):
             0x7FEE, __import__("tfhe_tpu.utils.csprng", fromlist=["x"]).DeterministicSeeder(0x7FEE ^ 0xB5297A4D)),
         p.bits)
     mplan = mxu.make_mxu_plan(p.polynomial_size)
-    bhat, _ = mxu.bsk_eval_domain(bsk, mplan)
+    bhat, _ = mxu.bsk_eval_domain(bsk, mplan, mont=(fold == "redc"))
     m_dev = mxu.middle_from_eval_device(jax.device_put(bhat), mplan)
     np.asarray(m_dev[0, 0, 0, 0, 0, 0])
-    print(f"# mxu key build: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"# mxu key build: {time.time()-t0:.1f}s fold={fold}",
+          file=sys.stderr)
 
     tb = int(os.environ.get("TFHE_TPU_BENCH_TB", "64"))
-    cts = [ck.encrypt(i % 4) for i in range(batch)]
     lut = sk.generate_lookup_table(lambda x: (x * 3 + 1) % 16)
-    batch_ct = jnp.asarray(np.stack([np.asarray(c.data) for c in cts]))
+    ct_sets = []
+    for s in range(3):
+        cts = [ck.encrypt((i + s) % 4) for i in range(batch)]
+        ct_sets.append(jnp.asarray(np.stack([np.asarray(c.data)
+                                             for c in cts])))
     lut_b = jnp.asarray(np.broadcast_to(lut.acc, (batch,) + lut.acc.shape))
 
-    def run():
+    def run(bc):
         return srv.ks_pbs_batch_mxu(
-            batch_ct, lut_b, sk.ksk, m_dev, mplan, p.ks_base_log, p.ks_level,
-            p.pbs_base_log, p.pbs_level, p.bits, True, tb)
+            bc, lut_b, sk.ksk, m_dev, mplan, p.ks_base_log, p.ks_level,
+            p.pbs_base_log, p.pbs_level, p.bits, True, tb, fold_mode=fold)
 
     t0 = time.time()
-    out = run()
+    out = run(ct_sets[0])
     np.asarray(out)
     print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
     iters = 3
     t0 = time.time()
-    for _ in range(iters):
-        out = run()
+    for it in range(iters):
+        out = run(ct_sets[it % 3])
     np.asarray(out)
     dt = time.time() - t0
     pbs_per_s = batch * iters / dt
@@ -122,7 +131,9 @@ def bench_v3(ck, sk, params, batch):
     from tfhe_tpu.shortint.ciphertext import NOMINAL_NOISE, Ciphertext
     dec = ck.decrypt_raw(Ciphertext(np.asarray(out)[5], 15, NOMINAL_NOISE,
                                     p.message_modulus, p.carry_modulus))
-    assert dec == (5 % 4 * 3 + 1) % 16, f"wrong PBS result: {dec}"
+    s_last = (iters - 1) % 3
+    want = ((5 + s_last) % 4 * 3 + 1) % 16
+    assert dec == want, f"wrong PBS result: {dec} != {want}"
     print(json.dumps({
         "metric": "ks_pbs_throughput_2_2",
         "value": round(pbs_per_s, 2),

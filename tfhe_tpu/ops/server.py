@@ -846,7 +846,7 @@ def pbs_many_from_switched_multibit(msed, lut, mb_bsk_mont, plan,
 
 @partial(jax.jit, static_argnames=("ks_base_log", "ks_levels", "pbs_base_log",
                                    "pbs_levels", "mplan", "bits",
-                                   "centered_ms", "tb", "ks32",
+                                   "centered_ms", "tb", "ks32", "fold_mode",
                                    "drift_r_sigma", "drift_bound",
                                    "drift_input_variance"))
 def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
@@ -854,12 +854,14 @@ def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
                      bits: int = 64, centered_ms: bool = False, tb: int = 64,
                      ks32: bool = False, drift_zeros=None,
                      drift_r_sigma: float = 0.0, drift_bound: float = 0.0,
-                     drift_input_variance: float = 0.0):
+                     drift_input_variance: float = 0.0,
+                     fold_mode: str = "solinas"):
     """The atomic pattern over the MXU stack: int8-limb keyswitch matmul,
     modulus switch, the fused v3 MXU blind-rotate kernel, sample extract.
 
-    m_limbs: d-grouped middle tensors (mxu.regroup_middle_d(bsk_to_mxu or
-    the on-device build)); mplan: mxu.make_mxu_plan(N).
+    m_limbs: compact middle tensors (mxu.bsk_to_mxu or the on-device
+    middle_from_eval_device build — with mont=True iff fold_mode="redc");
+    mplan: mxu.make_mxu_plan(N).
     """
     from .pallas_mxu import blind_rotate_pallas_v3
 
@@ -881,5 +883,6 @@ def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
             body = modulus_switch(ks[:, -1], log_mod, bits)
         msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
     acc = blind_rotate_pallas_v3(msed_mask, body, lut, m_limbs, mplan,
-                                 pbs_base_log, pbs_levels, tb=tb)
+                                 pbs_base_log, pbs_levels, tb=tb,
+                                 fold_mode=fold_mode)
     return sample_extract(acc)
