@@ -425,8 +425,11 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
     d_inv = NL * n1 * 127 * 127
 
     def kernel(adeg_ref, arow_ref, acc_lo_in, acc_hi_in, m_ref, w1t_ref,
-               w1it_ref, out_lo_ref, out_hi_ref, acc_lo_s, acc_hi_s,
-               rot_lo_s, rot_hi_s, st_scr, vt_scr):
+               w1it_ref, out_lo_ref, out_hi_ref, *scr):
+        if rot_onehot or ablate == "rot":
+            acc_lo_s, acc_hi_s, st_scr, vt_scr = scr
+        else:
+            acc_lo_s, acc_hi_s, rot_lo_s, rot_hi_s, st_scr, vt_scr = scr
         t = pl.program_id(0)
         s = pl.program_id(1)
 
@@ -694,7 +697,8 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=[jax.ShapeDtypeStruct((batch_rows, LANES), U32)] * 2,
-            scratch_shapes=[pltpu.VMEM((R, LANES), U32)] * 4 +
+            scratch_shapes=[pltpu.VMEM((R, LANES), U32)] *
+                           (2 if rot_onehot or ablate == "rot" else 4) +
                            [pltpu.VMEM((n1, tb, kmid), U32),
                             pltpu.VMEM((n1, R), U32)],
             interpret=interpret,
