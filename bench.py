@@ -5,8 +5,10 @@ Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 10,000 PBS/s per chip (BASELINE.md north star; reference points:
 ~880 KS+MB-PBS/s on one H100 single-stream, 14.2k PBS/s on the V80 FPGA).
 
-Env overrides: TFHE_TPU_BENCH_BATCH (default 128),
-TFHE_TPU_BENCH_PARAMS=test|prod (default prod = v1_4 2_2 TUniform 2M128).
+Env overrides: TFHE_TPU_BENCH_PIPELINE=v3|v2 (default v3 = MXU blind-rotate
+stack, falls back to v2 on error), TFHE_TPU_BENCH_BATCH (default 64 for v3,
+256 for v2), TFHE_TPU_BENCH_PARAMS=test|prod (default prod = v1_4 2_2
+TUniform 2M128), TFHE_TPU_BENCH_TB / TFHE_TPU_BENCH_FOLD (v3 tile/fold knobs).
 """
 
 import json
@@ -29,15 +31,21 @@ def main():
     which = os.environ.get("TFHE_TPU_BENCH_PARAMS", "prod")
     params = (V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
               if which == "prod" else TEST_PARAM_MESSAGE_2_CARRY_2)
-    batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH", "256"))
-    pipeline = os.environ.get("TFHE_TPU_BENCH_PIPELINE", "v2")
+    pipeline = os.environ.get("TFHE_TPU_BENCH_PIPELINE", "v3")
+    batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH",
+                               "64" if pipeline == "v3" else "256"))
 
     t0 = time.time()
     ck, sk = get_shortint_keys(params)
     print(f"# keygen/load: {time.time()-t0:.1f}s", file=sys.stderr)
 
     if pipeline == "v3":
-        return bench_v3(ck, sk, params, batch)
+        try:
+            return bench_v3(ck, sk, params, batch)
+        except Exception as e:  # fall back to the always-green XLA+v2 path
+            print(f"# v3 pipeline failed ({type(e).__name__}: {e}); "
+                  "falling back to v2", file=sys.stderr)
+            batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH", "256"))
 
     # three distinct input sets: the axon runtime dedups identical enqueued
     # executions, so timing the same batch repeatedly under-reads
@@ -71,14 +79,12 @@ def main():
     }))
 
 
-if __name__ == "__main__":
-    main()
-
-
 def bench_v3(ck, sk, params, batch):
-    """MXU-stack pipeline (ops/server.ks_pbs_batch_mxu + pallas_mxu v3):
-    opt-in via TFHE_TPU_BENCH_PIPELINE=v3 while first-compile latency of the
-    fused kernel (~17 min cold, cached afterwards) exceeds driver budgets."""
+    """MXU-stack pipeline (ops/server.ks_pbs_batch_mxu + pallas_mxu v3).
+
+    Default pipeline.  First compile of the fused kernel is ~17 min cold but
+    the compile cache (~/.cache/tfhe_tpu_jax) persists across runs; main()
+    falls back to the v2 pipeline if anything here raises."""
     import jax
     import jax.numpy as jnp
 
@@ -140,3 +146,7 @@ def bench_v3(ck, sk, params, batch):
         "unit": "PBS/s per chip",
         "vs_baseline": round(pbs_per_s / 10000.0, 4),
     }))
+
+
+if __name__ == "__main__":
+    main()
