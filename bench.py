@@ -93,6 +93,9 @@ def bench_v3(ck, sk, params, batch):
 
     p = params
     fold = os.environ.get("TFHE_TPU_BENCH_FOLD", "solinas")
+    nprimes = int(os.environ.get("TFHE_TPU_BENCH_PRIMES", "3"))
+    rb = int(os.environ.get("TFHE_TPU_BENCH_ROUND_BITS",
+                            "15" if nprimes == 3 else "0"))
     t0 = time.time()
     # rebuild the coefficient BSK deterministically from the cached seed
     bsk = kg.generate_lwe_bootstrap_key(
@@ -101,12 +104,13 @@ def bench_v3(ck, sk, params, batch):
         __import__("tfhe_tpu.utils.csprng", fromlist=["x"]).EncryptionRandomGenerator(
             0x7FEE, __import__("tfhe_tpu.utils.csprng", fromlist=["x"]).DeterministicSeeder(0x7FEE ^ 0xB5297A4D)),
         p.bits)
-    mplan = mxu.make_mxu_plan(p.polynomial_size)
+    mplan = mxu.make_mxu_plan(p.polynomial_size, num_primes=nprimes,
+                              round_bits=rb)
     bhat, _ = mxu.bsk_eval_domain(bsk, mplan, mont=(fold == "redc"))
     m_dev = mxu.middle_from_eval_device(jax.device_put(bhat), mplan)
     np.asarray(m_dev[0, 0, 0, 0, 0, 0])
-    print(f"# mxu key build: {time.time()-t0:.1f}s fold={fold}",
-          file=sys.stderr)
+    print(f"# mxu key build: {time.time()-t0:.1f}s fold={fold} "
+          f"primes={nprimes} round_bits={rb}", file=sys.stderr)
 
     tb = int(os.environ.get("TFHE_TPU_BENCH_TB", "64"))
     lut = sk.generate_lookup_table(lambda x: (x * 3 + 1) % 16)

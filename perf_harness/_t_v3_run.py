@@ -25,16 +25,19 @@ def main():
     n_poly, n_in, k = P.polynomial_size, P.lwe_dimension, P.glwe_dimension
 
     z = np.load(".keys/mxu_2_2_r2.npz")
-    plan = mxu.make_mxu_plan(n_poly)
     from tfhe_tpu.core.entities import LweBootstrapKey
     from tfhe_tpu.core.params import DecompParams
     bsk = LweBootstrapKey(z["bsk_data"],
                           DecompParams(P.pbs_base_log, P.pbs_level), 64)
     mont = os.environ.get("V3_FOLD") == "redc"
+    nprimes = int(os.environ.get("V3_PRIMES", "4"))
+    rb = int(os.environ.get("V3_ROUND_BITS", "15" if nprimes == 3 else "0"))
+    plan = mxu.make_mxu_plan(n_poly, num_primes=nprimes, round_bits=rb)
     t0 = time.time()
     bhat, _ = mxu.bsk_eval_domain(bsk, plan, mont=mont)
     print(f"# host eval-domain {time.time()-t0:.1f}s "
-          f"({bhat.nbytes/1e6:.0f} MB); tb={tb} B={b} mont={mont}", flush=True)
+          f"({bhat.nbytes/1e6:.0f} MB); tb={tb} B={b} mont={mont} "
+          f"primes={nprimes} rb={rb}", flush=True)
     t0 = time.time()
     m_dev = mxu.middle_from_eval_device(jax.device_put(bhat), plan)
     np.asarray(m_dev[0, 0, 0, 0, 0, 0])

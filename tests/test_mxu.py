@@ -94,6 +94,68 @@ def test_v3_kernel_parity_interpret(setup):
     assert (got == want).all()
 
 
+def test_three_prime_rounded_bsk_parity(setup):
+    """3-prime MXU mode: BSK rounded to multiples of 2^15 shrinks the CRT
+    bound so three 28-bit primes reconstruct exactly.  The XLA reference NTT
+    path on the SAME rounded key must match bit-for-bit, and the fused v3
+    kernel must match the XLA MXU path."""
+    from tfhe_tpu.core import keygen as kgx
+    from tfhe_tpu.core.params import DecompParams
+    from tfhe_tpu.ops import pallas_mxu
+    from tfhe_tpu.utils.csprng import (
+        DeterministicSeeder, EncryptionRandomGenerator, SecretRandomGenerator,
+        TUniform)
+
+    gen_s = SecretRandomGenerator(123)
+    lwe_sk = kgx.generate_binary_lwe_secret_key(N_IN, gen_s)
+    glwe_sk = kgx.generate_binary_glwe_secret_key(K_GLWE, N, gen_s)
+    gen_e = EncryptionRandomGenerator(7, DeterministicSeeder(99))
+    bsk = kgx.generate_lwe_bootstrap_key(
+        lwe_sk, glwe_sk, DecompParams(BASE_LOG, LEVELS), TUniform(3), gen_e)
+    rb = 15
+    bsk_r = mxu.round_bsk(bsk, rb)
+    assert (np.asarray(bsk_r.data) & ((1 << rb) - 1) == 0).all()
+    plan3 = mxu.make_mxu_plan(N, num_primes=3, round_bits=rb)
+    m3, _ = mxu.bsk_to_mxu(bsk, plan3)
+    bsk_mont_r, plan_ref = kgx.bootstrap_key_to_ntt(bsk_r)
+
+    rng = np.random.default_rng(9)
+    b = 4
+    mask = rng.integers(0, 2 * N, (b, N_IN), dtype=np.uint64)
+    body = rng.integers(0, 2 * N, (b,), dtype=np.uint64)
+    lut = rng.integers(0, 1 << 64, (b, K_GLWE + 1, N), dtype=np.uint64)
+    want = np.asarray(srv.blind_rotate(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(bsk_mont_r).astype(jnp.uint64), plan_ref,
+        BASE_LOG, LEVELS))
+    got_xla = np.asarray(mxu.blind_rotate_mxu(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(m3), plan3, BASE_LOG, LEVELS))
+    assert (got_xla == want).all()
+    got_v3 = np.asarray(pallas_mxu.blind_rotate_pallas_v3(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(m3), plan3, BASE_LOG, LEVELS, tb=2, interpret=True,
+        fold_mode="solinas"))
+    assert (got_v3 == want).all()
+    # the device middle build agrees with the host build in 3-prime mode
+    bhat3, _ = mxu.bsk_eval_domain(bsk, plan3)
+    dev3 = np.asarray(mxu.middle_from_eval_device(jnp.asarray(bhat3), plan3))
+    assert (dev3 == m3).all()
+
+
+def test_crt_bound_guard():
+    """3-prime mode without rounding must be rejected (bound too large)."""
+    from tfhe_tpu.core.params import DecompParams
+    from tfhe_tpu.core.entities import LweBootstrapKey
+
+    plan3 = mxu.make_mxu_plan(2048, num_primes=3)
+    fake = LweBootstrapKey(np.zeros((1, 1, 2, 2, 2048), np.uint64),
+                           DecompParams(23, 1), 64)
+    with pytest.raises(AssertionError):
+        mxu.assert_crt_bound(fake, plan3, 0)
+    mxu.assert_crt_bound(fake, plan3, 15)   # rounded: fits
+
+
 def test_device_middle_build_matches_host(setup):
     """bsk_eval_domain + middle_from_eval_device == bsk_to_mxu."""
     bsk_mont, plan_ref, m_limbs, plan_mxu = setup

@@ -43,6 +43,7 @@ from . import ntt
 # v2(p-1) >= 13 (negacyclic N <= 4096), p0 < 2*p3 (Garner).
 MXU_PRIMES = (268369921, 268361729, 268271617, 268238849)
 #              a=1,m=16   a=9,m=13   a=5,m=15   a=3,m=16
+N_PRIMES_DEFAULT = len(MXU_PRIMES)
 
 LIMB_BITS = 7
 N_LIMBS = 4  # 4*7 = 28 bits
@@ -91,6 +92,7 @@ class MxuPlan:
     w2: np.ndarray                # (P, N2, N2)
     f_mid: np.ndarray             # (P, N1, N2, N2) tw_f-folded W2
     g_mid: np.ndarray             # (P, N1, N2, N2) W2i folded with tw_i
+    round_bits: int = 0           # BSK rounding (3-prime mode; see round_bsk)
 
     @property
     def num_primes(self):
@@ -98,10 +100,12 @@ class MxuPlan:
 
 
 @lru_cache(maxsize=None)
-def make_mxu_plan(n: int, n1: int = 128) -> MxuPlan:
+def make_mxu_plan(n: int, n1: int = 128,
+                  num_primes: int = len(MXU_PRIMES),
+                  round_bits: int = 0) -> MxuPlan:
     assert n % n1 == 0 and n >= n1
     n2 = n // n1
-    primes = MXU_PRIMES
+    primes = MXU_PRIMES[:num_primes]
     garner = ntt.make_plan(n, len(primes), primes=primes)
     w1_l, w1i_l = [], []
     tw_full, w1c_all, twmid_all, w2_all, f_all, g_all = [], [], [], [], [], []
@@ -165,6 +169,7 @@ def make_mxu_plan(n: int, n1: int = 128) -> MxuPlan:
         tw_full=np.stack(tw_full), w1c=np.stack(w1c_all),
         twmid=np.stack(twmid_all), w2=np.stack(w2_all),
         f_mid=np.stack(f_all), g_mid=np.stack(g_all),
+        round_bits=round_bits,
     )
 
 
@@ -177,7 +182,10 @@ def _forward_eval(polys: np.ndarray, plan: MxuPlan, pi: int,
     domain, consumed by the v3 kernel's single-REDC fold)."""
     p = plan.primes[pi]
     n1, n2 = plan.n1, plan.n2
-    res = polys.astype(U64) % U64(p)
+    if polys.dtype == np.int64:   # signed centered coeffs (3-prime mode)
+        res = (polys % np.int64(p)).astype(U64)
+    else:
+        res = polys.astype(U64) % U64(p)
     tw = plan.tw_full[pi]
     if mont:
         tw = (tw * U64((1 << 32) % p)) % U64(p)
@@ -190,6 +198,65 @@ def _forward_eval(polys: np.ndarray, plan: MxuPlan, pi: int,
     return xhat
 
 
+def round_bsk(bsk, round_bits: int):
+    """Centered-round every BSK coefficient to a multiple of 2^round_bits.
+
+    A key-preparation modulus switch (torus scale preserved): each u64
+    coefficient b becomes b_r = round(b / 2^rb) * 2^rb mod 2^64.  The engine
+    then runs the CRT convolution on the SIGNED quotients b' = b_r / 2^rb
+    (|b'| <= 2^(63-rb)) and shifts the reconstructed integer back left by rb
+    — exact, since the true external-product term is 2^rb * sum(a*b').  The
+    2^rb-smaller convolution bound lets THREE 28-bit primes replace four
+    (prod 2^84 > 2 * l*(k+1)*N*(B/2)*2^(63-rb) for the 2_2 family at
+    rb = 15) — a ~25% cut of all per-prime kernel work.
+
+    Noise cost: each coefficient gains a uniform error in (-2^(rb-1),
+    2^(rb-1)], adding n*l*(k+1)*N * (B^2+2)/12 * 2^(2rb)/12 to the PBS
+    output variance — 0.6% of the 2_2 PBS output variance at rb = 15
+    (measured against core/noise.pbs_output_variance; pfail impact nil).
+    Both the XLA MXU path and the fused kernel consume the SAME rounded key,
+    so the bit-exactness invariant between paths is preserved.
+    """
+    from ..core.entities import LweBootstrapKey
+
+    half = np.uint64(1 << (round_bits - 1))
+    mask = np.uint64((1 << round_bits) - 1)
+    d = (bsk.data.astype(np.uint64) + half) & ~mask
+    return LweBootstrapKey(d, bsk.decomp, bsk.bits)
+
+
+def assert_crt_bound(bsk, plan: MxuPlan, round_bits: int = 0):
+    """The CRT product must exceed twice the exact integer convolution bound
+    |X| <= l*(k+1)*N*(B/2)*max|b| (balanced digits x centered coefficients)."""
+    import math
+
+    bmax = ((1 << 63) >> round_bits) + 1
+    lev, k1r = bsk.level_count, bsk.glwe_size
+    base_log = bsk.decomp.base_log
+    max_x = lev * k1r * plan.n * (1 << (base_log - 1)) * bmax
+    prod = math.prod(plan.primes)
+    assert prod > 2 * max_x, (
+        f"CRT product 2^{prod.bit_length()} <= bound 2^{(2 * max_x).bit_length()}"
+        f" ({plan.num_primes} primes, round_bits={round_bits}) — use more"
+        " primes or a larger round_bits")
+
+
+def _prep_bsk_data(bsk, plan: MxuPlan) -> np.ndarray:
+    """Round + scale the BSK per plan.round_bits; check the CRT bound.
+
+    Returns u64 coefficients (rb = 0) or the int64 signed quotients
+    b' = centered(b_rounded) / 2^rb (rb > 0), whose residues _forward_eval
+    takes signed."""
+    rb = plan.round_bits
+    if rb:
+        bsk = round_bsk(bsk, rb)
+    assert_crt_bound(bsk, plan, rb)
+    data = np.ascontiguousarray(bsk.data.astype(U64))
+    if rb:
+        return data.view(np.int64) >> np.int64(rb)
+    return data
+
+
 def bsk_to_mxu(bsk, plan: MxuPlan = None, mont: bool = False):
     """Convert a coefficient-domain LweBootstrapKey into middle-collapse
     limb tensors.
@@ -198,11 +265,12 @@ def bsk_to_mxu(bsk, plan: MxuPlan = None, mont: bool = False):
     m_limbs int8 (n_in, P, L, N1, l*(k+1)*N2, (k+1)*N2) — for each input
     mask element and prime, the per-k1 batched middle matrices with the
     (level, in-poly, slot) contraction flattened and (out-poly, slot) as
-    output columns.
+    output columns.  plan.round_bits > 0 (3-prime mode) rounds the key and
+    converts the 2^rb-scaled quotients — see round_bsk.
     """
     if plan is None:
         plan = make_mxu_plan(bsk.polynomial_size)
-    data = bsk.data.astype(U64)
+    data = _prep_bsk_data(bsk, plan)
     n_in, lev, k1r, k1c, n = data.shape
     n1, n2 = plan.n1, plan.n2
     per_prime = []
@@ -225,10 +293,11 @@ def bsk_to_mxu(bsk, plan: MxuPlan = None, mont: bool = False):
 def bsk_eval_domain(bsk, plan: MxuPlan = None, mont: bool = False):
     """Host half of the key conversion: coefficient BSK -> NTT evaluations
     b_hat (n, l, k+1, k+1, P, N1, N2) u32 (the ~16x smaller precursor of the
-    middle tensors; the heavy M assembly runs on device)."""
+    middle tensors; the heavy M assembly runs on device).  plan.round_bits:
+    see round_bsk (3-prime mode)."""
     if plan is None:
         plan = make_mxu_plan(bsk.polynomial_size)
-    data = bsk.data.astype(U64)
+    data = _prep_bsk_data(bsk, plan)
     outs = []
     for pi in range(plan.num_primes):
         outs.append(_forward_eval(data, plan, pi, mont).astype(np.uint32))
@@ -403,7 +472,10 @@ def external_product_mxu(glwe, m_limbs_step, plan: MxuPlan, base_log: int,
         y = y.reshape(n1, b, kk, n2).transpose(1, 2, 0, 3).reshape(b, kk, n)
         outs.append(y.astype(U64))
     res = jnp.stack(outs, axis=-2)               # (B, k+1, P, N)
-    return ntt.garner_to_u64(res, plan.garner, jnp)
+    out = ntt.garner_to_u64(res, plan.garner, jnp)
+    if plan.round_bits:        # scale the 2^-rb quotient convolution back
+        out = out << jnp.uint64(plan.round_bits)
+    return out
 
 
 def _limbs_unsigned_jnp(x):

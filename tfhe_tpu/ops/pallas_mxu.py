@@ -53,7 +53,7 @@ NL = mxu_mod.N_LIMBS       # 4
 
 
 @lru_cache(maxsize=None)
-def _fold_consts(n: int):
+def _fold_consts(n: int, num_primes: int = mxu_mod.N_PRIMES_DEFAULT):
     """Per-prime constants for the diagonal-fold epilogue.
 
     value = t0 + t1*2^14 + t2*2^28 + t3*2^42 (mod p), via Montgomery
@@ -61,7 +61,7 @@ def _fold_consts(n: int):
     Signed inputs are pre-shifted by K_p (a multiple of p >= 2^30); the
     accumulated excess E = (sum_k K_p * 2^(14k)) mod p is subtracted once.
     """
-    plan = mxu_mod.make_mxu_plan(n)
+    plan = mxu_mod.make_mxu_plan(n, num_primes=num_primes)
     out = []
     for p in plan.primes:
         r = (1 << 32) % p
@@ -73,14 +73,15 @@ def _fold_consts(n: int):
 
 
 @lru_cache(maxsize=None)
-def _kernel_tables(n: int, nl_inv: int = NL, mont: bool = False):
+def _kernel_tables(n: int, nl_inv: int = NL, mont: bool = False,
+                   num_primes: int = mxu_mod.N_PRIMES_DEFAULT):
     """(w1t_limbs, w1i_limbs, plan) — stage-1 matrices in matmul orientation.
 
     w1t: (P, 2L-1, L*128, 128) int8 (rhs of the forward stage-1, 4-limb
     digit lhs); w1i: (P, nl_inv+L-1, nl_inv*128, 128) (rhs of the inverse
     stage-1, whose lhs has nl_inv limbs — 5 when the fold is lazy).
     mont=True scales the matrices by 2^32 mod p (single-REDC fold)."""
-    plan = mxu_mod.make_mxu_plan(n)
+    plan = mxu_mod.make_mxu_plan(n, num_primes=num_primes)
 
     def rescale(limbs):
         if not mont:
@@ -371,7 +372,9 @@ def _fold_diags_redc(diags, p_int: int, pinv_neg: int, a: int, m: int,
 def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
                           tb: int, n_steps: int, interpret: bool = False,
                           rot_onehot: bool = False, ablate: str | None = None,
-                          fold_mode: str = "mont"):
+                          fold_mode: str = "mont",
+                          num_primes: int = mxu_mod.N_PRIMES_DEFAULT,
+                          round_bits: int = 0):
     """Whole-blind-rotate kernel over the MXU factorization.
 
     rot_onehot selects the vectorized one-hot rotation (default: unrolled
@@ -389,17 +392,17 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
     """
     n1 = 128
     n2 = n // n1
-    plan = mxu_mod.make_mxu_plan(n)
-    num_primes = plan.num_primes
+    plan = mxu_mod.make_mxu_plan(n, num_primes=num_primes)
     primes = [int(p) for p in plan.primes]
     pinvs = [int(ntt_mod.make_plan(n, num_primes, primes=plan.primes)
                .plans[i].p_inv_neg32) for i in range(num_primes)]
-    fcs = _fold_consts(n)
+    fcs = _fold_consts(n, num_primes)
     # Lazy interfaces under the Solinas/REDC folds: stage outputs stay
     # < 2^30 (final reduction skipped) and the next matmul takes 5 limbs.
     NLS = 4 if fold_mode == "mont" else 5
     ND = NLS + NL - 1            # mid/inv diagonal count
-    w1t_np, w1it_np, _ = _kernel_tables(n, NLS, mont=(fold_mode == "redc"))
+    w1t_np, w1it_np, _ = _kernel_tables(n, NLS, mont=(fold_mode == "redc"),
+                                        num_primes=num_primes)
     gplan = plan.garner
     gc = ntt_mod._garner_consts(gplan.primes)
     inv_mont = [int(gc[f"inv_mont_{j}"]) for j in range(1, num_primes)]
@@ -616,7 +619,9 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
         # ---- Garner to u64 pairs + accumulate ---------------------------
         if ablate == "gar":
             out_lo = res_primes[0]
-            out_hi = res_primes[1] ^ res_primes[2] ^ res_primes[3]
+            out_hi = res_primes[1]
+            for rp in res_primes[2:]:
+                out_hi = out_hi ^ rp
         else:
             a_digits = [res_primes[0]]
             for j in range(1, num_primes):
@@ -652,6 +657,10 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             out_lo = jnp.where(is_neg, corr_lo, out_lo)
             out_hi = jnp.where(is_neg, corr_hi, out_hi)
 
+        if round_bits:   # rounded-BSK mode: product = 2^rb * quotient conv
+            sh, ish = _u32(round_bits), _u32(32 - round_bits)
+            out_hi = (out_hi << sh) | (out_lo >> ish)
+            out_lo = out_lo << sh
 
         new_lo, new_hi = add64(acc_lo, acc_hi, out_lo, out_hi)
         acc_lo_s[:] = new_lo
@@ -729,7 +738,9 @@ def blind_rotate_pallas_v3(msed_mask, msed_body, lut, m_limbs, plan,
     hi0 = to_v3_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n)
     run = build_blind_rotate_v3(n, base_log, levels, k1, tb, n_in, interpret,
                                 rot_onehot=rot_onehot, ablate=ablate,
-                                fold_mode=fold_mode)
+                                fold_mode=fold_mode,
+                                num_primes=plan.num_primes,
+                                round_bits=plan.round_bits)
     n2 = n // 128
     n_pad = -(-n_in // 128) * 128
     a_rows = jnp.repeat(msed_mask.astype(jnp.int32), k1 * n2, axis=0)
