@@ -22,6 +22,16 @@ K_GLWE = 1
 BASE_LOG, LEVELS = 23, 1
 
 
+def _rebuild_bsk():
+    """Deterministically rebuild the fixture's bsk (same seeds)."""
+    gen_s = SecretRandomGenerator(123)
+    lwe_sk = kg.generate_binary_lwe_secret_key(N_IN, gen_s)
+    glwe_sk = kg.generate_binary_glwe_secret_key(K_GLWE, N, gen_s)
+    gen_e = EncryptionRandomGenerator(7, DeterministicSeeder(99))
+    return kg.generate_lwe_bootstrap_key(
+        lwe_sk, glwe_sk, DecompParams(BASE_LOG, LEVELS), TUniform(3), gen_e)
+
+
 @pytest.fixture(scope="module")
 def setup():
     gen_s = SecretRandomGenerator(123)
@@ -91,6 +101,55 @@ def test_v3_kernel_parity_interpret(setup):
         jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
         jnp.asarray(m_limbs), plan_mxu, BASE_LOG, LEVELS, tb=2,
         interpret=True))
+    assert (got == want).all()
+
+
+def test_v4_kernel_parity_interpret(setup):
+    """The aligned-layout v4 Pallas kernel vs the XLA reference path —
+    bit-exact through the interpreter (4- and 3-prime fold modes)."""
+    from tfhe_tpu.ops import pallas_mxu
+
+    bsk_mont, plan_ref, m_limbs, plan_mxu = setup
+    rng = np.random.default_rng(6)
+    b = 4
+    mask = rng.integers(0, 2 * N, (b, N_IN), dtype=np.uint64)
+    body = rng.integers(0, 2 * N, (b,), dtype=np.uint64)
+    lut = rng.integers(0, 1 << 64, (b, K_GLWE + 1, N), dtype=np.uint64)
+    want = np.asarray(srv.blind_rotate(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(bsk_mont).astype(jnp.uint64), plan_ref, BASE_LOG, LEVELS))
+    # redc mode needs the middle matrix Montgomery-scaled (mont=True build)
+    bsk = _rebuild_bsk()
+    m_mont, _ = mxu.bsk_to_mxu(bsk, mont=True)
+    for fold_mode, ml in (("solinas", m_limbs), ("mont", m_limbs),
+                          ("redc", m_mont)):
+        mt = jnp.asarray(mxu.transpose_middle(ml))
+        got = np.asarray(pallas_mxu.blind_rotate_pallas_v4(
+            jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+            mt, plan_mxu, BASE_LOG, LEVELS, tb=2, interpret=True,
+            fold_mode=fold_mode))
+        assert (got == want).all(), fold_mode
+
+
+def test_v3_redc_parity_interpret(setup):
+    """v3 with the REDC-domain fold + mont-scaled middle matrix vs the
+    reference — covers the fold mode bench.py uses on hardware."""
+    from tfhe_tpu.ops import pallas_mxu
+
+    bsk_mont, plan_ref, m_limbs, plan_mxu = setup
+    m_mont, _ = mxu.bsk_to_mxu(_rebuild_bsk(), mont=True)
+    rng = np.random.default_rng(7)
+    b = 2
+    mask = rng.integers(0, 2 * N, (b, N_IN), dtype=np.uint64)
+    body = rng.integers(0, 2 * N, (b,), dtype=np.uint64)
+    lut = rng.integers(0, 1 << 64, (b, K_GLWE + 1, N), dtype=np.uint64)
+    want = np.asarray(srv.blind_rotate(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(bsk_mont).astype(jnp.uint64), plan_ref, BASE_LOG, LEVELS))
+    got = np.asarray(pallas_mxu.blind_rotate_pallas_v3(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(m_mont), plan_mxu, BASE_LOG, LEVELS, tb=2,
+        interpret=True, fold_mode="redc"))
     assert (got == want).all()
 
 

@@ -367,6 +367,15 @@ def _middle_from_eval_chunk(bhat, plan: MxuPlan):
     return jnp.transpose(stacked, (2, 0, 1, 3, 4, 5))
 
 
+def transpose_middle(m_limbs):
+    """(n, P, L, N1, K, C) middle limb tensors -> (n, P, L, N1, C, K) for the
+    v4 aligned-layout kernel, whose mid dot is lhs=M^T (out-cols as rows):
+    out[k1, c, el] = sum_k Mt[k1, c, k] * st[k1, k, el].  Works on numpy or
+    jax arrays (device build: one-time swap)."""
+    xp = np if isinstance(m_limbs, np.ndarray) else jnp
+    return xp.swapaxes(m_limbs, -1, -2)
+
+
 def regroup_middle_d(m_limbs):
     """(n, P, L, N1, K, C) per-limb middle tensors -> diagonal-grouped
     (n, P, 2L-1, N1, L*K, C): for output diagonal d, contraction block e

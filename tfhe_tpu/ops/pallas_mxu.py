@@ -363,6 +363,60 @@ def _fold_diags_redc(diags, p_int: int, pinv_neg: int, a: int, m: int,
     return res
 
 
+def _garner_acc(res_primes, acc_lo, acc_hi, primes, pinvs, inv_mont, pm_mont,
+                prods64, half_digits, p_mod64, num_primes: int,
+                round_bits: int, ablate):
+    """Garner the per-prime residues to a u64 (lo, hi) pair, scale back by
+    2^round_bits (rounded-BSK mode), and add into the accumulator pair.
+    Shared by the v3 and v4 kernels (element-wise; layout-agnostic)."""
+    if ablate == "gar":
+        out_lo = res_primes[0]
+        out_hi = res_primes[1]
+        for rp in res_primes[2:]:
+            out_hi = out_hi ^ rp
+    else:
+        a_digits = [res_primes[0]]
+        for j in range(1, num_primes):
+            pj = _u32(primes[j])
+            pinv_j = _u32(pinvs[j])
+            v = jnp.where(a_digits[0] >= pj, a_digits[0] - pj, a_digits[0])
+            for i in range(1, j):
+                term = mont_mul32(a_digits[i],
+                                  jnp.full(v.shape, _u32(pm_mont[(i - 1, j)]), U32),
+                                  pj, pinv_j)
+                vv = v + term
+                v = jnp.where(vv >= pj, vv - pj, vv)
+            r = res_primes[j]
+            d = jnp.where(r >= v, r - v, r + pj - v)
+            a_digits.append(mont_mul32(
+                d, jnp.full(d.shape, _u32(inv_mont[j - 1]), U32), pj, pinv_j))
+        out_lo = a_digits[0]
+        out_hi = jnp.zeros_like(out_lo)
+        for i in range(1, num_primes):
+            cc = prods64[i]
+            c_lo, c_hi = _u32(cc & 0xFFFFFFFF), _u32((cc >> 32) & 0xFFFFFFFF)
+            t_lo, t_hi = mulwide(a_digits[i], jnp.full(out_lo.shape, c_lo, U32))
+            t_hi = t_hi + a_digits[i] * c_hi
+            out_lo, out_hi = add64(out_lo, out_hi, t_lo, t_hi)
+        is_neg = a_digits[0] > _u32(half_digits[0])
+        for i in range(1, num_primes):
+            hd = _u32(half_digits[i])
+            is_neg = (a_digits[i] > hd) | ((a_digits[i] == hd) & is_neg)
+        pm_lo, pm_hi = _u32(p_mod64 & 0xFFFFFFFF), _u32((p_mod64 >> 32) & 0xFFFFFFFF)
+        corr_lo, corr_hi = sub64(out_lo, out_hi,
+                                 jnp.full(out_lo.shape, pm_lo, U32),
+                                 jnp.full(out_lo.shape, pm_hi, U32))
+        out_lo = jnp.where(is_neg, corr_lo, out_lo)
+        out_hi = jnp.where(is_neg, corr_hi, out_hi)
+
+    if round_bits:   # rounded-BSK mode: product = 2^rb * quotient conv
+        sh, ish = _u32(round_bits), _u32(32 - round_bits)
+        out_hi = (out_hi << sh) | (out_lo >> ish)
+        out_lo = out_lo << sh
+
+    return add64(acc_lo, acc_hi, out_lo, out_hi)
+
+
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
@@ -617,52 +671,9 @@ def build_blind_rotate_v3(n: int, base_log: int, levels: int, k1: int,
             res_primes.append(y)
 
         # ---- Garner to u64 pairs + accumulate ---------------------------
-        if ablate == "gar":
-            out_lo = res_primes[0]
-            out_hi = res_primes[1]
-            for rp in res_primes[2:]:
-                out_hi = out_hi ^ rp
-        else:
-            a_digits = [res_primes[0]]
-            for j in range(1, num_primes):
-                pj = _u32(primes[j])
-                pinv_j = _u32(pinvs[j])
-                v = jnp.where(a_digits[0] >= pj, a_digits[0] - pj, a_digits[0])
-                for i in range(1, j):
-                    term = mont_mul32(a_digits[i],
-                                      jnp.full(v.shape, _u32(pm_mont[(i - 1, j)]), U32),
-                                      pj, pinv_j)
-                    vv = v + term
-                    v = jnp.where(vv >= pj, vv - pj, vv)
-                r = res_primes[j]
-                d = jnp.where(r >= v, r - v, r + pj - v)
-                a_digits.append(mont_mul32(
-                    d, jnp.full(d.shape, _u32(inv_mont[j - 1]), U32), pj, pinv_j))
-            out_lo = a_digits[0]
-            out_hi = jnp.zeros_like(out_lo)
-            for i in range(1, num_primes):
-                cc = prods64[i]
-                c_lo, c_hi = _u32(cc & 0xFFFFFFFF), _u32((cc >> 32) & 0xFFFFFFFF)
-                t_lo, t_hi = mulwide(a_digits[i], jnp.full(out_lo.shape, c_lo, U32))
-                t_hi = t_hi + a_digits[i] * c_hi
-                out_lo, out_hi = add64(out_lo, out_hi, t_lo, t_hi)
-            is_neg = a_digits[0] > _u32(half_digits[0])
-            for i in range(1, num_primes):
-                hd = _u32(half_digits[i])
-                is_neg = (a_digits[i] > hd) | ((a_digits[i] == hd) & is_neg)
-            pm_lo, pm_hi = _u32(p_mod64 & 0xFFFFFFFF), _u32((p_mod64 >> 32) & 0xFFFFFFFF)
-            corr_lo, corr_hi = sub64(out_lo, out_hi,
-                                     jnp.full(out_lo.shape, pm_lo, U32),
-                                     jnp.full(out_lo.shape, pm_hi, U32))
-            out_lo = jnp.where(is_neg, corr_lo, out_lo)
-            out_hi = jnp.where(is_neg, corr_hi, out_hi)
-
-        if round_bits:   # rounded-BSK mode: product = 2^rb * quotient conv
-            sh, ish = _u32(round_bits), _u32(32 - round_bits)
-            out_hi = (out_hi << sh) | (out_lo >> ish)
-            out_lo = out_lo << sh
-
-        new_lo, new_hi = add64(acc_lo, acc_hi, out_lo, out_hi)
+        new_lo, new_hi = _garner_acc(
+            res_primes, acc_lo, acc_hi, primes, pinvs, inv_mont, pm_mont,
+            prods64, half_digits, p_mod64, num_primes, round_bits, ablate)
         acc_lo_s[:] = new_lo
         acc_hi_s[:] = new_hi
 
@@ -748,4 +759,317 @@ def blind_rotate_pallas_v3(msed_mask, msed_body, lut, m_limbs, plan,
     lo, hi = run(lo0, hi0, msed_mask.T.astype(jnp.int32), a_rows, m_limbs)
     lo = from_v3_layout(lo, b, k1, n)
     hi = from_v3_layout(hi, b, k1, n)
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))
+
+
+# ---------------------------------------------------------------------------
+# v4: aligned-layout kernel — rows (poly, i2, el), packed interfaces
+# ---------------------------------------------------------------------------
+# The v3 layout puts the batch element OUTERMOST in the row order
+# (el, poly, i2), which forces every inter-stage relayout through per-element
+# scratch writes and leaves the middle stage on (128, tb, cmid)-shaped
+# tensors whose minor dim (cmid = (k+1)*N2 = 32 at the 2_2 family) occupies
+# a quarter of the 128 VPU lanes — 4x wasted vector work on the mid fold and
+# a 4x padded VMEM footprint (what kept tb=128 from fitting).
+#
+# v4 reorders rows to (poly, i2, el).  Then:
+#   * stage-1 -> mid: ONE 2D transpose of the lazy residues gives
+#     (128 k1, R) whose minor order is exactly (kmid, el) — kmid full-width
+#     lane-slice copies pack it as (128, kmid, tb) with tb on the lanes;
+#   * the mid dot runs transposed (lhs = M^T blocks): out (128, cmid, tb)
+#     — tb fills the lanes, so the mid fold runs on fully packed vregs;
+#   * mid -> inv: cmid full-width copies + ONE 2D transpose yield rows
+#     ((poly, j2), el) — which IS the accumulator row order, so the inverse
+#     stage, Garner, and the accumulate need no further relayout.
+# Rotation must be the vectorized one-hot variant (per-element row slices
+# are strided in this order); it needs no rotation scratch buffers.
+# Bit-identical to ops.mxu.blind_rotate_mxu on transpose_middle(m_limbs).
+
+
+def to_v4_layout(x, k1: int, n: int, tb: int, n1: int = 128):
+    """(B, k1, N) u32 -> (B*k1*N2, 128): tile-blocked rows (k1, i2, el),
+    lanes i1 (coeff i = i1*N2 + i2)."""
+    b = x.shape[0]
+    n2 = n // n1
+    y = x.reshape(b // tb, tb, k1, n1, n2)
+    y = jnp.transpose(y, (0, 2, 4, 1, 3))      # (tiles, k1, n2, el, i1)
+    return y.reshape(b * k1 * n2, n1)
+
+
+def from_v4_layout(x, b: int, k1: int, n: int, tb: int, n1: int = 128):
+    n2 = n // n1
+    y = x.reshape(b // tb, k1, n2, tb, n1)
+    y = jnp.transpose(y, (0, 3, 1, 4, 2))      # (tiles, el, k1, i1, n2)
+    return y.reshape(b, k1, n)
+
+
+@lru_cache(maxsize=None)
+def build_blind_rotate_v4(n: int, base_log: int, levels: int, k1: int,
+                          tb: int, n_steps: int, interpret: bool = False,
+                          ablate: str | None = None,
+                          fold_mode: str = "solinas",
+                          num_primes: int = mxu_mod.N_PRIMES_DEFAULT,
+                          round_bits: int = 0):
+    """Aligned-layout blind-rotate kernel (see module comment above).
+
+    Caller layout: acc_lo/hi (B*k1*N2, 128) u32 via to_v4_layout; a_rows
+    (B*k1*N2, pad128(n_steps)) i32 per-row rotation degrees (row order
+    (tile, k1, i2, el) — degree depends only on (tile, el)); m_limbs_t
+    (n_steps, P, L, N1, cmid, kmid) int8 from mxu.transpose_middle.
+    """
+    n1 = 128
+    n2 = n // n1
+    plan = mxu_mod.make_mxu_plan(n, num_primes=num_primes)
+    primes = [int(p) for p in plan.primes]
+    pinvs = [int(ntt_mod.make_plan(n, num_primes, primes=plan.primes)
+               .plans[i].p_inv_neg32) for i in range(num_primes)]
+    fcs = _fold_consts(n, num_primes)
+    NLS = 4 if fold_mode == "mont" else 5
+    ND = NLS + NL - 1
+    w1t_np, w1it_np, _ = _kernel_tables(n, NLS, mont=(fold_mode == "redc"),
+                                        num_primes=num_primes)
+    gplan = plan.garner
+    gc = ntt_mod._garner_consts(gplan.primes)
+    inv_mont = [int(gc[f"inv_mont_{j}"]) for j in range(1, num_primes)]
+    pm_mont = {k: int(v) for k, v in gc["pm_mont"].items()}
+    prods64 = [int(v) for v in gc["prods64"]]
+    half_digits = [int(v) for v in gc["half_digits"]]
+    p_mod64 = int(gc["P_mod64"])
+
+    R = tb * k1 * n2
+    kmid = levels * k1 * n2
+    cmid = k1 * n2
+
+    ams = []
+    for p_ in primes:
+        e1 = (1 << 28) + 1 - p_
+        m_ = (e1 & -e1).bit_length() - 1
+        ams.append((e1 >> m_, m_))
+        assert (ams[-1][0] << m_) == e1 and ams[-1][0] in (1, 3, 5, 9)
+    d_s1 = NL * n1 * 64 * 127
+    d_mid = NL * kmid * 127 * 127
+    d_inv = NL * n1 * 127 * 127
+
+    def kernel(arow_ref, acc_lo_in, acc_hi_in, m_ref, w1t_ref, w1it_ref,
+               out_lo_ref, out_hi_ref, acc_lo_s, acc_hi_s, st_scr, vt_scr):
+        t = pl.program_id(0)
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            acc_lo_s[:] = acc_lo_in[:]
+            acc_hi_s[:] = acc_hi_in[:]
+
+        acc_lo = acc_lo_s[:]   # (R, 128) rows (k1, n2, tb)
+        acc_hi = acc_hi_s[:]
+
+        # ---- rotation: X^a * acc, one-hot vectorized --------------------
+        if ablate == "rot":
+            rot_lo = pltpu.roll(acc_lo, np.int32(1), 1)
+            rot_hi = pltpu.roll(acc_hi, np.int32(1), 1)
+        else:
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+            col = jax.lax.rem(s, np.int32(LANES))
+            masked = jnp.where(lane2 == col, arow_ref[:], np.int32(0))
+            for sh in (64, 32, 16, 8, 4, 2, 1):
+                masked = masked + pltpu.roll(masked, np.int32(sh), 1)
+            a4 = masked[:, 0:1].reshape(k1, n2, tb, 1)   # degree per (tile,el)
+            a1v = jax.lax.div(a4, np.int32(n2))          # [0, 2N/n2)
+            a2v = jax.lax.rem(a4, np.int32(n2))
+            i2r = jax.lax.broadcasted_iota(jnp.int32, (k1, n2, tb, 1), 1)
+            q = a1v + (i2r < a2v).astype(jnp.int32)      # incl. lane borrow
+            qm = jax.lax.rem(q, np.int32(LANES))
+            qd = jax.lax.div(q, np.int32(LANES))
+            lane4 = jax.lax.broadcasted_iota(jnp.int32, (k1, n2, tb, LANES), 3)
+            flip = (((lane4 < qm).astype(jnp.int32) + qd) & 1) == 1
+            q0 = jax.lax.rem(qm, np.int32(8))
+            q1 = jax.lax.div(qm, np.int32(8))
+
+            def rolled(src):
+                x4 = src.reshape(k1, n2, tb, LANES)
+                y = None
+                for r in range(n2):                      # i2 sub-axis roll
+                    rr = pltpu.roll(x4, np.int32(r), 1)
+                    y = rr if y is None else jnp.where(a2v == r, rr, y)
+                z = None
+                for r0 in range(8):                      # lane roll, low
+                    rr = pltpu.roll(y, np.int32(r0), 3)
+                    z = rr if z is None else jnp.where(q0 == r0, rr, z)
+                w = None
+                for r1 in range(LANES // 8):             # lane roll, high
+                    rr = pltpu.roll(z, np.int32(8 * r1), 3)
+                    w = rr if w is None else jnp.where(q1 == r1, rr, w)
+                return w
+
+            z_lo = rolled(acc_lo)
+            z_hi = rolled(acc_hi)
+            n_lo, n_hi = neg64(z_lo, z_hi)   # joint 64-bit negation
+            rot_lo = jnp.where(flip, n_lo, z_lo).reshape(R, LANES)
+            rot_hi = jnp.where(flip, n_hi, z_hi).reshape(R, LANES)
+
+        ct1_lo, ct1_hi = sub64(rot_lo, rot_hi, acc_lo, acc_hi)
+        digits = _decompose32(ct1_lo, ct1_hi, base_log, levels)  # l x (R,128)
+        dlimbs = [_digit_limbs_i8(d) for d in digits]            # l x 4 x i8
+
+        res_primes = []
+        for pi in range(num_primes):
+            p = _u32(primes[pi])
+            pinv = _u32(pinvs[pi])
+            fc = fcs[pi]
+
+            def fold(diags, signed, dneg, dpos, lazy=False):
+                if ablate == "fold":
+                    return (diags[0] & np.int32((1 << 27) - 1)).astype(U32)
+                if fold_mode == "solinas":
+                    return _fold_diags_solinas(
+                        diags, primes[pi], ams[pi][0], ams[pi][1], signed,
+                        dneg, dpos, lazy=lazy)
+                if fold_mode == "redc":
+                    return _fold_diags_redc(
+                        diags, primes[pi], pinvs[pi], ams[pi][0], ams[pi][1],
+                        signed, dneg, dpos, lazy=lazy)
+                return _fold_diags(diags, p, pinv, fc, signed)
+
+            # ---- stage 1 (fwd): contract lanes (i1) with W1'^T ----------
+            s_levels = []
+            for lev in range(levels):
+                if ablate == "s1":
+                    diags = [dlimbs[lev][0].astype(jnp.int32)] * (2 * NL - 1)
+                else:
+                    lhs = jnp.concatenate(dlimbs[lev], axis=1)  # (R, L*128)
+                    diags = [_int8_dot(lhs, w1t_ref[pi, d])
+                             for d in range(2 * NL - 1)]
+                s_levels.append(fold(diags, True, d_s1, d_s1, lazy=True))
+            # ---- relayout: ONE 2D transpose per level + full-width packs.
+            # stT minor order is (kmid_1, el), so each copy below moves a
+            # whole (128, tb) lane-tile block — no sub-width writes.
+            for lev in range(levels):
+                stT = jnp.transpose(s_levels[lev])        # (128, R)
+                base = lev * k1 * n2
+                for kk in range(k1 * n2):
+                    st_scr[:, base + kk, :] = stT[:, kk * tb:(kk + 1) * tb]
+
+            # ---- middle: transposed dot, tb on the lanes ----------------
+            stl = _residue_limbs_i8(st_scr[:], NLS)       # NLS x (128,kmid,tb)
+            if ablate == "mid":
+                diags = [stl[0][:, :cmid, :].astype(jnp.int32)] * ND
+            else:
+                rhs3 = jnp.concatenate(stl, axis=1)       # (128,NLS*kmid,tb)
+                mz = jnp.zeros((n1, cmid, kmid), jnp.int8)
+                diags = []
+                for d in range(ND):
+                    lhs3 = jnp.concatenate(
+                        [m_ref[0, pi, d - e] if 0 <= d - e < NL else mz
+                         for e in range(NLS)], axis=2)    # (128,cmid,NLS*kmid)
+                    diags.append(jax.lax.dot_general(
+                        lhs3, rhs3,
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32))  # (128,cmid,tb)
+            v = fold(diags, False, 0, d_mid, lazy=True)   # (128, cmid, tb)
+
+            # ---- inverse stage 1: full-width packs + ONE 2D transpose ---
+            # vt minor order becomes (cmid, el) = ((poly, j2), el): the
+            # transposed rows land directly in the accumulator row order.
+            for cc in range(cmid):
+                vt_scr[:, cc * tb:(cc + 1) * tb] = v[:, cc, :]
+            vl = _residue_limbs_i8(jnp.transpose(vt_scr[:]), NLS)  # (R, 128)
+            if ablate == "inv":
+                diags = [vl[0].astype(jnp.int32)] * ND
+            else:
+                lhs2 = jnp.concatenate(vl, axis=1)        # (R, NLS*128)
+                diags = [_int8_dot(lhs2, w1it_ref[pi, d])  # (R, 128 j1)
+                         for d in range(ND)]
+            y = fold(diags, False, 0, d_inv)              # (R, 128)
+            res_primes.append(y)
+
+        # ---- Garner to u64 pairs + accumulate ---------------------------
+        new_lo, new_hi = _garner_acc(
+            res_primes, acc_lo, acc_hi, primes, pinvs, inv_mont, pm_mont,
+            prods64, half_digits, p_mod64, num_primes, round_bits, ablate)
+        acc_lo_s[:] = new_lo
+        acc_hi_s[:] = new_hi
+
+        @pl.when(s == pl.num_programs(1) - 1)
+        def _():
+            out_lo_ref[:] = new_lo
+            out_hi_ref[:] = new_hi
+
+    n_steps_pad = -(-n_steps // LANES) * LANES
+
+    def run(acc_lo, acc_hi, a_rows, m_limbs_t):
+        batch_rows = acc_lo.shape[0]
+        assert acc_lo.shape == (batch_rows, LANES)
+        assert batch_rows % R == 0
+        assert a_rows.shape == (batch_rows, n_steps_pad), a_rows.shape
+        n_tiles = batch_rows // R
+        vmem = pltpu.VMEM
+        z = lambda t: t * 0
+        in_specs = [
+            pl.BlockSpec((R, LANES),
+                         lambda t, s: (t, jax.lax.div(s, np.int32(LANES))),
+                         memory_space=vmem),
+            pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
+            pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
+            pl.BlockSpec((1, num_primes, NL, n1, cmid, kmid),
+                         lambda t, s: (s, z(t), z(t), z(t), z(t), z(t)),
+                         memory_space=vmem),
+            pl.BlockSpec((num_primes, 2 * NL - 1, NL * n1, n1),
+                         lambda t, s: (z(t),) * 4, memory_space=vmem),
+            pl.BlockSpec((num_primes, ND, NLS * n1, n1),
+                         lambda t, s: (z(t),) * 4, memory_space=vmem),
+        ]
+        out_specs = [pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)),
+                                  memory_space=vmem)] * 2
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, n_steps),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[jax.ShapeDtypeStruct((batch_rows, LANES), U32)] * 2,
+            scratch_shapes=[pltpu.VMEM((R, LANES), U32)] * 2 +
+                           [pltpu.VMEM((n1, kmid, tb), U32),
+                            pltpu.VMEM((n1, cmid * tb), U32)],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=126 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+        )
+        return call(a_rows, acc_lo, acc_hi, m_limbs_t,
+                    jnp.asarray(w1t_np), jnp.asarray(w1it_np))
+
+    return run
+
+
+def blind_rotate_pallas_v4(msed_mask, msed_body, lut, m_limbs_t, plan,
+                           base_log: int, levels: int, tb: int = 8,
+                           interpret: bool = False,
+                           ablate: str | None = None,
+                           fold_mode: str = "solinas"):
+    """Blind rotation through the v4 aligned-layout kernel; same semantics
+    as ops.server.blind_rotate / ops.mxu.blind_rotate_mxu.  m_limbs_t is
+    mxu.transpose_middle(m_limbs)."""
+    from .server import monomial_div
+
+    b, k1, n = lut.shape
+    n_in = m_limbs_t.shape[0]
+    assert b % tb == 0, (b, tb)
+    acc0 = monomial_div(lut, msed_body[:, None, None])
+    lo0 = to_v4_layout((acc0 & np.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                       k1, n, tb)
+    hi0 = to_v4_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n, tb)
+    run = build_blind_rotate_v4(n, base_log, levels, k1, tb, n_in, interpret,
+                                ablate=ablate, fold_mode=fold_mode,
+                                num_primes=plan.num_primes,
+                                round_bits=plan.round_bits)
+    n2 = n // 128
+    n_pad = -(-n_in // 128) * 128
+    # rows (tile, k1*n2, el): the degree depends only on (tile, el)
+    mi = msed_mask.astype(jnp.int32)
+    a_rows = jnp.tile(mi.reshape(b // tb, 1, tb, n_in), (1, k1 * n2, 1, 1))
+    a_rows = a_rows.reshape(b * k1 * n2, n_in)
+    a_rows = jnp.pad(a_rows, ((0, 0), (0, n_pad - n_in)))
+    lo, hi = run(lo0, hi0, a_rows, m_limbs_t)
+    lo = from_v4_layout(lo, b, k1, n, tb)
+    hi = from_v4_layout(hi, b, k1, n, tb)
     return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))

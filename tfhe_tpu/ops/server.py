@@ -848,22 +848,23 @@ def pbs_many_from_switched_multibit(msed, lut, mb_bsk_mont, plan,
                                    "pbs_levels", "mplan", "bits",
                                    "centered_ms", "tb", "ks32", "fold_mode",
                                    "drift_r_sigma", "drift_bound",
-                                   "drift_input_variance"))
+                                   "drift_input_variance", "kernel"))
 def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
                      ks_levels: int, pbs_base_log: int, pbs_levels: int,
                      bits: int = 64, centered_ms: bool = False, tb: int = 64,
                      ks32: bool = False, drift_zeros=None,
                      drift_r_sigma: float = 0.0, drift_bound: float = 0.0,
                      drift_input_variance: float = 0.0,
-                     fold_mode: str = "solinas"):
+                     fold_mode: str = "solinas", kernel: str = "v3"):
     """The atomic pattern over the MXU stack: int8-limb keyswitch matmul,
-    modulus switch, the fused v3 MXU blind-rotate kernel, sample extract.
+    modulus switch, the fused v3/v4 MXU blind-rotate kernel, sample extract.
 
     m_limbs: compact middle tensors (mxu.bsk_to_mxu or the on-device
     middle_from_eval_device build — with mont=True iff fold_mode="redc");
-    mplan: mxu.make_mxu_plan(N).
+    for kernel="v4" pass mxu.transpose_middle(m_limbs) instead; mplan:
+    mxu.make_mxu_plan(N).
     """
-    from .pallas_mxu import blind_rotate_pallas_v3
+    from .pallas_mxu import blind_rotate_pallas_v3, blind_rotate_pallas_v4
 
     n_poly = lut.shape[-1]
     log_mod = n_poly.bit_length()
@@ -882,7 +883,7 @@ def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
         else:
             body = modulus_switch(ks[:, -1], log_mod, bits)
         msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
-    acc = blind_rotate_pallas_v3(msed_mask, body, lut, m_limbs, mplan,
-                                 pbs_base_log, pbs_levels, tb=tb,
-                                 fold_mode=fold_mode)
+    br = blind_rotate_pallas_v4 if kernel == "v4" else blind_rotate_pallas_v3
+    acc = br(msed_mask, body, lut, m_limbs, mplan,
+             pbs_base_log, pbs_levels, tb=tb, fold_mode=fold_mode)
     return sample_extract(acc)
