@@ -77,3 +77,34 @@ def test_fhe_ascii_string(keyset):
     assert found.decrypt(ck) is True and idx.decrypt(ck) == 3
     t = FheAsciiString.encrypt("  x ", ck)
     assert t.trim().decrypt(ck) == "x"
+
+
+def test_full_width_surface(keyset):
+    """All 82 reference Fhe widths exist (high_level_api/mod.rs pub use
+    list: 2..16 even, 24..256 step 8, 512/1024/2048, signed + unsigned)."""
+    from tfhe_tpu.hlapi import ALL_INT_TYPES, ALL_UINT_TYPES, FHE_WIDTHS
+    assert len(FHE_WIDTHS) == 41
+    assert len(ALL_UINT_TYPES) == len(ALL_INT_TYPES) == 41
+    for w in (2, 14, 24, 104, 248, 2048):
+        assert getattr(t, f"FheUint{w}").NUM_BITS == w
+        assert getattr(t, f"FheInt{w}").NUM_BITS == w
+
+
+def test_odd_width_roundtrip(keyset):
+    """A step-8 width round-trips arithmetic (FheUint24 / FheInt40)."""
+    ck = keyset.client_key
+    a = t.FheUint24.encrypt(0xABCDE, ck)
+    b = t.FheUint24.encrypt(0x10101, ck)
+    assert (a + b).decrypt(ck) == (0xABCDE + 0x10101) % (1 << 24)
+    s = t.FheInt40.encrypt(-12345, ck)
+    assert (s - 7).decrypt(ck) == -12352
+
+
+def test_scalar_bitwise_operators(keyset):
+    """&, |, ^ with a plaintext int operand (incl. reflected forms)."""
+    ck = keyset.client_key
+    a = t.FheUint8.encrypt(0b1100_1010, ck)
+    assert (a & 0b1111_0000).decrypt(ck) == 0b1100_0000
+    assert (a | 0b0000_1111).decrypt(ck) == 0b1100_1111
+    assert (a ^ 0b1111_1111).decrypt(ck) == 0b0011_0101
+    assert (0b1111_0000 & a).decrypt(ck) == 0b1100_0000

@@ -12,43 +12,18 @@ from .tag import Tag
 from .xof_key_set import CompressedXofKeySet, XofKeySet
 from .keys import ClientKey, CompressedServerKey, PublicKey, ServerKey, generate_keys
 from .global_state import set_server_key, unset_server_key
-from .types import (
-    FheBool,
-    FheInt2,
-    FheInt4,
-    FheInt8,
-    FheInt16,
-    FheInt32,
-    FheInt64,
-    FheInt128,
-    FheInt160,
-    FheInt256,
-    FheUint2,
-    FheUint4,
-    FheUint8,
-    FheUint16,
-    FheUint32,
-    FheUint64,
-    FheUint6,
-    FheUint10,
-    FheUint12,
-    FheUint14,
-    FheUint128,
-    FheUint160,
-    FheUint256,
-    FheUint512,
-    FheUint1024,
-    FheUint2048,
-)
+from . import types as _types
+from .types import ALL_INT_TYPES, ALL_UINT_TYPES, FHE_WIDTHS, FheBool
+
+# re-export every generated width (FheUint2..FheUint2048, FheInt2..FheInt2048
+# — the reference's full 82-type surface, high_level_api/mod.rs pub use list)
+for _t in ALL_UINT_TYPES + ALL_INT_TYPES:
+    globals()[_t.__name__] = _t
 
 __all__ = [
     "Config", "ConfigBuilder", "ClientKey", "ServerKey", "CompressedServerKey",
     "PublicKey", "generate_keys", "set_server_key", "unset_server_key",
     "FheUintArray", "FheAsciiString", "Tag", "CompressedXofKeySet", "XofKeySet",
-    "FheBool", "FheUint2", "FheUint4", "FheUint6", "FheUint8", "FheUint10",
-    "FheUint12", "FheUint14", "FheUint16", "FheUint32",
-    "FheUint64", "FheUint128", "FheUint160", "FheUint256", "FheUint512",
-    "FheUint1024", "FheUint2048",
-    "FheInt2", "FheInt4", "FheInt8", "FheInt16", "FheInt32", "FheInt64",
-    "FheInt128", "FheInt160", "FheInt256",
-]
+    "FheBool", "FHE_WIDTHS", "ALL_UINT_TYPES", "ALL_INT_TYPES",
+] + [_t.__name__ for _t in ALL_UINT_TYPES + ALL_INT_TYPES]
+del _t

@@ -138,16 +138,31 @@ class FheUintBase:
         return type(self)(self._sk().neg_parallelized(self.inner))
 
     def __and__(self, other):
-        o, _ = self._coerce(other)
-        return type(self)(self._sk().bitand_parallelized(self.inner, o))
+        sk = self._sk()
+        o, scalar = self._coerce(other)
+        out = sk.scalar_bitand_parallelized(self.inner, o) if scalar \
+            else sk.bitand_parallelized(self.inner, o)
+        return type(self)(out)
+
+    __rand__ = __and__
 
     def __or__(self, other):
-        o, _ = self._coerce(other)
-        return type(self)(self._sk().bitor_parallelized(self.inner, o))
+        sk = self._sk()
+        o, scalar = self._coerce(other)
+        out = sk.scalar_bitor_parallelized(self.inner, o) if scalar \
+            else sk.bitor_parallelized(self.inner, o)
+        return type(self)(out)
+
+    __ror__ = __or__
 
     def __xor__(self, other):
-        o, _ = self._coerce(other)
-        return type(self)(self._sk().bitxor_parallelized(self.inner, o))
+        sk = self._sk()
+        o, scalar = self._coerce(other)
+        out = sk.scalar_bitxor_parallelized(self.inner, o) if scalar \
+            else sk.bitxor_parallelized(self.inner, o)
+        return type(self)(out)
+
+    __rxor__ = __xor__
 
     def __invert__(self):
         return type(self)(self._sk().bitnot(self.inner))
@@ -315,70 +330,6 @@ class FheUintBase:
         return type(self)(self._sk().max_parallelized(self.inner, other.inner))
 
 
-class FheUint2(FheUintBase):
-    NUM_BITS = 2
-
-
-class FheUint4(FheUintBase):
-    NUM_BITS = 4
-
-
-class FheUint8(FheUintBase):
-    NUM_BITS = 8
-
-
-class FheUint16(FheUintBase):
-    NUM_BITS = 16
-
-
-class FheUint32(FheUintBase):
-    NUM_BITS = 32
-
-
-class FheUint64(FheUintBase):
-    NUM_BITS = 64
-
-
-class FheUint128(FheUintBase):
-    NUM_BITS = 128
-
-
-class FheUint160(FheUintBase):
-    NUM_BITS = 160
-
-
-class FheUint256(FheUintBase):
-    NUM_BITS = 256
-
-
-class FheUint512(FheUintBase):
-    NUM_BITS = 512
-
-
-class FheUint1024(FheUintBase):
-    NUM_BITS = 1024
-
-
-class FheUint2048(FheUintBase):
-    NUM_BITS = 2048
-
-
-class FheUint6(FheUintBase):
-    NUM_BITS = 6
-
-
-class FheUint10(FheUintBase):
-    NUM_BITS = 10
-
-
-class FheUint12(FheUintBase):
-    NUM_BITS = 12
-
-
-class FheUint14(FheUintBase):
-    NUM_BITS = 14
-
-
 class FheIntBase(FheUintBase):
     """Two's-complement signed integers (high_level_api/integers/signed/).
 
@@ -405,37 +356,19 @@ class FheIntBase(FheUintBase):
         return type(self)(self._sk().abs_parallelized(self.inner))
 
 
-class FheInt8(FheIntBase):
-    NUM_BITS = 8
+# -- concrete widths (generated) -------------------------------------------
+# The full reference width set (high_level_api/mod.rs pub use list): 2..16
+# even, 24..256 step 8, then 512/1024/2048 — signed and unsigned, 82 types.
+FHE_WIDTHS = (list(range(2, 17, 2)) + list(range(24, 257, 8))
+              + [512, 1024, 2048])
 
-
-class FheInt16(FheIntBase):
-    NUM_BITS = 16
-
-
-class FheInt32(FheIntBase):
-    NUM_BITS = 32
-
-
-class FheInt64(FheIntBase):
-    NUM_BITS = 64
-
-
-class FheInt2(FheIntBase):
-    NUM_BITS = 2
-
-
-class FheInt4(FheIntBase):
-    NUM_BITS = 4
-
-
-class FheInt128(FheIntBase):
-    NUM_BITS = 128
-
-
-class FheInt160(FheIntBase):
-    NUM_BITS = 160
-
-
-class FheInt256(FheIntBase):
-    NUM_BITS = 256
+ALL_UINT_TYPES: list = []
+ALL_INT_TYPES: list = []
+for _bits in FHE_WIDTHS:
+    _u = type(f"FheUint{_bits}", (FheUintBase,), {"NUM_BITS": _bits})
+    _i = type(f"FheInt{_bits}", (FheIntBase,), {"NUM_BITS": _bits})
+    globals()[_u.__name__] = _u
+    globals()[_i.__name__] = _i
+    ALL_UINT_TYPES.append(_u)
+    ALL_INT_TYPES.append(_i)
+del _bits, _u, _i
