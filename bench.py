@@ -93,6 +93,7 @@ def bench_v3(ck, sk, params, batch):
 
     p = params
     fold = os.environ.get("TFHE_TPU_BENCH_FOLD", "solinas")
+    kernel = os.environ.get("TFHE_TPU_BENCH_KERNEL", "v3")
     nprimes = int(os.environ.get("TFHE_TPU_BENCH_PRIMES", "3"))
     rb = int(os.environ.get("TFHE_TPU_BENCH_ROUND_BITS",
                             "15" if nprimes == 3 else "0"))
@@ -108,9 +109,12 @@ def bench_v3(ck, sk, params, batch):
                               round_bits=rb)
     bhat, _ = mxu.bsk_eval_domain(bsk, mplan, mont=(fold == "redc"))
     m_dev = mxu.middle_from_eval_device(jax.device_put(bhat), mplan)
+    if kernel == "v4":
+        m_dev = jnp.swapaxes(m_dev, -1, -2)   # transpose_middle, on device
     np.asarray(m_dev[0, 0, 0, 0, 0, 0])
     print(f"# mxu key build: {time.time()-t0:.1f}s fold={fold} "
-          f"primes={nprimes} round_bits={rb}", file=sys.stderr)
+          f"primes={nprimes} round_bits={rb} kernel={kernel}",
+          file=sys.stderr)
 
     tb = int(os.environ.get("TFHE_TPU_BENCH_TB", "64"))
     lut = sk.generate_lookup_table(lambda x: (x * 3 + 1) % 16)
@@ -124,7 +128,8 @@ def bench_v3(ck, sk, params, batch):
     def run(bc):
         return srv.ks_pbs_batch_mxu(
             bc, lut_b, sk.ksk, m_dev, mplan, p.ks_base_log, p.ks_level,
-            p.pbs_base_log, p.pbs_level, p.bits, True, tb, fold_mode=fold)
+            p.pbs_base_log, p.pbs_level, p.bits, True, tb, fold_mode=fold,
+            kernel=kernel)
 
     t0 = time.time()
     out = run(ct_sets[0])

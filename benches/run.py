@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Per-layer benchmark suite (reference analog: tfhe-benchmark crate,
+tfhe/docs/getting-started/benchmarks/*).
+
+Each bench prints ONE JSON line {"metric", "value", "unit", "vs_baseline",
+"baseline"}; `baseline` documents the reference number and its hardware so
+vs_baseline is interpretable (>1.0 = better than that reference point).
+Throughput metrics: vs = ours/ref.  Latency metrics: vs = ref/ours.
+
+Usage (from repo root, real TPU):
+    python benches/run.py --suite ks,ks_pbs,multibit,pbs128,compression,integer
+    python benches/run.py --suite all --params test     # CPU smoke (no TPU)
+
+Timing rules (memory: axon tunnel): sync with np.asarray, vary inputs per
+iteration (the runtime dedups identical enqueued executions).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+ITERS = 3
+
+
+def _emit(metric, value, unit, base_val, base_note, throughput=True):
+    vs = None
+    if base_val:
+        vs = value / base_val if throughput else base_val / value
+    print(json.dumps({
+        "metric": metric, "value": round(value, 3), "unit": unit,
+        "vs_baseline": round(vs, 4) if vs is not None else None,
+        "baseline": {"value": base_val, "ref": base_note},
+    }), flush=True)
+
+
+def _time(fn, arg_sets, sync):
+    """Median-free steady-state: warm once, then ITERS timed runs over
+    varied inputs; returns seconds per run."""
+    out = fn(*arg_sets[0])
+    sync(out)
+    t0 = time.time()
+    for i in range(ITERS):
+        out = fn(*arg_sets[i % len(arg_sets)])
+    sync(out)
+    return (time.time() - t0) / ITERS
+
+
+def get_params(which):
+    from tfhe_tpu import shortint
+    if which == "prod":
+        return shortint.V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+    return shortint.TEST_PARAM_MESSAGE_2_CARRY_2
+
+
+def bench_ks(which, batch):
+    """Keyswitch alone (the 'matmul half' of the atomic pattern)."""
+    import jax.numpy as jnp
+    from tfhe_tpu.ops import server as srv
+    from tfhe_tpu.utils.keycache import get_shortint_keys
+
+    p = get_params(which)
+    ck, sk = get_shortint_keys(p)
+    rng = np.random.default_rng(0)
+    sets = []
+    for s in range(3):
+        cts = [ck.encrypt(int(rng.integers(4))) for _ in range(batch)]
+        sets.append((jnp.asarray(np.stack([np.asarray(c.data)
+                                           for c in cts])),))
+    fn = lambda b: srv.keyswitch(b, sk.ksk, p.ks_base_log, p.ks_level, p.bits)
+    dt = _time(fn, sets, lambda o: np.asarray(o))
+    _emit(f"ks_throughput_2_2_{which}", batch / dt, "KS/s per chip",
+          None, "no isolated reference KS number published")
+
+
+def bench_ks_pbs(which, batch):
+    """The full product path: ServerKey.apply_lookup_table_batch (on TPU
+    this routes through the MXU stack via ServerKey.use_mxu)."""
+    from tfhe_tpu.utils.keycache import get_shortint_keys
+
+    p = get_params(which)
+    ck, sk = get_shortint_keys(p)
+    lut = sk.generate_lookup_table(lambda x: (x * 3 + 1) % 16)
+    sets = [([ck.encrypt((i + s) % 4) for i in range(batch)],)
+            for s in range(3)]
+    dt = _time(lambda cts: sk.apply_lookup_table_batch(cts, lut), sets,
+               lambda o: o)
+    val = batch / dt
+    _emit(f"ks_pbs_throughput_2_2_{which}", val, "PBS/s per chip",
+          10000, "north star (HPU V80: 14167 PBS/s; 1xH100 ~880-4000)")
+    # correctness spot check
+    j = min(5, batch - 1)
+    dec = ck.decrypt_raw(sk.apply_lookup_table_batch(sets[0][0], lut)[j])
+    assert dec == (j % 4 * 3 + 1) % 16, dec
+
+
+def bench_multibit(which, batch):
+    """KS + multi-bit PBS (grouping 4) through the product path."""
+    from tfhe_tpu import shortint
+    from tfhe_tpu.utils.keycache import get_shortint_keys
+
+    p = (shortint.V1_4_PARAM_GPU_MULTI_BIT_GROUP_4_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+         if which == "prod" else
+         shortint.TEST_PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2)
+    ck, sk = get_shortint_keys(p)
+    lut = sk.generate_lookup_table(lambda x: (x * 3 + 1) % 16)
+    sets = [([ck.encrypt((i + s) % 4) for i in range(batch)],)
+            for s in range(3)]
+    dt = _time(lambda cts: sk.apply_lookup_table_batch(cts, lut), sets,
+               lambda o: o)
+    _emit(f"ks_mbpbs_g4_throughput_2_2_{which}", batch / dt, "PBS/s per chip",
+          10000, "north star (1xH100 KS+MB-PBS latency 1.13 ms => ~885/s "
+                 "single-stream)")
+
+
+def bench_pbs128(which, batch):
+    """Noise squashing: KS -> MS -> exact 128-bit PBS (6-prime NTT)."""
+    from tfhe_tpu.shortint.noise_squashing import (
+        TEST_NOISE_SQUASHING_PARAM,
+        V1_4_NOISE_SQUASHING_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
+        NoiseSquashingKey, NoiseSquashingPrivateKey,
+    )
+    from tfhe_tpu.utils.keycache import get_shortint_keys
+
+    p = get_params(which)
+    ck, sk = get_shortint_keys(p)
+    sp = (V1_4_NOISE_SQUASHING_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+          if which == "prod" else TEST_NOISE_SQUASHING_PARAM)
+    priv = NoiseSquashingPrivateKey(sp, seed=0x129)
+    nsk = NoiseSquashingKey(ck, priv, seed=0x130)
+    sets = [([ck.encrypt((i + s) % 4) for i in range(batch)],)
+            for s in range(3)]
+    dt = _time(lambda cts: nsk.squash_ciphertext_noise_batch(cts, sk), sets,
+               lambda o: o)
+    _emit(f"pbs128_squash_throughput_2_2_{which}", batch / dt,
+          "squash/s per chip", None,
+          "no isolated reference squashing number published")
+
+
+def bench_compression(which, batch):
+    """GLWE list compression pack + unpack (BR-based extraction)."""
+    from tfhe_tpu.shortint.compression import CompressionKey
+    from tfhe_tpu.utils.keycache import get_shortint_keys
+
+    p = get_params(which)
+    ck, sk = get_shortint_keys(p)
+    comp_key = CompressionKey(ck, seed=0xC0FF)
+    sets = [([ck.encrypt((i + s) % 4) for i in range(batch)],)
+            for s in range(3)]
+    dt = _time(lambda cts: comp_key.compress(cts), sets, lambda o: o)
+    _emit(f"compress_throughput_2_2_{which}", batch / dt, "ct/s per chip",
+          None, "no isolated reference compression number published")
+    packed_sets = [(comp_key.compress(s[0]),) for s in sets]
+    dt = _time(lambda pk: comp_key.decompress(pk), packed_sets, lambda o: o)
+    _emit(f"decompress_throughput_2_2_{which}", batch / dt, "ct/s per chip",
+          None, "decompression = packing-KS inverse + blind rotate")
+
+
+def bench_integer(which, batch):
+    """FheUint64 latency (single op) — reference: BASELINE.md integer table
+    (GPU 1xH100 column is the strongest single-accelerator reference)."""
+    import tfhe_tpu as t
+
+    p = get_params(which)
+    cfg = t.ConfigBuilder().use_custom_parameters(p).build()
+    ck, sk = t.generate_keys(cfg, seed=0x1E)
+    t.set_server_key(sk)
+    rng = np.random.default_rng(1)
+    vals = [int(rng.integers(1 << 63)) for _ in range(6)]
+    enc = [t.FheUint64.encrypt(v, ck) for v in vals]
+
+    ops = [
+        ("add", lambda a, b: a + b, 9.52, "1xH100 9.52 ms (CPU 61.3)"),
+        ("mul", lambda a, b: a * b, 31.9, "1xH100 31.9 ms (CPU 262)"),
+        ("bitand", lambda a, b: a & b, 2.14, "1xH100 2.14 ms (CPU 17.8)"),
+        ("eq", lambda a, b: a.eq(b), 7.68, "1xH100 7.68 ms (CPU 41.3)"),
+        ("gt", lambda a, b: a.gt(b), 9.08, "1xH100 9.08 ms (CPU 49.7)"),
+    ]
+    for name, f, ref_ms, note in ops:
+        sets = [(enc[2 * s], enc[2 * s + 1]) for s in range(3)]
+        dt = _time(f, sets, lambda o: o)
+        _emit(f"fheuint64_{name}_latency_{which}", dt * 1e3, "ms",
+              ref_ms, note, throughput=False)
+
+
+SUITES = {
+    "ks": bench_ks,
+    "ks_pbs": bench_ks_pbs,
+    "multibit": bench_multibit,
+    "pbs128": bench_pbs128,
+    "compression": bench_compression,
+    "integer": bench_integer,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", default="all")
+    ap.add_argument("--params", default="prod", choices=["prod", "test"])
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--device", default=None, choices=[None, "cpu"],
+                    help="cpu: force the CPU backend (the axon TPU plugin "
+                         "ignores JAX_PLATFORMS, so a down tunnel otherwise "
+                         "blocks forever)")
+    args = ap.parse_args()
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    names = list(SUITES) if args.suite == "all" else args.suite.split(",")
+    batch = args.batch or (64 if args.params == "prod" else 8)
+    for name in names:
+        t0 = time.time()
+        try:
+            SUITES[name](args.params, batch)
+        except Exception as e:
+            print(json.dumps({"metric": name, "error":
+                              f"{type(e).__name__}: {e}"}), flush=True)
+        print(f"# {name}: {time.time()-t0:.1f}s total", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -96,3 +96,25 @@ def test_sharded_shard_map_pallas_interpret_decrypts(keys, mesh):
     for i, v in enumerate(vals):
         got = _dec(ck, out[i])
         assert got == f(v), (i, v, got)
+
+
+def test_sharded_mxu_kernel_decrypts(keys, mesh):
+    """The MXU-stack production path (ks_pbs_batch_mxu, fused v3 kernel in
+    interpret mode) under shard_map across the 8-device mesh."""
+    from tfhe_tpu.ops import mxu
+
+    ck, sk = keys
+    p = PARAMS
+    mplan = mxu.make_mxu_plan(p.polynomial_size, num_primes=4)
+    m, _ = mxu.bsk_to_mxu(sk._bsk_coeff, mplan)
+    vals = [(i + 1) % 4 for i in range(16)]
+    f = lambda x: (x * 5 + 2) % 16
+    cts, lut_b = _batch(ck, sk, vals, f)
+    out = pmesh.sharded_ks_pbs_mxu(
+        mesh, cts, lut_b, sk.ksk, jnp.asarray(m), mplan,
+        p.ks_base_log, p.ks_level, p.pbs_base_log, p.pbs_level,
+        tb=2, interpret=True)
+    out = np.asarray(out)
+    for i, v in enumerate(vals):
+        got = _dec(ck, out[i])
+        assert got == f(v), (i, v, got)

@@ -848,14 +848,16 @@ def pbs_many_from_switched_multibit(msed, lut, mb_bsk_mont, plan,
                                    "pbs_levels", "mplan", "bits",
                                    "centered_ms", "tb", "ks32", "fold_mode",
                                    "drift_r_sigma", "drift_bound",
-                                   "drift_input_variance", "kernel"))
+                                   "drift_input_variance", "kernel",
+                                   "interpret"))
 def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
                      ks_levels: int, pbs_base_log: int, pbs_levels: int,
                      bits: int = 64, centered_ms: bool = False, tb: int = 64,
                      ks32: bool = False, drift_zeros=None,
                      drift_r_sigma: float = 0.0, drift_bound: float = 0.0,
                      drift_input_variance: float = 0.0,
-                     fold_mode: str = "solinas", kernel: str = "v3"):
+                     fold_mode: str = "solinas", kernel: str = "v3",
+                     interpret: bool = False):
     """The atomic pattern over the MXU stack: int8-limb keyswitch matmul,
     modulus switch, the fused v3/v4 MXU blind-rotate kernel, sample extract.
 
@@ -885,5 +887,6 @@ def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
         msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
     br = blind_rotate_pallas_v4 if kernel == "v4" else blind_rotate_pallas_v3
     acc = br(msed_mask, body, lut, m_limbs, mplan,
-             pbs_base_log, pbs_levels, tb=tb, fold_mode=fold_mode)
+             pbs_base_log, pbs_levels, tb=tb, fold_mode=fold_mode,
+             interpret=interpret)
     return sample_extract(acc)

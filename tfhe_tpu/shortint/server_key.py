@@ -147,6 +147,9 @@ class ServerKey:
         self.max_degree = p.total_modulus - 1
         self.max_noise_level = p.max_noise_level
         self.pbs_count = 0  # pbs-stats analog (shortint/server_key/mod.rs:69)
+        # coefficient-domain BSK kept (53 MB at 2_2) for the lazy MXU-engine
+        # middle-tensor build (_ensure_mxu); None disables the MXU path
+        self._bsk_coeff = bsk
 
     @property
     def use_pallas(self) -> bool:
@@ -163,6 +166,48 @@ class ServerKey:
             and p.polynomial_size % 128 == 0
             and p.pbs_base_log * p.pbs_level <= 31
         )
+
+    @property
+    def use_mxu(self) -> bool:
+        """MXU-factorized blind-rotate stack (the fused pallas_mxu kernel):
+        the production path on real TPU for the classic 2_2-shaped families.
+        ~2x the v2 VPU kernel end-to-end (STATUS.md round-2 measurements)."""
+        import os
+
+        p = self.params
+        return (
+            self.use_pallas
+            and getattr(self, "_bsk_coeff", None) is not None
+            and os.environ.get("TFHE_TPU_DISABLE_MXU") != "1"
+            and p.polynomial_size == 2048   # middle tensors scale as N2^2
+            and p.glwe_dimension == 1
+            and p.pbs_level == 1
+        )
+
+    def _ensure_mxu(self):
+        """Lazy one-time build of the MXU engine's middle tensors on device
+        (~1.4 GB at 3-prime 2_2; ~70 s first time).  Env knobs:
+        TFHE_TPU_MXU_PRIMES (3), TFHE_TPU_MXU_ROUND_BITS (15 when 3-prime),
+        TFHE_TPU_MXU_FOLD (solinas), TFHE_TPU_MXU_TB (64)."""
+        if getattr(self, "_mxu_m", None) is None:
+            import os
+
+            from ..ops import mxu
+
+            p = self.params
+            nprimes = int(os.environ.get("TFHE_TPU_MXU_PRIMES", "3"))
+            rb = int(os.environ.get("TFHE_TPU_MXU_ROUND_BITS",
+                                    "15" if nprimes == 3 else "0"))
+            fold = os.environ.get("TFHE_TPU_MXU_FOLD", "solinas")
+            mplan = mxu.make_mxu_plan(p.polynomial_size, num_primes=nprimes,
+                                      round_bits=rb)
+            bhat, _ = mxu.bsk_eval_domain(self._bsk_coeff, mplan,
+                                          mont=(fold == "redc"))
+            self._mxu_m = mxu.middle_from_eval_device(jax.device_put(bhat),
+                                                      mplan)
+            self._mxu_plan = mplan
+            self._mxu_fold = fold
+        return self._mxu_m, self._mxu_plan, self._mxu_fold
 
     # ------------------------------------------------------------------
     # Lookup tables
@@ -226,6 +271,24 @@ class ServerKey:
                 getattr(self, "drift_zeros", None),
                 p.drift_r_sigma, p.drift_ms_bound,
                 p.drift_input_variance * (2.0 ** 64) ** 2,
+            )
+        elif self.use_mxu:
+            import os
+
+            m, mplan, fold = self._ensure_mxu()
+            # padded batch is a power of two >= 8: tb always divides it
+            tb = min(int(os.environ.get("TFHE_TPU_MXU_TB", "64")),
+                     batch.shape[0])
+            out = srv.ks_pbs_batch_mxu(
+                jnp.asarray(batch), jnp.asarray(lut_b), self.ksk, m, mplan,
+                p.ks_base_log, p.ks_level, p.pbs_base_log, p.pbs_level,
+                p.bits,
+                p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN, tb,
+                getattr(p, "ks32", False),
+                getattr(self, "drift_zeros", None),
+                p.drift_r_sigma, p.drift_ms_bound,
+                p.drift_input_variance * (2.0 ** 64) ** 2,
+                fold_mode=fold,
             )
         else:
             out = srv.ks_pbs_batch(

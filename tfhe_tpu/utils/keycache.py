@@ -42,10 +42,13 @@ def get_shortint_keys(params, seed: int = 0x7FEE):
             np_ = int(data["num_primes"])
             if cached_primes != _ntt.PRIMES[:np_]:
                 raise ValueError("key cache built with a different prime pool")
+            if "bsk_coeff" not in data:
+                raise ValueError("stale key cache (no coefficient BSK)")
             sk = ServerKey.__new__(ServerKey)
             sk.params = params
             import jax.numpy as jnp
 
+            from ..core.entities import LweBootstrapKey
             from ..ops import ntt
 
             sk.ksk = jnp.asarray(data["ksk"])
@@ -54,11 +57,16 @@ def get_shortint_keys(params, seed: int = 0x7FEE):
             sk.max_degree = params.total_modulus - 1
             sk.max_noise_level = params.max_noise_level
             sk.pbs_count = 0
+            sk._bsk_coeff = LweBootstrapKey(
+                data["bsk_coeff"], params.core.pbs_decomp, params.bits)
             return ck, sk
         except Exception:
             path.unlink(missing_ok=True)
     sk = ServerKey(ck, seed)
+    if getattr(sk, "mb_bsk_mont", None) is not None:
+        return ck, sk   # multi-bit keys are not npz-cached yet (fast enough)
     np.savez(path, ksk=np.asarray(sk.ksk), bsk_mont=np.asarray(sk.bsk_mont),
              num_primes=sk.plan.num_primes,
-             primes=np.asarray(sk.plan.primes, dtype=np.int64))
+             primes=np.asarray(sk.plan.primes, dtype=np.int64),
+             bsk_coeff=np.asarray(sk._bsk_coeff.data))
     return ck, sk
