@@ -367,6 +367,60 @@ def _middle_from_eval_chunk(bhat, plan: MxuPlan):
     return jnp.transpose(stacked, (2, 0, 1, 3, 4, 5))
 
 
+def byte_limbs_balanced(x, nb: int = 4) -> np.ndarray:
+    """Values < 2^31 (u64/u32) -> (nb, ...) int8 balanced radix-256 digits:
+    x = sum_f out[f] * 256^f, out[f] in [-128, 127]."""
+    out = np.empty((nb,) + x.shape, dtype=np.int8)
+    v = x.astype(np.int64)
+    for f in range(nb):
+        le = ((v + 128) & 255) - 128
+        out[f] = le.astype(np.int8)
+        v = (v - le) >> 8
+    assert (v == 0).all(), "byte_limbs_balanced: values too large"
+    return out
+
+
+CENT = 128 * 0x01010101   # centered-byte correction weight sum_e 128*2^(8e)
+
+
+def bsk_to_mxu_v5(bsk, plan: MxuPlan = None):
+    """Middle tensors for the v5 byte-limb kernel.
+
+    Returns (m8, corr_mid, plan):
+      m8   int8 (n_in, P, 8, N1, C, K): families stacked on axis 2 —
+           limbs 0..3 = balanced byte digits of M^T (out-rows C,
+           contraction K), limbs 4..7 = digits of (2^32 * M mod p)^T
+           (consumed by the hi word of the pair interface);
+      corr_mid u32 (n_in, P, N1, C): per-step centered-byte correction
+           (128 * 0x01010101 * sum_K (M + M32)) mod p, pair-added once in
+           the kernel's mid assembly.
+    """
+    if plan is None:
+        plan = make_mxu_plan(bsk.polynomial_size)
+    data = _prep_bsk_data(bsk, plan)
+    n_in, lev, k1r, k1c, n = data.shape
+    n1, n2 = plan.n1, plan.n2
+    fam_limbs, corrs = [], []
+    for pi, p in enumerate(plan.primes):
+        xhat = _forward_eval(data, plan, pi)
+        h = (xhat[..., :, :, None] * plan.g_mid[pi][None, None, None, None]) % U64(p)
+        f = plan.f_mid[pi]
+        m = np.matmul(f[None, None, None, None], h) % U64(p)
+        m = m.transpose(0, 4, 1, 2, 5, 3, 6)
+        m = m.reshape(n_in, n1, lev * k1r * n2, k1c * n2)
+        mt = np.swapaxes(m, -1, -2)                        # (n, N1, C, K)
+        m32t = (mt * U64((1 << 32) % p)) % U64(p)
+        fam_limbs.append(np.concatenate(
+            [byte_limbs_balanced(mt), byte_limbs_balanced(m32t)]))
+        s = mt.sum(axis=-1, dtype=np.uint64) + m32t.sum(axis=-1,
+                                                        dtype=np.uint64)
+        corrs.append(((s % U64(p)) * U64(CENT % p) % U64(p)).astype(np.uint32))
+    m8 = np.ascontiguousarray(
+        np.stack(fam_limbs).transpose(2, 0, 1, 3, 4, 5))   # (n, P, 8, N1, C, K)
+    corr = np.ascontiguousarray(np.stack(corrs).transpose(1, 0, 2, 3))
+    return m8, corr, plan
+
+
 def transpose_middle(m_limbs):
     """(n, P, L, N1, K, C) middle limb tensors -> (n, P, L, N1, C, K) for the
     v4 aligned-layout kernel, whose mid dot is lhs=M^T (out-cols as rows):
@@ -374,6 +428,74 @@ def transpose_middle(m_limbs):
     jax arrays (device build: one-time swap)."""
     xp = np if isinstance(m_limbs, np.ndarray) else jnp
     return xp.swapaxes(m_limbs, -1, -2)
+
+
+def _byte_limbs_device(m_i32):
+    """int32 values in [0, 2^31) -> (..., stacked 4) int8 balanced digits
+    on device (jnp)."""
+    limbs = []
+    v = m_i32
+    for _ in range(4):
+        le = ((v + 128) & 255) - 128
+        limbs.append(le.astype(jnp.int8))
+        v = (v - le) >> 8
+    return limbs
+
+
+def middle_v5_from_eval_device(bhat, plan: MxuPlan, chunk: int = 48):
+    """Device-side v5 middle build: (m8, corr) as in bsk_to_mxu_v5, computed
+    from the ~16x smaller eval-domain precursor (bsk_eval_domain, mont=False)
+    entirely on device.  m8 int8 (n, P, 8, N1, C, K); corr u32 (n, P, N1, C).
+    """
+    n_in = bhat.shape[0]
+    outs_m, outs_c = [], []
+    for s in range(0, n_in, chunk):
+        m8, corr = _middle_v5_chunk(bhat[s:s + chunk], plan)
+        outs_m.append(m8)
+        outs_c.append(corr)
+    if len(outs_m) == 1:
+        return outs_m[0], outs_c[0]
+    return jnp.concatenate(outs_m, axis=0), jnp.concatenate(outs_c, axis=0)
+
+
+def _middle_v5_chunk(bhat, plan: MxuPlan):
+    n_in, lev, r_, c_, p_, n1, n2 = bhat.shape
+    r64 = 1 << 32
+    ms, cs = [], []
+    for pi, p in enumerate(plan.primes):
+        pinv = U64(((r64 - pow(p, -1, r64)) % r64))
+        pu = U64(p)
+        g_m = jnp.asarray((plan.g_mid[pi].astype(object) * r64 % p)
+                          .astype(np.uint64))
+        f_m = jnp.asarray((plan.f_mid[pi].astype(object) * r64 % p)
+                          .astype(np.uint64))
+        bh = bhat[..., pi, :, :].astype(jnp.uint64)
+        h = ntt.mont_mul(bh[..., :, None],
+                         g_m[None, None, None, None], pu, pinv, jnp)
+        acc = None
+        for k2 in range(n2):
+            term = ntt.mont_mul(h[..., k2, :][..., None, :],
+                                f_m[None, None, None, None, :, :, k2, None],
+                                pu, pinv, jnp)
+            acc = term if acc is None else acc + term
+        r2 = U64((r64 * r64) % p)
+        y = ntt.mont_mul(acc, U64(1), pu, pinv, jnp)
+        m = ntt.mont_mul(y, r2, pu, pinv, jnp)
+        m = m.transpose(0, 4, 1, 2, 5, 3, 6).reshape(
+            n_in, n1, lev * r_ * n2, c_ * n2)
+        mt = jnp.swapaxes(m, -1, -2).astype(jnp.int32)      # (n, N1, C, K)
+        # m32 = m * 2^32 mod p via one Montgomery mul by R^2 (REDC divides
+        # by R): m * R^2 * R^{-1} = m * R
+        m32t = ntt.mont_mul(jnp.swapaxes(m, -1, -2), r2, pu, pinv,
+                            jnp).astype(jnp.int32)
+        limbs = _byte_limbs_device(mt) + _byte_limbs_device(m32t)
+        ms.append(jnp.stack(limbs))                         # (8, n, N1, C, K)
+        ssum = (mt.astype(jnp.uint64) + m32t.astype(jnp.uint64)).sum(
+            axis=-1, dtype=jnp.uint64) % pu                 # (n, N1, C)
+        cs.append((ssum * U64(CENT % p) % pu).astype(jnp.uint32))
+    m8 = jnp.transpose(jnp.stack(ms), (2, 0, 1, 3, 4, 5))   # (n, P, 8, ...)
+    corr = jnp.transpose(jnp.stack(cs), (1, 0, 2, 3))
+    return m8, corr
 
 
 def regroup_middle_d(m_limbs):

@@ -1073,3 +1073,442 @@ def blind_rotate_pallas_v4(msed_mask, msed_body, lut, m_limbs_t, plan,
     lo = from_v4_layout(lo, b, k1, n, tb)
     hi = from_v4_layout(hi, b, k1, n, tb)
     return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))
+
+
+# ---------------------------------------------------------------------------
+# v5: byte-limb kernel — bitcast pair interfaces, fold work moved to the MXU
+# ---------------------------------------------------------------------------
+# The fold epilogues (int32 diagonals -> canonical residues -> 7-bit limbs)
+# are the measured bottleneck of v3/v4 (~50-70 VPU ops per interface per
+# prime).  v5 removes the per-interface modular reduction entirely:
+#   * every stage works in radix 2^8 — lhs/rhs limbs are BYTES, so the next
+#     stage's input planes come from ONE u32->i8 bitcast (+ XOR centering)
+#     instead of shift-extraction, and stage outputs assemble into a
+#     redundant u64 PAIR (lo, hi) with a handful of shift-adds (one
+#     eps-multiply where the 2^(8d) weight exceeds the pair range);
+#   * the pair's hi word rides into the next matmul through a second table
+#     family pre-scaled by 2^32 mod p (M32 / W1i32) — trading abundant MXU
+#     MACs (x1.4 on mid/inv) for the scarce VPU fold ops;
+#   * the XOR centering (s_e = b_e - 128) is exact; its data-independent
+#     correction (128 * 0x01010101 * column sums) is precomputed per key
+#     (mid) or per table (s1/inv) and pair-added once per stage.
+# Only the last interface (into Garner) reduces to canonical residues.
+# Bit-exact vs ops.mxu.blind_rotate_mxu on the same key.
+
+
+def _sol_reduce_canonical(X, a: int, m: int, p_int: int):
+    """Redundant triple -> canonical residue < p (solinas eps folding)."""
+    while X[2] >= (1 << 30):
+        xh, xl = _sol_split28(X)
+        X = _sol_add(_sol_eps_mul(xh, a, m), xl)
+    xh, xl = _sol_split28(X)
+    X = _sol_add(_sol_eps_mul(xh, a, m), xl)
+    lo, hi, b = X
+    assert hi is None
+    acc = lo
+    while b >= p_int:
+        acc = jnp.where(acc >= U32(p_int), acc - U32(p_int), acc)
+        b = max(p_int - 1, b - p_int)
+    return acc
+
+
+def _pair_add_hi(X, XH):
+    """X + 2^32 * XH for a pair-triple X and a u32 triple XH (1 VPU add)."""
+    lo, hi, b = X
+    xh_lo, xh_hi, xh_b = XH
+    assert xh_hi is None and hi is not None
+    nb = b + (xh_b << 32)
+    assert nb < (1 << 64)
+    return lo, hi + xh_lo, nb
+
+
+@lru_cache(maxsize=None)
+def _kernel_tables_v5(n: int, num_primes: int, base_log: int):
+    """Static v5 tables: byte-diag-grouped stage-1 / inverse matrices and
+    the per-row correction sums.
+
+    L1  (P, 6, 128, 4*128) int8 — cols (4*i1+e), e<=2 live (digit byte 3 is
+        always zero after the +OFF shift), entry ByteLimb_{d-e}(W1'[k,i]).
+    L1i (P, 7, 128, 8*128) int8 — cols [lo-family (4k+e)] ++ [hi-family],
+        hi-family = byte limbs of 2^32*W1i mod p.
+    s1_sum / inv_sum: integer column sums (python ints) for the corr consts.
+    """
+    plan = mxu_mod.make_mxu_plan(n, num_primes=num_primes)
+    P = num_primes
+    n1 = LANES
+
+    def vals(limbs):
+        return sum(limbs[:, e].astype(np.uint64) << np.uint64(LB * e)
+                   for e in range(NL))
+
+    w1 = vals(plan.w1_limbs)            # (P, k, i)
+    w1i = vals(plan.w1i_limbs)          # (P, j, k)
+    ps = np.array(plan.primes, dtype=np.uint64)[:, None, None]
+    r32 = np.array([(1 << 32) % p for p in plan.primes],
+                   dtype=np.uint64)[:, None, None]
+    w1i32 = (w1i * r32) % ps
+    bl1 = mxu_mod.byte_limbs_balanced(w1)       # (4, P, k, i)
+    bli = mxu_mod.byte_limbs_balanced(w1i)
+    bli32 = mxu_mod.byte_limbs_balanced(w1i32)
+    L1 = np.zeros((P, 6, n1, 4 * n1), np.int8)
+    for d in range(6):
+        for e in range(3):
+            f = d - e
+            if 0 <= f < NL:
+                L1[:, d, :, e::4] = bl1[f]
+    L1i = np.zeros((P, 7, n1, 8 * n1), np.int8)
+    for d in range(7):
+        for e in range(4):
+            f = d - e
+            if 0 <= f < 4:
+                L1i[:, d, :, e:4 * n1:4] = bli[f]
+                L1i[:, d, :, 4 * n1 + e::4] = bli32[f]
+    s1_sum = w1.sum(axis=2).astype(object)            # (P, k) ints
+    inv_sum = (w1i.sum(axis=2) + w1i32.sum(axis=2)).astype(object)
+    return L1, L1i, s1_sum, inv_sum, plan
+
+
+@lru_cache(maxsize=None)
+def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
+                          tb: int, n_steps: int, interpret: bool = False,
+                          ablate: str | None = None,
+                          num_primes: int = mxu_mod.N_PRIMES_DEFAULT,
+                          round_bits: int = 0):
+    """Byte-limb blind-rotate kernel (see section comment above).
+
+    Caller layout identical to v4 (to_v4_layout rows (k1, i2, el), lanes
+    i1); m8/corr from mxu.bsk_to_mxu_v5 (+ device build).
+    """
+    assert base_log <= 23, "v5 digit bytes assume base_log <= 23"
+    n1 = LANES
+    n2 = n // n1
+    L1_np, L1i_np, s1_sum, inv_sum, plan = _kernel_tables_v5(
+        n, num_primes, base_log)
+    primes = [int(p) for p in plan.primes]
+    pinvs = [int(ntt_mod.make_plan(n, num_primes, primes=plan.primes)
+               .plans[i].p_inv_neg32) for i in range(num_primes)]
+    gplan = plan.garner
+    gc = ntt_mod._garner_consts(gplan.primes)
+    inv_mont = [int(gc[f"inv_mont_{j}"]) for j in range(1, num_primes)]
+    pm_mont = {k: int(v) for k, v in gc["pm_mont"].items()}
+    prods64 = [int(v) for v in gc["prods64"]]
+    half_digits = [int(v) for v in gc["half_digits"]]
+    p_mod64 = int(gc["P_mod64"])
+
+    R = tb * k1 * n2
+    kmid = levels * k1 * n2
+    cmid = k1 * n2
+
+    ams = []
+    for p_ in primes:
+        e1 = (1 << 28) + 1 - p_
+        m_ = (e1 & -e1).bit_length() - 1
+        ams.append((e1 >> m_, m_))
+
+    OFF = 1 << (base_log - 1)
+    XORC = np.uint32(0x80808080)
+    CENT3 = 128 * 0x010101
+    CENT4 = 128 * 0x01010101
+
+    # ---- per-diag |bound|s (python ints; asserted into offsets) ----------
+    # s1: cols per (e,f) pair = 128; |s_e|<=128, |limb|<=128
+    live_s1 = [len([1 for e in range(3) for f in range(NL) if e + f == d])
+               for d in range(6)]
+    b_s1 = [lv * n1 * 128 * 128 for lv in live_s1]
+    # mid: cols per (e,f) = kmid, two families
+    live_m = [len([1 for e in range(4) for f in range(4) if e + f == d])
+              for d in range(7)]
+    b_mid = [2 * lv * kmid * 128 * 128 for lv in live_m]
+    # inv: cols per (e,f) = 128, two families
+    b_inv = [2 * lv * n1 * 128 * 128 for lv in live_m]
+
+    def _weights_and_asm(bounds, a_, m_, hi_ds, eps_ds):
+        """Returns (weights list, assemble fn).  d in hi_ds go through the
+        u32 hi-word chain (exact weight 2^(8d)); d in eps_ds go through
+        eps-folding (exact weight eps * 2^(8d-28))."""
+        eps = a_ * (1 << m_) - 1
+        ws = []
+        for d in range(len(bounds)):
+            if d in eps_ds:
+                ws.append(eps << (8 * d - 28))
+            else:
+                ws.append(1 << (8 * d))
+
+        def asm(diags, corr_vec, corr_bound):
+            us = [((dg + np.int32(bd)).astype(U32), None, 2 * bd)
+                  for dg, bd in zip(diags, bounds)]
+            X = us[0]
+            for d in range(1, len(us)):
+                if d in eps_ds:
+                    X = _sol_add(X, _sol_shl(
+                        _sol_eps_mul(us[d], a_, m_), 8 * d - 28))
+                elif d in hi_ds:
+                    continue
+                else:
+                    X = _sol_add(X, _sol_shl(us[d], 8 * d))
+            XH = None
+            for d in hi_ds:
+                t = us[d] if d == hi_ds[0] else _sol_shl(
+                    us[d], 8 * (d - hi_ds[0]))
+                XH = t if XH is None else _sol_add(XH, t)
+            X = _sol_add(X, (corr_vec, None, corr_bound))
+            if X[1] is None:
+                X = (X[0], jnp.zeros_like(X[0]), X[2])
+            if XH is not None:
+                assert XH[1] is None
+                X = _pair_add_hi(X, XH)
+            return X
+
+        comp = sum(w * b for w, b in zip(ws, bounds))
+        return ws, asm, comp
+
+    # static per-prime assembly plans + correction constants
+    s1_asm, mid_asm, inv_asm = [], [], []
+    corr1_np = np.zeros((num_primes, n1, LANES), np.uint32)
+    corri_np = np.zeros((num_primes, n1, LANES), np.uint32)
+    mid_const = []
+    for pi, p_ in enumerate(primes):
+        a_, m_ = ams[pi]
+        ws1, asm1, comp1 = _weights_and_asm(b_s1, a_, m_, [4, 5], [])
+        wsm, asmm, compm = _weights_and_asm(b_mid, a_, m_, [4, 5], [6])
+        wsi, asmi, compi = _weights_and_asm(b_inv, a_, m_, [4], [5, 6])
+        s1_asm.append(asm1)
+        mid_asm.append(asmm)
+        inv_asm.append(asmi)
+        for k in range(n1):
+            c = (-((OFF - CENT3) * int(s1_sum[pi, k]) + comp1)) % p_
+            corr1_np[pi, k, :] = c
+            ci = (CENT4 * int(inv_sum[pi, k]) - compi) % p_
+            corri_np[pi, k, :] = ci
+        mid_const.append((-compm) % p_)
+
+    d_pad = -(-4 * n1 // LANES) * LANES      # = 4*128 (already aligned)
+
+    def kernel(arow_ref, acc_lo_in, acc_hi_in, m_ref, cm_ref, L1_ref,
+               L1i_ref, c1_ref, ci_ref, out_lo_ref, out_hi_ref,
+               acc_lo_s, acc_hi_s, st_lo_s, st_hi_s, vt_lo_s, vt_hi_s):
+        t = pl.program_id(0)
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            acc_lo_s[:] = acc_lo_in[:]
+            acc_hi_s[:] = acc_hi_in[:]
+
+        acc_lo = acc_lo_s[:]
+        acc_hi = acc_hi_s[:]
+
+        # ---- rotation (identical to v4) ---------------------------------
+        if ablate == "rot":
+            rot_lo = pltpu.roll(acc_lo, np.int32(1), 1)
+            rot_hi = pltpu.roll(acc_hi, np.int32(1), 1)
+        else:
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+            col = jax.lax.rem(s, np.int32(LANES))
+            masked = jnp.where(lane2 == col, arow_ref[:], np.int32(0))
+            for sh in (64, 32, 16, 8, 4, 2, 1):
+                masked = masked + pltpu.roll(masked, np.int32(sh), 1)
+            a4 = masked[:, 0:1].reshape(k1, n2, tb, 1)
+            a1v = jax.lax.div(a4, np.int32(n2))
+            a2v = jax.lax.rem(a4, np.int32(n2))
+            i2r = jax.lax.broadcasted_iota(jnp.int32, (k1, n2, tb, 1), 1)
+            q = a1v + (i2r < a2v).astype(jnp.int32)
+            qm = jax.lax.rem(q, np.int32(LANES))
+            qd = jax.lax.div(q, np.int32(LANES))
+            lane4 = jax.lax.broadcasted_iota(jnp.int32, (k1, n2, tb, LANES), 3)
+            flip = (((lane4 < qm).astype(jnp.int32) + qd) & 1) == 1
+            q0 = jax.lax.rem(qm, np.int32(8))
+            q1 = jax.lax.div(qm, np.int32(8))
+
+            def rolled(src):
+                x4 = src.reshape(k1, n2, tb, LANES)
+                y = None
+                for r in range(n2):
+                    rr = pltpu.roll(x4, np.int32(r), 1)
+                    y = rr if y is None else jnp.where(a2v == r, rr, y)
+                z = None
+                for r0 in range(8):
+                    rr = pltpu.roll(y, np.int32(r0), 3)
+                    z = rr if z is None else jnp.where(q0 == r0, rr, z)
+                w = None
+                for r1 in range(LANES // 8):
+                    rr = pltpu.roll(z, np.int32(8 * r1), 3)
+                    w = rr if w is None else jnp.where(q1 == r1, rr, w)
+                return w
+
+            z_lo = rolled(acc_lo)
+            z_hi = rolled(acc_hi)
+            n_lo, n_hi = neg64(z_lo, z_hi)
+            rot_lo = jnp.where(flip, n_lo, z_lo).reshape(R, LANES)
+            rot_hi = jnp.where(flip, n_hi, z_hi).reshape(R, LANES)
+
+        ct1_lo, ct1_hi = sub64(rot_lo, rot_hi, acc_lo, acc_hi)
+        digits = _decompose32(ct1_lo, ct1_hi, base_log, levels)
+        # digit planes: transpose + offset + XOR + bitcast (per level)
+        dxs = []
+        for lev in range(levels):
+            dT = jnp.transpose(digits[lev]) + U32(OFF)       # (128 i1, R)
+            dxs.append(pltpu.bitcast(dT ^ XORC, jnp.int8))   # (4*128, R)
+
+        res_primes = []
+        for pi in range(num_primes):
+            p = _u32(primes[pi])
+
+            # ---- stage 1: byte dots + pair assembly ---------------------
+            for lev in range(levels):
+                if ablate == "s1":
+                    diags = [dxs[lev][:n1].astype(jnp.int32)] * 6
+                else:
+                    diags = [jax.lax.dot_general(
+                        L1_ref[pi, d], dxs[lev], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32) for d in range(6)]
+                Xlo, Xhi, xb = s1_asm[pi](diags, c1_ref[pi][:, :1],
+                                          primes[pi] - 1)
+                assert (xb >> 32) < (1 << 31)
+                base = lev * k1 * n2
+                for kk in range(k1 * n2):
+                    st_lo_s[:, base + kk, :] = Xlo[:, kk * tb:(kk + 1) * tb]
+                    st_hi_s[:, base + kk, :] = Xhi[:, kk * tb:(kk + 1) * tb]
+
+            # ---- middle: two-family byte dot ----------------------------
+            r_lo = pltpu.bitcast(st_lo_s[:] ^ XORC, jnp.int8)
+            r_hi = pltpu.bitcast(st_hi_s[:] ^ XORC, jnp.int8)
+            rhs = jnp.concatenate(
+                [r_lo.reshape(n1, kmid, 4, tb), r_hi.reshape(n1, kmid, 4, tb)],
+                axis=1)                                     # (128, 2kmid, 4, tb)
+            if ablate == "mid":
+                diags = [rhs[:, :cmid, 0, :].astype(jnp.int32)] * 7
+            else:
+                mz = jnp.zeros((n1, cmid, kmid), jnp.int8)
+                diags = []
+                for d in range(7):
+                    lo_blk = jnp.stack(
+                        [m_ref[0, pi, d - e] if 0 <= d - e < 4 else mz
+                         for e in range(4)], axis=3)        # (128,cmid,kmid,4)
+                    hi_blk = jnp.stack(
+                        [m_ref[0, pi, 4 + d - e] if 0 <= d - e < 4 else mz
+                         for e in range(4)], axis=3)
+                    lhs = jnp.concatenate([lo_blk, hi_blk], axis=2)
+                    diags.append(jax.lax.dot_general(
+                        lhs, rhs,
+                        dimension_numbers=(((2, 3), (1, 2)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32))  # (128, cmid, tb)
+            cmv = (cm_ref[0, pi] + U32(mid_const[pi]))[:, :, None]
+            Vlo, Vhi, vb = mid_asm[pi](diags, cmv, 2 * (primes[pi] - 1))
+            assert (vb >> 32) < (1 << 31)
+            for cc in range(cmid):
+                vt_lo_s[:, cc * tb:(cc + 1) * tb] = Vlo[:, cc, :]
+                vt_hi_s[:, cc * tb:(cc + 1) * tb] = Vhi[:, cc, :]
+
+            # ---- inverse stage: two-family byte dot ---------------------
+            rv = jnp.concatenate(
+                [pltpu.bitcast(vt_lo_s[:] ^ XORC, jnp.int8),
+                 pltpu.bitcast(vt_hi_s[:] ^ XORC, jnp.int8)], axis=0)
+            if ablate == "inv":
+                diags = [rv[:n1].astype(jnp.int32)] * 7
+            else:
+                diags = [jax.lax.dot_general(
+                    L1i_ref[pi, d], rv, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32) for d in range(7)]
+            Y = inv_asm[pi](diags, ci_ref[pi][:, :1], primes[pi] - 1)
+            # pair -> canonical: lo + 2^4*eps*hi (2^32 = 2^4 * 2^28 mod p)
+            a_, m_ = ams[pi]
+            ylo, yhi, yb = Y
+            H = (yhi, None, yb >> 32)
+            Z = _sol_add((ylo, None, min(yb, (1 << 32) - 1)),
+                         _sol_shl(_sol_eps_mul(H, a_, m_), 4))
+            y = _sol_reduce_canonical(Z, a_, m_, primes[pi])
+            res_primes.append(jnp.transpose(y))             # (R, 128)
+
+        new_lo, new_hi = _garner_acc(
+            res_primes, acc_lo, acc_hi, primes, pinvs, inv_mont, pm_mont,
+            prods64, half_digits, p_mod64, num_primes, round_bits, ablate)
+        acc_lo_s[:] = new_lo
+        acc_hi_s[:] = new_hi
+
+        @pl.when(s == pl.num_programs(1) - 1)
+        def _():
+            out_lo_ref[:] = new_lo
+            out_hi_ref[:] = new_hi
+
+    n_steps_pad = -(-n_steps // LANES) * LANES
+
+    def run(acc_lo, acc_hi, a_rows, m8, corr_mid):
+        batch_rows = acc_lo.shape[0]
+        assert acc_lo.shape == (batch_rows, LANES)
+        assert batch_rows % R == 0
+        assert a_rows.shape == (batch_rows, n_steps_pad), a_rows.shape
+        n_tiles = batch_rows // R
+        vmem = pltpu.VMEM
+        z = lambda t: t * 0
+        in_specs = [
+            pl.BlockSpec((R, LANES),
+                         lambda t, s: (t, jax.lax.div(s, np.int32(LANES))),
+                         memory_space=vmem),
+            pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
+            pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
+            pl.BlockSpec((1, num_primes, 8, n1, cmid, kmid),
+                         lambda t, s: (s,) + (z(t),) * 5, memory_space=vmem),
+            pl.BlockSpec((1, num_primes, n1, cmid),
+                         lambda t, s: (s,) + (z(t),) * 3, memory_space=vmem),
+            pl.BlockSpec((num_primes, 6, n1, 4 * n1),
+                         lambda t, s: (z(t),) * 4, memory_space=vmem),
+            pl.BlockSpec((num_primes, 7, n1, 8 * n1),
+                         lambda t, s: (z(t),) * 4, memory_space=vmem),
+            pl.BlockSpec((num_primes, n1, LANES),
+                         lambda t, s: (z(t),) * 3, memory_space=vmem),
+            pl.BlockSpec((num_primes, n1, LANES),
+                         lambda t, s: (z(t),) * 3, memory_space=vmem),
+        ]
+        out_specs = [pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)),
+                                  memory_space=vmem)] * 2
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, n_steps),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[jax.ShapeDtypeStruct((batch_rows, LANES), U32)] * 2,
+            scratch_shapes=[pltpu.VMEM((R, LANES), U32)] * 2 +
+                           [pltpu.VMEM((n1, kmid, tb), U32)] * 2 +
+                           [pltpu.VMEM((n1, cmid * tb), U32)] * 2,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=126 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+        )
+        return call(a_rows, acc_lo, acc_hi, m8, corr_mid,
+                    jnp.asarray(L1_np), jnp.asarray(L1i_np),
+                    jnp.asarray(corr1_np), jnp.asarray(corri_np))
+
+    return run
+
+
+def blind_rotate_pallas_v5(msed_mask, msed_body, lut, m8, corr_mid, plan,
+                           base_log: int, levels: int, tb: int = 8,
+                           interpret: bool = False,
+                           ablate: str | None = None):
+    """Blind rotation through the v5 byte-limb kernel; same semantics as
+    ops.mxu.blind_rotate_mxu.  m8/corr_mid from mxu.bsk_to_mxu_v5."""
+    from .server import monomial_div
+
+    b, k1, n = lut.shape
+    n_in = m8.shape[0]
+    assert b % tb == 0, (b, tb)
+    acc0 = monomial_div(lut, msed_body[:, None, None])
+    lo0 = to_v4_layout((acc0 & np.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                       k1, n, tb)
+    hi0 = to_v4_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n, tb)
+    run = build_blind_rotate_v5(n, base_log, levels, k1, tb, n_in, interpret,
+                                ablate=ablate, num_primes=plan.num_primes,
+                                round_bits=plan.round_bits)
+    n2 = n // 128
+    n_pad = -(-n_in // 128) * 128
+    mi = msed_mask.astype(jnp.int32)
+    a_rows = jnp.tile(mi.reshape(b // tb, 1, tb, n_in), (1, k1 * n2, 1, 1))
+    a_rows = a_rows.reshape(b * k1 * n2, n_in)
+    a_rows = jnp.pad(a_rows, ((0, 0), (0, n_pad - n_in)))
+    lo, hi = run(lo0, hi0, a_rows, m8, corr_mid)
+    lo = from_v4_layout(lo, b, k1, n, tb)
+    hi = from_v4_layout(hi, b, k1, n, tb)
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))

@@ -857,7 +857,7 @@ def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
                      drift_r_sigma: float = 0.0, drift_bound: float = 0.0,
                      drift_input_variance: float = 0.0,
                      fold_mode: str = "solinas", kernel: str = "v3",
-                     interpret: bool = False):
+                     interpret: bool = False, corr_mid=None):
     """The atomic pattern over the MXU stack: int8-limb keyswitch matmul,
     modulus switch, the fused v3/v4 MXU blind-rotate kernel, sample extract.
 
@@ -866,7 +866,8 @@ def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
     for kernel="v4" pass mxu.transpose_middle(m_limbs) instead; mplan:
     mxu.make_mxu_plan(N).
     """
-    from .pallas_mxu import blind_rotate_pallas_v3, blind_rotate_pallas_v4
+    from .pallas_mxu import (blind_rotate_pallas_v3, blind_rotate_pallas_v4,
+                             blind_rotate_pallas_v5)
 
     n_poly = lut.shape[-1]
     log_mod = n_poly.bit_length()
@@ -885,8 +886,13 @@ def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
         else:
             body = modulus_switch(ks[:, -1], log_mod, bits)
         msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
-    br = blind_rotate_pallas_v4 if kernel == "v4" else blind_rotate_pallas_v3
-    acc = br(msed_mask, body, lut, m_limbs, mplan,
-             pbs_base_log, pbs_levels, tb=tb, fold_mode=fold_mode,
-             interpret=interpret)
+    if kernel == "v5":
+        acc = blind_rotate_pallas_v5(msed_mask, body, lut, m_limbs, corr_mid,
+                                     mplan, pbs_base_log, pbs_levels, tb=tb,
+                                     interpret=interpret)
+    else:
+        br = blind_rotate_pallas_v4 if kernel == "v4" else blind_rotate_pallas_v3
+        acc = br(msed_mask, body, lut, m_limbs, mplan,
+                 pbs_base_log, pbs_levels, tb=tb, fold_mode=fold_mode,
+                 interpret=interpret)
     return sample_extract(acc)

@@ -97,15 +97,21 @@ def hash_128bit(count: int, *chunks: bytes) -> list:
 
 
 def poly_mul_zp(a: list, b: list) -> list:
-    """Coefficient product over Zp. Packs into one bigint multiply:
-    slot width covers max coeff product sum (len * R^2)."""
+    """Coefficient product over Zp. Packs into one bigint multiply
+    (Kronecker substitution): slot width covers max coeff product sum
+    (len * R^2).  Packing/unpacking goes through bytes — building the
+    packed ints by shift-accumulate and slicing results with `>>` is
+    O(n^2) in the bigint length and dominated the prover."""
     n_out = len(a) + len(b) - 1
     slot = (2 * R.bit_length() + max(len(a), len(b)).bit_length() + 7) // 8 * 8
-    A = sum(int(c) << (slot * i) for i, c in enumerate(a))
-    B = sum(int(c) << (slot * i) for i, c in enumerate(b))
-    C = A * B
-    mask = (1 << slot) - 1
-    return [((C >> (slot * i)) & mask) % R for i in range(n_out)]
+    sb = slot // 8
+    A = int.from_bytes(b"".join(int(c).to_bytes(sb, "little") for c in a),
+                       "little")
+    B = int.from_bytes(b"".join(int(c).to_bytes(sb, "little") for c in b),
+                       "little")
+    C = (A * B).to_bytes(sb * (len(a) + len(b)), "little")
+    return [int.from_bytes(C[sb * i:sb * (i + 1)], "little") % R
+            for i in range(n_out)]
 
 
 def poly_sub_zp(a: list, b: list) -> list:
