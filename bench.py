@@ -108,9 +108,14 @@ def bench_v3(ck, sk, params, batch):
     mplan = mxu.make_mxu_plan(p.polynomial_size, num_primes=nprimes,
                               round_bits=rb)
     bhat, _ = mxu.bsk_eval_domain(bsk, mplan, mont=(fold == "redc"))
-    m_dev = mxu.middle_from_eval_device(jax.device_put(bhat), mplan)
-    if kernel == "v4":
-        m_dev = jnp.swapaxes(m_dev, -1, -2)   # transpose_middle, on device
+    corr_dev = None
+    if kernel == "v5":
+        m_dev, corr_dev = mxu.middle_v5_from_eval_device(
+            jax.device_put(bhat), mplan)
+    else:
+        m_dev = mxu.middle_from_eval_device(jax.device_put(bhat), mplan)
+        if kernel == "v4":
+            m_dev = jnp.swapaxes(m_dev, -1, -2)  # transpose_middle, on device
     np.asarray(m_dev[0, 0, 0, 0, 0, 0])
     print(f"# mxu key build: {time.time()-t0:.1f}s fold={fold} "
           f"primes={nprimes} round_bits={rb} kernel={kernel}",
@@ -129,7 +134,7 @@ def bench_v3(ck, sk, params, batch):
         return srv.ks_pbs_batch_mxu(
             bc, lut_b, sk.ksk, m_dev, mplan, p.ks_base_log, p.ks_level,
             p.pbs_base_log, p.pbs_level, p.bits, True, tb, fold_mode=fold,
-            kernel=kernel)
+            kernel=kernel, corr_mid=corr_dev)
 
     t0 = time.time()
     out = run(ct_sets[0])

@@ -63,3 +63,24 @@ def test_three_prime_rounded_atomic_pattern(keys):
         dec = ck.decrypt_raw(Ciphertext(out[i], 15, NOMINAL_NOISE,
                                         P.message_modulus, P.carry_modulus))
         assert dec == (v + 7) % 16
+
+
+def test_atomic_pattern_v5_decrypts(keys):
+    """The v5 byte-limb kernel through the full atomic pattern."""
+    ck, sk = keys
+    mplan = mxu.make_mxu_plan(P.polynomial_size, num_primes=3, round_bits=15)
+    m8, corr, _ = mxu.bsk_to_mxu_v5(sk._bsk_coeff, mplan)
+    lut = sk.generate_lookup_table(lambda x: (x * 7 + 3) % 16)
+    cts = [ck.encrypt(v) for v in (1, 3)]
+    batch = jnp.asarray(np.stack([np.asarray(c.data) for c in cts]))
+    lut_b = jnp.asarray(np.broadcast_to(lut.acc, (2,) + lut.acc.shape))
+    out = np.asarray(srv.ks_pbs_batch_mxu(
+        batch, lut_b, sk.ksk, jnp.asarray(m8), mplan,
+        P.ks_base_log, P.ks_level, P.pbs_base_log, P.pbs_level,
+        P.bits, False, 2, kernel="v5", corr_mid=jnp.asarray(corr),
+        interpret=True))
+    from tfhe_tpu.shortint.ciphertext import NOMINAL_NOISE, Ciphertext
+    for i, v in enumerate((1, 3)):
+        dec = ck.decrypt_raw(Ciphertext(out[i], 15, NOMINAL_NOISE,
+                                        P.message_modulus, P.carry_modulus))
+        assert dec == (v * 7 + 3) % 16

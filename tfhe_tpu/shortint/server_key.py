@@ -188,7 +188,8 @@ class ServerKey:
         """Lazy one-time build of the MXU engine's middle tensors on device
         (~1.4 GB at 3-prime 2_2; ~70 s first time).  Env knobs:
         TFHE_TPU_MXU_PRIMES (3), TFHE_TPU_MXU_ROUND_BITS (15 when 3-prime),
-        TFHE_TPU_MXU_FOLD (solinas), TFHE_TPU_MXU_TB (64)."""
+        TFHE_TPU_MXU_FOLD (solinas), TFHE_TPU_MXU_TB (64),
+        TFHE_TPU_MXU_KERNEL (v3 | v4 | v5)."""
         if getattr(self, "_mxu_m", None) is None:
             import os
 
@@ -199,15 +200,26 @@ class ServerKey:
             rb = int(os.environ.get("TFHE_TPU_MXU_ROUND_BITS",
                                     "15" if nprimes == 3 else "0"))
             fold = os.environ.get("TFHE_TPU_MXU_FOLD", "solinas")
+            kernel = os.environ.get("TFHE_TPU_MXU_KERNEL", "v3")
             mplan = mxu.make_mxu_plan(p.polynomial_size, num_primes=nprimes,
                                       round_bits=rb)
             bhat, _ = mxu.bsk_eval_domain(self._bsk_coeff, mplan,
                                           mont=(fold == "redc"))
-            self._mxu_m = mxu.middle_from_eval_device(jax.device_put(bhat),
-                                                      mplan)
+            bhat_d = jax.device_put(bhat)
+            self._mxu_corr = None
+            if kernel == "v5":
+                self._mxu_m, self._mxu_corr = mxu.middle_v5_from_eval_device(
+                    bhat_d, mplan)
+            elif kernel == "v4":
+                self._mxu_m = mxu.transpose_middle(
+                    mxu.middle_from_eval_device(bhat_d, mplan))
+            else:
+                self._mxu_m = mxu.middle_from_eval_device(bhat_d, mplan)
             self._mxu_plan = mplan
             self._mxu_fold = fold
-        return self._mxu_m, self._mxu_plan, self._mxu_fold
+            self._mxu_kernel = kernel
+        return (self._mxu_m, self._mxu_plan, self._mxu_fold,
+                self._mxu_kernel, self._mxu_corr)
 
     # ------------------------------------------------------------------
     # Lookup tables
@@ -275,7 +287,7 @@ class ServerKey:
         elif self.use_mxu:
             import os
 
-            m, mplan, fold = self._ensure_mxu()
+            m, mplan, fold, kernel, corr = self._ensure_mxu()
             # padded batch is a power of two >= 8: tb always divides it
             tb = min(int(os.environ.get("TFHE_TPU_MXU_TB", "64")),
                      batch.shape[0])
@@ -288,7 +300,7 @@ class ServerKey:
                 getattr(self, "drift_zeros", None),
                 p.drift_r_sigma, p.drift_ms_bound,
                 p.drift_input_variance * (2.0 ** 64) ** 2,
-                fold_mode=fold,
+                fold_mode=fold, kernel=kernel, corr_mid=corr,
             )
         else:
             out = srv.ks_pbs_batch(
