@@ -442,8 +442,15 @@ static void msm(uint8_t *out, const uint8_t *pts, const uint8_t *scalars, u64 n)
     std::vector<Jac<F>> points(n);
     for (u64 i = 0; i < n; i++) point_from_bytes<F>(points[i], pts + i * psz);
 
+    // window size minimizing ceil(320/c) * (n + 2^c): the classic
+    // Pippenger cost model (a plain c ~ log2(n) overshoots ~1.7x here)
     int c = 2;
-    while ((1u << c) < n && c < 16) c++; // window size ~ log2(n)
+    double best = 1e30;
+    for (int cc = 2; cc <= 16; cc++) {
+        double cost = double((SC_BITS + cc - 1) / cc) *
+                      (double(n) + double(1u << cc));
+        if (cost < best) { best = cost; c = cc; }
+    }
     int nbuckets = (1 << c) - 1;
     std::vector<Jac<F>> buckets(nbuckets);
 
@@ -952,6 +959,38 @@ void bls446_pairing(const uint8_t *p112, const uint8_t *q224, uint8_t *out672) {
         miller_loop(m, q, xp, yp);
         final_exponentiation(f, m);
     }
+    const Fp2 *cs[6] = {&f.c0.c0, &f.c0.c1, &f.c0.c2,
+                        &f.c1.c0, &f.c1.c1, &f.c1.c2};
+    for (int i = 0; i < 6; i++) f_to_bytes<Fp2>(out672 + i * 112, *cs[i]);
+}
+
+// product of n pairings with ONE shared final exponentiation — the form
+// every verification equation takes (prod e(P_i, Q_i) == 1 after moving the
+// rhs across with negated G1 points).  ~halves per-pairing cost for the
+// verifier (reference: pairing_check_two_steps, pke_v2/mod.rs:2545).
+void bls446_pairing_product(const uint8_t *ps, const uint8_t *qs, u64 n,
+                            uint8_t *out672) {
+    Fp12 acc;
+    fp12_one(acc);
+    for (u64 i = 0; i < n; i++) {
+        const uint8_t *p112 = ps + i * 112;
+        const uint8_t *q224 = qs + i * 224;
+        bool p_inf = true, q_inf = true;
+        for (int j = 0; j < 112; j++) if (p112[j]) { p_inf = false; break; }
+        for (int j = 0; j < 224; j++) if (q224[j]) { q_inf = false; break; }
+        if (p_inf || q_inf) continue;
+        Fp xp, yp;
+        fp_from_bytes(xp, p112);
+        fp_from_bytes(yp, p112 + 56);
+        G2Aff q;
+        f_from_bytes<Fp2>(q.x, q224);
+        f_from_bytes<Fp2>(q.y, q224 + 112);
+        Fp12 m;
+        miller_loop(m, q, xp, yp);
+        fp12_mul(acc, acc, m);
+    }
+    Fp12 f;
+    final_exponentiation(f, acc);
     const Fp2 *cs[6] = {&f.c0.c0, &f.c0.c1, &f.c0.c2,
                         &f.c1.c0, &f.c1.c1, &f.c1.c2};
     for (int i = 0; i < 6; i++) f_to_bytes<Fp2>(out672 + i * 112, *cs[i]);

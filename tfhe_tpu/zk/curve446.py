@@ -519,6 +519,30 @@ def pairing(p, q):
     return final_exponentiation(miller_loop(q, p))
 
 
+def pairing_product(pairs):
+    """prod_i e(P_i, Q_i) with ONE shared final exponentiation (native) —
+    the shape every verification equation takes once the rhs is moved
+    across with negated G1 points.  Falls back to per-pair pairing()."""
+    if _NATIVE is not None and getattr(_NATIVE, "_has_pairing_product", False):
+        import ctypes
+
+        live = [(p, q) for p, q in pairs if p is not None and q is not None]
+        if not live:
+            return F12_ONE
+        ps = b"".join(_pt1_pack(p) for p, _ in live)
+        qs = b"".join(_pt2_pack(q) for _, q in live)
+        out = ctypes.create_string_buffer(672)
+        _NATIVE.bls446_pairing_product(ps, qs, len(live), out)
+        v = [int.from_bytes(out.raw[56 * i:56 * (i + 1)], "little")
+             for i in range(12)]
+        return (((v[0], v[1]), (v[2], v[3]), (v[4], v[5])),
+                ((v[6], v[7]), (v[8], v[9]), (v[10], v[11])))
+    acc = F12_ONE
+    for p, q in pairs:
+        acc = f12_mul(acc, pairing(p, q))
+    return acc
+
+
 # ---------------------------------------------------------------------------
 # Native backend (native/bls446.cpp): Montgomery-limb Pippenger MSM and
 # fixed-base power chains — the analog of the reference's hand-rolled Rust
@@ -556,6 +580,11 @@ def _load_native():
         lib.bls446_pairing_init.argtypes = [cp, cp, u64, cp, u64,
                                             ctypes.c_int]
         lib.bls446_pairing.argtypes = [cp, cp, vp]
+        try:
+            lib.bls446_pairing_product.argtypes = [cp, cp, u64, vp]
+            lib._has_pairing_product = True
+        except AttributeError:
+            lib._has_pairing_product = False
         gam = b"".join(int(g[0]).to_bytes(56, "little")
                        + int(g[1]).to_bytes(56, "little")
                        for g in _GAMMA[1:6])

@@ -794,44 +794,47 @@ def verify(proof: Proof, pp: PublicParams, pc: PublicCommit,
     g1g, g2g = cv.G1_GEN, cv.G2_GEN
 
     # -- equation 1: e(pi, ghat) == prod of commitment pairings -----------
-    lhs0 = cv.pairing(cv.g1_add(cv.g1_mul(proof.c_y, delta_y), proof.c_h1),
-                      proof.c_hat_bin)
-    lhs1 = cv.pairing(cv.g1_add(cv.g1_mul(proof.c_e, delta_l), proof.c_h2),
-                      proof.c_hat_e)
+    # checked as ONE pairing product == 1 (inverse factors carry negated G1
+    # points), sharing a single final exponentiation across all 8 pairings
+    # (pairing_check_two_steps, pke_v2/mod.rs:2545)
     h3_point = proof.c_hat_h3 if load_proof else cv.msm_g2(
         g_hat_list[n - (d + k):n],
         [h3_term(j) for j in range(d + k - 1, -1, -1)])
-    lhs2 = cv.pairing(proof.c_r_tilde, h3_point)
-    lhs3 = cv.pairing(proof.c_R, cv.msm_g2(
-        g_hat_list[n - 128:n],
-        [(delta_r * phi[j] + delta_dec * xi[j]) % R
-         for j in range(127, -1, -1)]))
     w_point = proof.c_hat_w if load_proof else cv.msm_g2(
         g_hat_list[:d + k + 4], omega[:d + k + 4])
-    lhs4 = cv.pairing(cv.g1_mul(proof.c_e, delta_e), w_point)
-    lhs5 = cv.pairing(cv.g1_mul(proof.c_y, delta_eq), proof.c_hat_t)
     s6 = (delta_theta * t_theta + delta_l * (b_squared % R)) % R
-    lhs6 = cv.pairing(cv.g1_mul(g_list[0], s6), g_hat_list[n - 1])
-    rhs = cv.pairing(proof.pi, g2g)
-
-    lhs = cv.f12_mul(cv.f12_mul(lhs0, lhs1), lhs2)
-    lhs = cv.f12_mul(lhs, cv.f12_inv(
-        cv.f12_mul(cv.f12_mul(lhs3, lhs4), cv.f12_mul(lhs5, lhs6))))
-    if lhs != rhs:
+    prod = cv.pairing_product([
+        (cv.g1_add(cv.g1_mul(proof.c_y, delta_y), proof.c_h1),
+         proof.c_hat_bin),
+        (cv.g1_add(cv.g1_mul(proof.c_e, delta_l), proof.c_h2),
+         proof.c_hat_e),
+        (proof.c_r_tilde, h3_point),
+        (cv.g1_neg(proof.c_R), cv.msm_g2(
+            g_hat_list[n - 128:n],
+            [(delta_r * phi[j] + delta_dec * xi[j]) % R
+             for j in range(127, -1, -1)])),
+        (cv.g1_neg(cv.g1_mul(proof.c_e, delta_e)), w_point),
+        (cv.g1_neg(cv.g1_mul(proof.c_y, delta_eq)), proof.c_hat_t),
+        (cv.g1_neg(cv.g1_mul(g_list[0], s6)), g_hat_list[n - 1]),
+        (cv.g1_neg(proof.pi), g2g),
+    ])
+    if prod != cv.F12_ONE:
         return False
 
-    # -- equation 2: the KZG opening --------------------------------------
+    # -- equation 2: the KZG opening (same one-product form) --------------
     p1 = cv.g1_add(
         cv.g1_add(proof.c_h1, cv.g1_mul(proof.c_h2, chi)),
         cv.g1_neg(cv.g1_mul(g1g, (e_h1 + chi * e_h2) % R)))
-    lhs0b = cv.pairing(p1, g2g)
     chat = cv.g2_mul(proof.c_hat_t, chi2)
     if load_proof:
         chat = cv.g2_add(chat, cv.g2_mul(proof.c_hat_h3, chi3))
         chat = cv.g2_add(chat, cv.g2_mul(proof.c_hat_w, chi4))
     chat = cv.g2_add(chat, cv.g2_neg(cv.g2_mul(
         g2g, (e_t * chi2 + e_h3 * chi3 + e_om * chi4) % R)))
-    lhs1b = cv.pairing(g1g, chat)
-    rhs_b = cv.pairing(proof.pi_kzg,
-                       cv.g2_add(g_hat_list[0], cv.g2_neg(cv.g2_mul(g2g, z))))
-    return cv.f12_mul(lhs0b, lhs1b) == rhs_b
+    prod2 = cv.pairing_product([
+        (p1, g2g),
+        (g1g, chat),
+        (cv.g1_neg(proof.pi_kzg),
+         cv.g2_add(g_hat_list[0], cv.g2_neg(cv.g2_mul(g2g, z)))),
+    ])
+    return prod2 == cv.F12_ONE
