@@ -210,33 +210,99 @@ def _decode_q(q: int) -> int:
     return 1 << 64 if q == 0 else q
 
 
+def _i16_pieces(vals, n_pieces: int):
+    """Centered ints -> balanced 16-bit piece rows (np.int64)."""
+    import numpy as _np
+
+    rows = []
+    cur = list(vals)
+    for _ in range(n_pieces):
+        le = [((v + 0x8000) & 0xFFFF) - 0x8000 for v in cur]
+        rows.append(_np.asarray(le, dtype=_np.int64))
+        cur = [(v - l) >> 16 for v, l in zip(cur, le)]
+    assert all(v == 0 for v in cur), "piece count too small"
+    return rows
+
+
 def compute_r1(e1, c1, a, r, d, decoded_q):
-    """proofs/mod.rs:235 — exact division by q of the mask relation."""
+    """proofs/mod.rs:235 — exact division by q of the mask relation.
+
+    The negacyclic a*rot(r) term is 5 exact int64 convolutions (binary r,
+    16-bit pieces of a) instead of an O(d^2) Python loop."""
+    import numpy as _np
+
+    rr = _np.asarray([r[d - 1 - j] for j in range(d)], dtype=_np.int64)
+    conv_groups = []
+    for p, ap in enumerate(_i16_pieces(a, 5)):
+        cv = _np.convolve(ap, rr)                       # len 2d-1
+        neg = _np.zeros(d, dtype=_np.int64)
+        neg[: d - 1] = cv[d:]
+        conv_groups.append((p, cv[:d] - neg))
     r1 = [e1[i] - c1[i] for i in range(d)]
-    for i in range(d):
-        ai = a[i]
-        if ai == 0:
-            continue
-        for j in range(d):
-            t = ai * r[d - j - 1]
-            if i + j < d:
-                r1[i + j] += t
-            else:
-                r1[i + j - d] -= t
+    for p, g in conv_groups:
+        sh = 16 * p
+        for i in _np.nonzero(g)[0]:
+            r1[int(i)] += int(g[i]) << sh
     return [v // decoded_q for v in r1]
 
 
 def compute_r2(e2, c2, m, b, r, d, delta, decoded_q):
-    """proofs/mod.rs:275."""
-    out = []
-    for i in range(len(c2)):
-        v = delta * m[i] + e2[i] - c2[i]
-        dot = 0
-        for j in range(d):
-            bv = b[d - j - i - 1] if i + j < d else -b[2 * d - j - i - 1]
-            dot += r[d - j - 1] * bv
-        out.append((v + dot) // decoded_q)
-    return out
+    """proofs/mod.rs:275 — same vectorization for the body relation."""
+    import numpy as _np
+
+    k = len(c2)
+    rr = _np.asarray([r[d - 1 - j] for j in range(d)], dtype=_np.int64)
+    # dot_i = sum_j rr[j] * bs[i + j], bs[w] = b[d-1-w] (w<d), -b[2d-1-w]
+    bs = [b[d - 1 - w] for w in range(d)] + \
+         [-b[2 * d - 1 - w] for w in range(d, d + k - 1)]
+    dots = [0] * k
+    for p, bp in enumerate(_i16_pieces(bs, 5)):
+        cv = _np.convolve(bp[::-1], rr)   # corr[i] = cv[len(bs)-1-i]
+        sh = 16 * p
+        for i in range(k):
+            t = int(cv[len(bs) - 1 - i])
+            if t:
+                dots[i] += t << sh
+    return [(delta * m[i] + e2[i] - c2[i] + dots[i]) // decoded_q
+            for i in range(k)]
+
+
+def a_theta_head(theta1, theta2, a, b, d, k):
+    """The rot(a).T/rot(b).T head block shared by pke v1 and pke_v2:
+    head[i] = (sum_{j>=i} a[j-i] th1[j] - sum_{j<i} a[d+j-i] th1[j]
+               + sum_j ±b[...] th2[j]) mod R, vectorized as exact int64
+    correlations (theta split into 14 u32 limbs, kernels into 5 balanced
+    16-bit pieces; |conv sums| < 2d * 2^15 * 2^32 < 2^60)."""
+    import numpy as _np
+
+    NL = 14
+    th1 = [_np.asarray([(v >> (32 * l)) & 0xFFFFFFFF for v in theta1],
+                       dtype=_np.int64) for l in range(NL)]
+    th2 = [_np.asarray([(v >> (32 * l)) & 0xFFFFFFFF for v in theta2],
+                       dtype=_np.int64) for l in range(NL)]
+    kern = [-a[d + t] for t in range(-(d - 1), 0)] + list(a)
+    bs = [b[d - 1 - w] for w in range(d)] + \
+         [-b[2 * d - 1 - w] for w in range(d, d + k - 1)]
+    kp = _i16_pieces(kern, 5)
+    bp = _i16_pieces(bs, 5)
+    buckets = [None] * (5 + 2 * NL - 1)
+    for p in range(5):
+        kr = kp[p][::-1]
+        br = bp[p][::-1]
+        for l in range(NL):
+            g = _np.convolve(kr, th1[l])[d - 1:2 * d - 1]
+            g = g + _np.convolve(br, th2[l])[k - 1:d + k - 1][::-1]
+            w = p + 2 * l
+            buckets[w] = g if buckets[w] is None else buckets[w] + g
+    gs = [[int(x) for x in bk] if bk is not None else None for bk in buckets]
+    head = [0] * d
+    for i in range(d):
+        acc = 0
+        for w, bk in enumerate(gs):
+            if bk is not None:
+                acc += bk[i] << (16 * w)
+        head[i] = acc % R
+    return head
 
 
 def _compute_a_theta(theta0, d, a, k, b, big_d, t_eff, delta, b_i, b_r, decoded_q):
@@ -246,19 +312,7 @@ def _compute_a_theta(theta0, d, a, k, b, big_d, t_eff, delta, b_i, b_r, decoded_
     theta2 = theta0[d:]
     q = decoded_q % R
     a_theta = [0] * big_d
-    for i in range(d):
-        dot = 0
-        for j in range(d):
-            if i <= j:
-                dot += a[j - i] * theta1[j]
-            else:
-                dot -= a[(d + j) - i] * theta1[j]
-        for j in range(k):
-            if i + j < d:
-                dot += b[d - i - j - 1] * theta2[j]
-            else:
-                dot -= b[2 * d - i - j - 1] * theta2[j]
-        a_theta[i] = dot % R
+    a_theta[:d] = a_theta_head(theta1, theta2, a, b, d, k)
     off = d
     step = t_eff.bit_length() - 1
     for i in range(k):

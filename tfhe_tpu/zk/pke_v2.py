@@ -277,78 +277,20 @@ def _phi_dot_R(phi: list, r_mat: list, j: int) -> int:
     return acc % R
 
 
-def _balanced_i16_pieces(vals: list, n_pieces: int):
-    """Centered ints -> n_pieces balanced 16-bit pieces (numpy int64 rows):
-    v = sum_p pieces[p] * 2^(16p), |pieces[p]| <= 2^15."""
-    import numpy as _np
-
-    rows = []
-    cur = list(vals)
-    for _ in range(n_pieces):
-        le = [((v + 0x8000) & 0xFFFF) - 0x8000 for v in cur]
-        rows.append(_np.asarray(le, dtype=_np.int64))
-        cur = [(v - l) >> 16 for v, l in zip(cur, le)]
-    assert all(v == 0 for v in cur), "piece count too small"
-    return rows
-
-
-def _u32_limbs(vals: list, n_limbs: int):
-    import numpy as _np
-
-    return [_np.asarray([(v >> (32 * l)) & 0xFFFFFFFF for v in vals],
-                        dtype=_np.int64) for l in range(n_limbs)]
-
-
 def compute_a_theta(theta: list, a: list, d: int, k: int, b: list,
                     big_d: int, t_eff: int, delta: int) -> list:
     """pke_v2/mod.rs:2073 — A~.T theta: negacyclic rot(a).T/rot(b).T block
     then the delta-scaled binary-gadget block for the k messages.
 
-    Vectorized: the i<=j / i>j branches are one correlation with the length
-    2d-1 kernel K[t] = a[t] (t>=0), -a[d+t] (t<0); theta (446-bit scalars
-    mod R) splits into 14 u32 limbs and the i64 kernels into 5 balanced
-    16-bit pieces, so every np.convolve is exact in int64 (|sum| <
-    2d * 2^15 * 2^32 < 2^60).  compute_a_theta_scalar is the reference
-    implementation (kept for the parity test)."""
-    import numpy as _np
+    Vectorized through the shared pke.a_theta_head (exact int64
+    correlations); compute_a_theta_scalar is the reference implementation
+    (kept for the parity test)."""
+    from .pke import a_theta_head
 
     theta1 = theta[:d]
     theta2 = theta[d:d + k]
-    NL, NP = 14, 5
-    th1 = _u32_limbs(theta1, NL)
-    th2 = _u32_limbs(theta2, NL)
-
-    # ab[i] = sum_t K[t] * theta1[i + t], K[t>=0] = a[t], K[t<0] = -a[d+t]
-    kern = [-a[d + t] for t in range(-(d - 1), 0)] + list(a)       # t asc
-    kp = _balanced_i16_pieces(kern, NP)
-    # bs[w] = b[d-1-w] (w < d), -b[2d-1-w] (w >= d);  bb[i] = sum_j
-    # bs[i+j] * theta2[j]
-    bs = [b[d - 1 - w] for w in range(d)] + \
-         [-b[2 * d - 1 - w] for w in range(d, d + k - 1)]
-    bp = _balanced_i16_pieces(bs, NP)
-
-    # weight buckets w = p + 2l (value 2^(16w)); <= 3 (p,l) pairs share a
-    # bucket, so int64 accumulation stays exact (< 2^62)
-    buckets = [None] * (NP + 2 * NL - 1)
-    for p in range(NP):
-        kr = kp[p][::-1]
-        br = bp[p][::-1]
-        for l in range(NL):
-            # corr1[i] = sum_t K[t] theta1[i+t] = conv(K_rev, th1)[i+d-1]
-            g = _np.convolve(kr, th1[l])[d - 1:2 * d - 1]
-            # bb[i] = sum_t bs[t] theta2[t-i] = conv(bs_rev, th2)[d+k-2-i]
-            g = g + _np.convolve(br, th2[l])[k - 1:d + k - 1][::-1]
-            w = p + 2 * l
-            buckets[w] = g if buckets[w] is None else buckets[w] + g
     a_theta = [0] * big_d
-    gs = [[int(x) for x in bk] if bk is not None else None
-          for bk in buckets]
-    for i in range(d):
-        acc = 0
-        for w, bk in enumerate(gs):
-            if bk is not None:
-                acc += bk[i] << (16 * w)
-        a_theta[i] = acc % R
+    a_theta[:d] = a_theta_head(theta1, theta2, a, b, d, k)
 
     step = t_eff.bit_length() - 1
     for i in range(k):
