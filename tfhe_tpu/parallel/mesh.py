@@ -8,8 +8,10 @@ it, keys replicated, and XLA inserting any needed collectives.  Scale-out to
 a multi-host pod slice is the same program over a bigger mesh.
 
 Axes (SURVEY.md §2.13): "batch" (data-parallel over ciphertexts) is the
-primary axis; an optional "poly" axis for sharding single huge-N polynomial
-transforms is reserved for the large-parameter (N >= 2^14) configurations.
+primary axis; the "poly" axis for sharding single huge-N polynomial
+transforms (the large-parameter N >= 2^14 configurations, P5) lives in
+parallel/poly_shard.py — distributed four-step NTT with all_to_all
+transposes and a poly-sharded-BSK blind rotate.
 """
 
 from __future__ import annotations
@@ -79,7 +81,8 @@ def sharded_ks_pbs_shard_map(mesh: Mesh, ct, lut, ksk, bsk_mont, plan,
     multi-chip path.  pallas_call does not partition under GSPMD, so
     shard_map is what lets the hand-written kernel scale across the mesh.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map  # noqa: the jax.shard_map
+    # alias drops check_rep, which the pallas-bearing bodies need disabled
 
     ct = shard_batch(mesh, ct, axis_name)
     lut = shard_batch(mesh, lut, axis_name)
@@ -115,7 +118,8 @@ def sharded_ks_pbs_mxu(mesh: Mesh, ct, lut, ksk, m_limbs, mplan,
     replicated per chip, each device running the fused v3/v4 kernel on its
     shard via shard_map — pure data parallelism, no steady-state
     collectives, linear PBS/s scaling over ICI."""
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map  # noqa: the jax.shard_map
+    # alias drops check_rep, which the pallas-bearing bodies need disabled
 
     ct = shard_batch(mesh, ct, axis_name)
     lut = shard_batch(mesh, lut, axis_name)
