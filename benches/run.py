@@ -187,6 +187,32 @@ def bench_integer(which, batch):
               ref_ms, note, throughput=False)
 
 
+def bench_integer_throughput(which, batch):
+    """FheUint64 add throughput via the cross-op round-coalescing scheduler
+    (one device round per carry-propagation round across all pairs) —
+    reference: 8xH100 multi-bit 510 adds/s => ~64/s per accelerator."""
+    import tfhe_tpu as t
+    from tfhe_tpu.integer import scheduler
+
+    p = get_params(which)
+    cfg = t.ConfigBuilder().use_custom_parameters(p).build()
+    ck, sk = t.generate_keys(cfg, seed=0x1F)
+    t.set_server_key(sk)
+    ik = sk.integer_key
+    rng = np.random.default_rng(2)
+    npairs = max(4, batch // 8)
+    sets = []
+    for s in range(3):
+        pairs = [(t.FheUint64.encrypt(int(rng.integers(1 << 62)), ck).inner,
+                  t.FheUint64.encrypt(int(rng.integers(1 << 62)), ck).inner)
+                 for _ in range(npairs)]
+        sets.append((pairs,))
+    dt = _time(lambda ps: scheduler.add_many_parallelized(ik, ps), sets,
+               lambda o: o)
+    _emit(f"fheuint64_add_throughput_{which}", npairs / dt, "ops/s per chip",
+          64, "8xH100 multi-bit 510 adds/s => ~64 per accelerator")
+
+
 SUITES = {
     "ks": bench_ks,
     "ks_pbs": bench_ks_pbs,
@@ -194,6 +220,7 @@ SUITES = {
     "pbs128": bench_pbs128,
     "compression": bench_compression,
     "integer": bench_integer,
+    "integer_throughput": bench_integer_throughput,
 }
 
 
