@@ -94,7 +94,10 @@ def bench_v3(ck, sk, params, batch):
     p = params
     fold = os.environ.get("TFHE_TPU_BENCH_FOLD", "solinas")
     kernel = os.environ.get("TFHE_TPU_BENCH_KERNEL", "v3")
-    nprimes = int(os.environ.get("TFHE_TPU_BENCH_PRIMES", "3"))
+    # default stays on the hardware-compile-cached 4-prime config; 3-prime
+    # (25% less per-prime work) is opt-in until its kernel shape has been
+    # compiled on the real chip (first compile ~20 min through the tunnel)
+    nprimes = int(os.environ.get("TFHE_TPU_BENCH_PRIMES", "4"))
     rb = int(os.environ.get("TFHE_TPU_BENCH_ROUND_BITS",
                             "15" if nprimes == 3 else "0"))
     t0 = time.time()
