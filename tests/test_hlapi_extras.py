@@ -108,3 +108,17 @@ def test_scalar_bitwise_operators(keyset):
     assert (a | 0b0000_1111).decrypt(ck) == 0b1100_1111
     assert (a ^ 0b1111_1111).decrypt(ck) == 0b0011_0101
     assert (0b1111_0000 & a).decrypt(ck) == 0b1100_0000
+
+
+def test_hlapi_shuffle_and_match(keyset):
+    from tfhe_tpu.hlapi import bitonic_shuffle, match_value, match_value_or
+
+    ck = keyset.client_key
+    vals = [9, 4, 6]
+    enc = [t.FheUint8.encrypt(v, ck) for v in vals]
+    out = bitonic_shuffle(enc, key_bits=12, seed=3)
+    assert sorted(x.decrypt(ck) for x in out) == sorted(vals)
+    a = t.FheUint8.encrypt(4, ck)
+    res, hit = match_value(a, [(4, 200), (9, 7)])
+    assert res.decrypt(ck) == 200 and hit.decrypt(ck) is True
+    assert match_value_or(a, [(5, 1)], 123).decrypt(ck) == 123

@@ -162,3 +162,34 @@ def test_radix_modulus_switched_compression(keys):
             # signedness preserved through the roundtrip
             from tfhe_tpu.integer.ciphertext import SignedRadixCiphertext
             assert isinstance(back, SignedRadixCiphertext) == comp.signed
+
+
+def test_match_value(keys):
+    ck, sk = keys
+    matches = [(2, 17), (5, 99), (9, 3)]
+    for v, want, hit in ((5, 99, True), (2, 17, True), (7, 0, False)):
+        a = ck.encrypt_radix(v, 4)
+        res, matched = sk.match_value_parallelized(a, matches)
+        assert ck.decrypt_radix(res) == want
+        assert ck.decrypt_bool(matched) == hit
+    a = ck.encrypt_radix(7, 4)
+    out = sk.match_value_or_parallelized(a, matches, 42)
+    assert ck.decrypt_radix(out) == 42
+    out2 = sk.match_value_or_parallelized(ck.encrypt_radix(9, 4), matches, 42)
+    assert ck.decrypt_radix(out2) == 3
+
+
+def test_bitonic_shuffle(keys):
+    """Shuffle is a permutation; with a wide OPRF key it is seed-dependent."""
+    from tfhe_tpu.integer.oprf import OprfServerKey
+
+    ck, sk = keys
+    ok = OprfServerKey.from_compute_key(sk)
+    vals = [3, 1, 7, 5, 2]
+    enc = [ck.encrypt_radix(v, 2) for v in vals]
+    out = sk.bitonic_shuffle(ok, enc, key_bits=16, seed=0xA5)
+    dec = [ck.decrypt_radix(c) for c in out]
+    assert sorted(dec) == sorted(vals), dec
+    out2 = sk.bitonic_shuffle(ok, enc, key_bits=16, seed=0xB7)
+    dec2 = [ck.decrypt_radix(c) for c in out2]
+    assert sorted(dec2) == sorted(vals)

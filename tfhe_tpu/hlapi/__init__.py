@@ -13,7 +13,8 @@ from .xof_key_set import CompressedXofKeySet, XofKeySet
 from .keys import ClientKey, CompressedServerKey, PublicKey, ServerKey, generate_keys
 from .global_state import set_server_key, unset_server_key
 from . import types as _types
-from .types import ALL_INT_TYPES, ALL_UINT_TYPES, FHE_WIDTHS, FheBool
+from .types import (ALL_INT_TYPES, ALL_UINT_TYPES, FHE_WIDTHS, FheBool,
+                    bitonic_shuffle, match_value, match_value_or)
 
 # re-export every generated width (FheUint2..FheUint2048, FheInt2..FheInt2048
 # — the reference's full 82-type surface, high_level_api/mod.rs pub use list)
@@ -25,5 +26,6 @@ __all__ = [
     "PublicKey", "generate_keys", "set_server_key", "unset_server_key",
     "FheUintArray", "FheAsciiString", "Tag", "CompressedXofKeySet", "XofKeySet",
     "FheBool", "FHE_WIDTHS", "ALL_UINT_TYPES", "ALL_INT_TYPES",
+    "bitonic_shuffle", "match_value", "match_value_or",
 ] + [_t.__name__ for _t in ALL_UINT_TYPES + ALL_INT_TYPES]
 del _t

@@ -372,3 +372,31 @@ for _bits in FHE_WIDTHS:
     ALL_UINT_TYPES.append(_u)
     ALL_INT_TYPES.append(_i)
 del _bits, _u, _i
+
+
+def bitonic_shuffle(values: list, key_bits: int = 40, seed: int = 0):
+    """Uniformly shuffle a list of Fhe integers with OPRF-random sort keys
+    through the bitonic network (high_level_api/integers/shuffle.rs:24).
+    key_bits trades key-collision probability (non-uniformity) against
+    per-comparison cost."""
+    from ..integer.oprf import OprfServerKey
+
+    if not values:
+        return []
+    sk = internal_server_key().integer_key
+    ok = OprfServerKey.from_compute_key(sk)
+    inner = sk.bitonic_shuffle(ok, [v.inner for v in values], key_bits, seed)
+    return [type(values[0])(ct) for ct in inner]
+
+
+def match_value(a, matches: list):
+    """(result, matched) for a plaintext (input -> output) mapping applied
+    to an encrypted value (integer MatchValues, vector_find.rs:24)."""
+    sk = internal_server_key().integer_key
+    result, matched = sk.match_value_parallelized(a.inner, matches)
+    return type(a)(result), FheBool(matched)
+
+
+def match_value_or(a, matches: list, default: int):
+    sk = internal_server_key().integer_key
+    return type(a)(sk.match_value_or_parallelized(a.inner, matches, default))

@@ -509,3 +509,90 @@ class ExtendedOpsMixin:
                 j //= 2
             k *= 2
         return arr[:n0]
+
+    def sort_kv_parallelized(self, keys: list, values: list,
+                             ascending: bool = True) -> tuple:
+        """Bitonic sort of (key, value) pairs by encrypted key, payloads
+        carried through the same coalesced oblivious selects."""
+        from . import scheduler as sched
+
+        n0 = len(keys)
+        assert len(values) == n0
+        if n0 <= 1:
+            return [k.copy() for k in keys], [v.copy() for v in values]
+        n = 1 << (n0 - 1).bit_length()
+        maxk = self.msg ** keys[0].num_blocks - 1
+        padk = self.create_trivial_radix(maxk if ascending else 0,
+                                         keys[0].num_blocks)
+        padv = self.create_trivial_radix(0, values[0].num_blocks)
+        arr = list(zip((self._cleaned(k) for k in keys),
+                       (self._cleaned(v) for v in values)))
+        arr += [(padk, padv)] * (n - n0)
+        k = 2
+        while k <= n:
+            j = k // 2
+            while j >= 1:
+                idx, pairs, dirs = [], [], []
+                for i in range(n):
+                    partner = i ^ j
+                    if partner > i:
+                        idx.append((i, partner))
+                        pairs.append((arr[i], arr[partner]))
+                        dirs.append(((i & k) == 0) == ascending)
+                for (i, partner), (lo, hi) in zip(
+                        idx, sched.compare_exchange_kv_many(self, pairs, dirs)):
+                    arr[i], arr[partner] = lo, hi
+                j //= 2
+            k *= 2
+        return ([kk for kk, _ in arr[:n0]], [vv for _, vv in arr[:n0]])
+
+    def bitonic_shuffle(self, oprf_sk, values: list, key_bits: int,
+                        seed: int) -> list:
+        """Uniform random permutation of encrypted values: OPRF-generated
+        random sort keys pushed through the bitonic network
+        (high_level_api/integers/shuffle.rs:24 bitonic_shuffle; key_bits
+        trades key-collision probability against per-comparison cost)."""
+        nb = -(-key_bits // (self.msg - 1).bit_length())
+        keys = [oprf_sk.generate_oblivious_pseudo_random_unsigned_integer_bounded(
+                    (seed << 20) | i, key_bits, nb, self)
+                for i in range(len(values))]
+        _, out = self.sort_kv_parallelized(keys, list(values))
+        return out
+
+    # ------------------------------------------------------------------
+    # MatchValues: plaintext (input -> output) mapping applied obliviously
+    # (radix_parallel/vector_find.rs:24 MatchValues, :169
+    # match_value_parallelized, :258 match_value_or_parallelized)
+    # ------------------------------------------------------------------
+
+    def match_value_parallelized(self, a: RadixCiphertext,
+                                 matches: list) -> tuple:
+        """matches: [(clear_in, clear_out), ...] with DISTINCT inputs.
+        Returns (result, matched): result = out_i where a == in_i (0 when
+        no match), matched = BooleanBlock.  One eq flag per pair, then one
+        boolean dot product — at most one flag is set, so the weighted sum
+        is exact."""
+        ins = [i for i, _ in matches]
+        assert len(set(ins)) == len(ins), "match inputs must be distinct"
+        outs = [o for _, o in matches]
+        nb_out = max(1, -(-max(max(outs, default=0), 1).bit_length()
+                          // (self.msg - 1).bit_length()))
+        eqs = [self.scalar_eq_parallelized(a, i) for i in ins]
+        result = self.boolean_dot_prod_parallelized(eqs, outs, nb_out)
+        ind = self.boolean_dot_prod_parallelized(eqs, [1] * len(eqs), 1)
+        matched = self.scalar_ne_parallelized(ind, 0)
+        return result, matched
+
+    def match_value_or_parallelized(self, a: RadixCiphertext, matches: list,
+                                    default: int) -> RadixCiphertext:
+        """match_value with a plaintext fallback for unmatched inputs; the
+        result is wide enough for the default as well as every output."""
+        result, matched = self.match_value_parallelized(a, matches)
+        mb = (self.msg - 1).bit_length()
+        nb = max(result.num_blocks,
+                 -(-max(default, 1).bit_length() // mb))
+        if result.num_blocks < nb:
+            result = self.extend_radix_with_trivial_zero_blocks_msb(
+                result, nb - result.num_blocks)
+        dflt = self.create_trivial_radix(default, nb)
+        return self.if_then_else_parallelized(matched, result, dflt)

@@ -216,3 +216,25 @@ def compare_exchange_many(sk, pairs: list, directions: list) -> list:
         lo, hi = sel[2 * i], sel[2 * i + 1]
         out.append((lo, hi) if up else (hi, lo))
     return out
+
+
+def compare_exchange_kv_many(sk, pairs: list, directions: list) -> list:
+    """Key-value compare-exchange for many pairs: sort by KEY, carry the
+    VALUE payload through the same oblivious selects — the bitonic-shuffle
+    round primitive (one coalesced compare round + one coalesced cmux round
+    covering keys and payloads of every exchange).
+
+    pairs: [((ka, va), (kb, vb)), ...]; returns [((klo, vlo), (khi, vhi))]
+    ordered per `directions` (True = ascending)."""
+    lts = lt_many_parallelized(sk, [(ka, kb) for (ka, _), (kb, _) in pairs])
+    triples = []
+    for ((ka, va), (kb, vb)), lt in zip(pairs, lts):
+        triples.extend([(lt, ka, kb), (lt, kb, ka),
+                        (lt, va, vb), (lt, vb, va)])
+    sel = if_then_else_many_parallelized(sk, triples)
+    out = []
+    for i, up in enumerate(directions):
+        klo, khi, vlo, vhi = sel[4 * i:4 * i + 4]
+        out.append((((klo, vlo), (khi, vhi))) if up
+                   else (((khi, vhi), (klo, vlo))))
+    return out
