@@ -100,3 +100,29 @@ def test_compact_public_key(int_keys):
     # build_with_proof now routes to the proven-compact-list implementation
     # (covered in tests/test_proven_compact_list.py); just check the plumb
     assert callable(pk.build_with_proof)
+
+
+def test_kv_store_flags_and_compression(int_keys):
+    from tfhe_tpu.shortint.compression import CompressionKey
+
+    ck, sk = int_keys
+    store = KVStore(sk, num_blocks=3)
+    store.insert_clear_key(5, ck.encrypt_radix(42, 3))
+    store.insert_clear_key(9, ck.encrypt_radix(17, 3))
+    v, found = store.get_with_flag(ck.encrypt_radix(9, 3))
+    assert ck.decrypt_radix(v) == 17 and ck.decrypt_bool(found) is True
+    _, found = store.get_with_flag(ck.encrypt_radix(7, 3))
+    assert ck.decrypt_bool(found) is False
+    assert ck.decrypt_bool(store.contains_key(ck.encrypt_radix(5, 3))) is True
+    assert ck.decrypt_bool(store.contains_value(ck.encrypt_radix(17, 3))) is True
+    assert ck.decrypt_bool(store.contains_value(ck.encrypt_radix(1, 3))) is False
+    assert store.contains_clear_key(5) and not store.contains_clear_key(6)
+    assert store.remove_with_clear_key(9) is not None
+    assert len(store) == 1
+
+    comp_key = CompressionKey(ck.key, seed=0xC0)
+    store.insert_clear_key(9, ck.encrypt_radix(13, 3))
+    packed = store.compress(comp_key)
+    store2 = packed.decompress(comp_key, sk)
+    assert ck.decrypt_radix(store2.get(ck.encrypt_radix(9, 3))) == 13
+    assert ck.decrypt_radix(store2.get(ck.encrypt_radix(5, 3))) == 42

@@ -75,3 +75,83 @@ class KVStore:
 
     def decrypt_all(self, client_key) -> dict:
         return {k: client_key.decrypt_radix(v) for k, v in self._entries.items()}
+
+    # -- reference-parity surface (kv_store.rs:242-826) -----------------
+
+    def contains_clear_key(self, key: int) -> bool:
+        return int(key) in self._entries
+
+    def get_with_clear_key(self, key: int):
+        return self._entries.get(int(key))
+
+    def remove_with_clear_key(self, key: int):
+        return self._entries.pop(int(key), None)
+
+    def is_empty(self) -> bool:
+        return not self._entries
+
+    def get_with_flag(self, enc_key: RadixCiphertext):
+        """(value, found): like get(), plus an encrypted found flag
+        (kv_store.rs:371 get -> (T, FheBool))."""
+        from ..integer import scheduler as sched
+        from ..integer.ciphertext import BooleanBlock
+
+        sk = self.sk
+        if not self._entries:
+            return (sk.create_trivial_radix(0, self.num_blocks),
+                    BooleanBlock(sk.key.create_trivial(0)))
+        keys = list(self._entries)
+        hits = self._hits(enc_key, keys)
+        zero = sk.create_trivial_radix(0, self.num_blocks)
+        masked = sched.if_then_else_many_parallelized(
+            sk, [(h, self._entries[k], zero) for h, k in zip(hits, keys)])
+        value = masked[0] if len(masked) == 1 else \
+            sk.sum_ciphertexts(masked, self.num_blocks)
+        ind = sk.boolean_dot_prod_parallelized(hits, [1] * len(hits), 1)
+        return value, sk.scalar_ne_parallelized(ind, 0)
+
+    def contains_key(self, enc_key: RadixCiphertext):
+        """Encrypted membership test for an encrypted key."""
+        _, found = self.get_with_flag(enc_key)
+        return found
+
+    def contains_value(self, enc_value: RadixCiphertext):
+        """Any stored value equal to enc_value (kv_store.rs:485)."""
+        from ..integer import scheduler as sched
+        from ..integer.ciphertext import BooleanBlock
+
+        sk = self.sk
+        if not self._entries:
+            return BooleanBlock(sk.key.create_trivial(0))
+        eqs = sched.eq_many_parallelized(
+            sk, [(enc_value, v) for v in self._entries.values()])
+        ind = sk.boolean_dot_prod_parallelized(eqs, [1] * len(eqs), 1)
+        return sk.scalar_ne_parallelized(ind, 0)
+
+    def compress(self, comp_key) -> "CompressedKVStore":
+        """Pack every value's blocks into one GLWE compression list
+        (kv_store.rs:720; comp_key: shortint CompressionKey)."""
+        layout, blocks = [], []
+        for k, v in self._entries.items():
+            layout.append((k, len(v.blocks)))
+            blocks.extend(v.blocks)
+        return CompressedKVStore(comp_key.compress(blocks), layout,
+                                 self.num_blocks)
+
+
+class CompressedKVStore:
+    """GLWE-packed KVStore storage (kv_store.rs:769)."""
+
+    def __init__(self, packed, layout, num_blocks):
+        self.packed = packed
+        self.layout = layout
+        self.num_blocks = num_blocks
+
+    def decompress(self, comp_key, server_key: ServerKey) -> KVStore:
+        blocks = comp_key.decompress(self.packed)
+        store = KVStore(server_key, self.num_blocks)
+        off = 0
+        for k, nb in self.layout:
+            store._entries[k] = RadixCiphertext(blocks[off:off + nb])
+            off += nb
+        return store
