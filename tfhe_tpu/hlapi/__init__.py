@@ -11,7 +11,8 @@ from .strings import FheAsciiString
 from .tag import Tag
 from .xof_key_set import CompressedXofKeySet, XofKeySet
 from .keys import ClientKey, CompressedServerKey, PublicKey, ServerKey, generate_keys
-from .global_state import set_server_key, unset_server_key
+from .global_state import (set_server_key, unset_server_key,
+                           with_server_key_as_context)
 from . import types as _types
 from .types import (ALL_INT_TYPES, ALL_UINT_TYPES, FHE_WIDTHS, FheBool,
                     bitonic_shuffle, match_value, match_value_or)
@@ -24,6 +25,7 @@ for _t in ALL_UINT_TYPES + ALL_INT_TYPES:
 __all__ = [
     "Config", "ConfigBuilder", "ClientKey", "ServerKey", "CompressedServerKey",
     "PublicKey", "generate_keys", "set_server_key", "unset_server_key",
+    "with_server_key_as_context",
     "FheUintArray", "FheAsciiString", "Tag", "CompressedXofKeySet", "XofKeySet",
     "FheBool", "FHE_WIDTHS", "ALL_UINT_TYPES", "ALL_INT_TYPES",
     "bitonic_shuffle", "match_value", "match_value_or",
