@@ -1376,8 +1376,11 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
             rhs = jnp.concatenate(
                 [r_lo.reshape(n1, kmid, 4, tb), r_hi.reshape(n1, kmid, 4, tb)],
                 axis=1)                                     # (128, 2kmid, 4, tb)
+            # Mosaic's tpu.matmul wants ONE contracting dim: merge the
+            # (limb-column, byte) pair axes on both sides (row-major match)
+            rhs = rhs.reshape(n1, 2 * kmid * 4, tb)
             if ablate == "mid":
-                diags = [rhs[:, :cmid, 0, :].astype(jnp.int32)] * 7
+                diags = [rhs[:, :cmid, :].astype(jnp.int32)] * 7
             else:
                 mz = jnp.zeros((n1, cmid, kmid), jnp.int8)
                 diags = []
@@ -1389,9 +1392,10 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                         [m_ref[0, pi, 4 + d - e] if 0 <= d - e < 4 else mz
                          for e in range(4)], axis=3)
                     lhs = jnp.concatenate([lo_blk, hi_blk], axis=2)
+                    lhs = lhs.reshape(n1, cmid, 2 * kmid * 4)
                     diags.append(jax.lax.dot_general(
                         lhs, rhs,
-                        dimension_numbers=(((2, 3), (1, 2)), ((0,), (0,))),
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.int32))  # (128, cmid, tb)
             cmv = (cm_ref[0, pi] + U32(mid_const[pi]))[:, :, None]
             Vlo, Vhi, vb = mid_asm[pi](diags, cmv, 2 * (primes[pi] - 1))

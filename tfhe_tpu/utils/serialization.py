@@ -333,6 +333,30 @@ def _register_all():
 
     register_type("ProofV2", 0, _zk_to_dict(_V2_G1, _V2_G2), _v2_from_dict)
 
+    # the type received from untrusted clients (fuzz target, ref
+    # utils/fuzz/README.md); the nested proof rides its own envelope so it
+    # keeps its own version/upgrade chain
+    from ..hlapi.proven_compact_list import ProvenCompactCiphertextList
+
+    def _proven_from_dict(p):
+        c1 = np.asarray(p["c1"], dtype=np.uint64)
+        c2 = np.asarray(p["c2"], dtype=np.uint64)
+        if c1.ndim != 1 or c2.ndim != 1:
+            raise ValueError("malformed proven list arrays")
+        return ProvenCompactCiphertextList(
+            c1, c2, deserialize(p["proof"]),
+            int(p["message_modulus"]), int(p["carry_modulus"]))
+
+    register_type(
+        "ProvenCompactCiphertextList", 0,
+        lambda c: {"c1": np.asarray(c.c1, dtype=np.uint64),
+                   "c2": np.asarray(c.c2, dtype=np.uint64),
+                   "proof": serialize(c.proof),
+                   "message_modulus": c.message_modulus,
+                   "carry_modulus": c.carry_modulus},
+        _proven_from_dict,
+    )
+
 
 def _detuple(x):
     """CBOR round-trips tuples as lists; curve points are nested tuples."""
