@@ -383,14 +383,28 @@ def byte_limbs_balanced(x, nb: int = 4) -> np.ndarray:
 CENT = 128 * 0x01010101   # centered-byte correction weight sum_e 128*2^(8e)
 
 
+def _pack_v5_bytes_np(digits: np.ndarray) -> np.ndarray:
+    """(4, ...) int8 balanced digits -> u32 words with byte u = digit (3-u)
+    (reverse byte order).  The v5 kernel derives the diagonal-d lhs as a
+    single u32 shift of these words: W_d = V >> 8*(3-d) (d <= 3) or
+    V << 8*(d-3), whose byte e is digit (d-e) with zero-fill exactly where
+    the diagonal grouping needs zeros; pltpu.bitcast then reinterprets the
+    shifted words as the (kk, byte)-interleaved int8 contraction rows."""
+    v = np.zeros(digits.shape[1:], np.uint32)
+    for j in range(4):
+        v |= (digits[j].astype(np.uint8).astype(np.uint32)
+              << np.uint32(8 * (3 - j)))
+    return v
+
+
 def bsk_to_mxu_v5(bsk, plan: MxuPlan = None):
     """Middle tensors for the v5 byte-limb kernel.
 
-    Returns (m8, corr_mid, plan):
-      m8   int8 (n_in, P, 8, N1, C, K): families stacked on axis 2 —
-           limbs 0..3 = balanced byte digits of M^T (out-rows C,
-           contraction K), limbs 4..7 = digits of (2^32 * M mod p)^T
-           (consumed by the hi word of the pair interface);
+    Returns (v32, corr_mid, plan):
+      v32  u32 (n_in, P, N1, 2*K, C): reverse-byte-packed balanced digits
+           (_pack_v5_bytes_np) of M (rows fam=0, contraction K on the
+           second-minor axis) and of 2^32 * M mod p (rows fam=1, consumed
+           by the hi word of the pair interface), C on the lanes;
       corr_mid u32 (n_in, P, N1, C): per-step centered-byte correction
            (128 * 0x01010101 * sum_K (M + M32)) mod p, pair-added once in
            the kernel's mid assembly.
@@ -400,25 +414,25 @@ def bsk_to_mxu_v5(bsk, plan: MxuPlan = None):
     data = _prep_bsk_data(bsk, plan)
     n_in, lev, k1r, k1c, n = data.shape
     n1, n2 = plan.n1, plan.n2
-    fam_limbs, corrs = [], []
+    packed, corrs = [], []
     for pi, p in enumerate(plan.primes):
         xhat = _forward_eval(data, plan, pi)
         h = (xhat[..., :, :, None] * plan.g_mid[pi][None, None, None, None]) % U64(p)
         f = plan.f_mid[pi]
         m = np.matmul(f[None, None, None, None], h) % U64(p)
         m = m.transpose(0, 4, 1, 2, 5, 3, 6)
-        m = m.reshape(n_in, n1, lev * k1r * n2, k1c * n2)
-        mt = np.swapaxes(m, -1, -2)                        # (n, N1, C, K)
-        m32t = (mt * U64((1 << 32) % p)) % U64(p)
-        fam_limbs.append(np.concatenate(
-            [byte_limbs_balanced(mt), byte_limbs_balanced(m32t)]))
-        s = mt.sum(axis=-1, dtype=np.uint64) + m32t.sum(axis=-1,
-                                                        dtype=np.uint64)
+        m = m.reshape(n_in, n1, lev * k1r * n2, k1c * n2)  # (n, N1, K, C)
+        m32 = (m * U64((1 << 32) % p)) % U64(p)
+        packed.append(np.concatenate(
+            [_pack_v5_bytes_np(byte_limbs_balanced(m)),
+             _pack_v5_bytes_np(byte_limbs_balanced(m32))], axis=-2))
+        s = m.sum(axis=-2, dtype=np.uint64) + m32.sum(axis=-2,
+                                                      dtype=np.uint64)
         corrs.append(((s % U64(p)) * U64(CENT % p) % U64(p)).astype(np.uint32))
-    m8 = np.ascontiguousarray(
-        np.stack(fam_limbs).transpose(2, 0, 1, 3, 4, 5))   # (n, P, 8, N1, C, K)
+    v32 = np.ascontiguousarray(
+        np.stack(packed).transpose(1, 0, 2, 3, 4))         # (n, P, N1, 2K, C)
     corr = np.ascontiguousarray(np.stack(corrs).transpose(1, 0, 2, 3))
-    return m8, corr, plan
+    return v32, corr, plan
 
 
 def transpose_middle(m_limbs):
@@ -430,28 +444,29 @@ def transpose_middle(m_limbs):
     return xp.swapaxes(m_limbs, -1, -2)
 
 
-def _byte_limbs_device(m_i32):
-    """int32 values in [0, 2^31) -> (..., stacked 4) int8 balanced digits
-    on device (jnp)."""
-    limbs = []
-    v = m_i32
-    for _ in range(4):
-        le = ((v + 128) & 255) - 128
-        limbs.append(le.astype(jnp.int8))
-        v = (v - le) >> 8
-    return limbs
+def _pack_v5_bytes_device(m_i32) -> "jnp.ndarray":
+    """Device twin of _pack_v5_bytes_np over int32 values in [0, 2^31):
+    balanced byte digits packed reverse-order into u32 words."""
+    v = None
+    x = m_i32
+    for j in range(4):
+        le = ((x + 128) & 255) - 128
+        w = (le.astype(jnp.uint32) & jnp.uint32(0xFF)) << jnp.uint32(8 * (3 - j))
+        v = w if v is None else v | w
+        x = (x - le) >> 8
+    return v
 
 
 def middle_v5_from_eval_device(bhat, plan: MxuPlan, chunk: int = 48):
-    """Device-side v5 middle build: (m8, corr) as in bsk_to_mxu_v5, computed
+    """Device-side v5 middle build: (v32, corr) as in bsk_to_mxu_v5, computed
     from the ~16x smaller eval-domain precursor (bsk_eval_domain, mont=False)
-    entirely on device.  m8 int8 (n, P, 8, N1, C, K); corr u32 (n, P, N1, C).
+    entirely on device.  v32 u32 (n, P, N1, 2K, C); corr u32 (n, P, N1, C).
     """
     n_in = bhat.shape[0]
     outs_m, outs_c = [], []
     for s in range(0, n_in, chunk):
-        m8, corr = _middle_v5_chunk(bhat[s:s + chunk], plan)
-        outs_m.append(m8)
+        v32, corr = _middle_v5_chunk(bhat[s:s + chunk], plan)
+        outs_m.append(v32)
         outs_c.append(corr)
     if len(outs_m) == 1:
         return outs_m[0], outs_c[0]
@@ -482,20 +497,20 @@ def _middle_v5_chunk(bhat, plan: MxuPlan):
         y = ntt.mont_mul(acc, U64(1), pu, pinv, jnp)
         m = ntt.mont_mul(y, r2, pu, pinv, jnp)
         m = m.transpose(0, 4, 1, 2, 5, 3, 6).reshape(
-            n_in, n1, lev * r_ * n2, c_ * n2)
-        mt = jnp.swapaxes(m, -1, -2).astype(jnp.int32)      # (n, N1, C, K)
+            n_in, n1, lev * r_ * n2, c_ * n2)               # (n, N1, K, C)
+        mi = m.astype(jnp.int32)
         # m32 = m * 2^32 mod p via one Montgomery mul by R^2 (REDC divides
         # by R): m * R^2 * R^{-1} = m * R
-        m32t = ntt.mont_mul(jnp.swapaxes(m, -1, -2), r2, pu, pinv,
-                            jnp).astype(jnp.int32)
-        limbs = _byte_limbs_device(mt) + _byte_limbs_device(m32t)
-        ms.append(jnp.stack(limbs))                         # (8, n, N1, C, K)
-        ssum = (mt.astype(jnp.uint64) + m32t.astype(jnp.uint64)).sum(
-            axis=-1, dtype=jnp.uint64) % pu                 # (n, N1, C)
+        m32 = ntt.mont_mul(m, r2, pu, pinv, jnp).astype(jnp.int32)
+        ms.append(jnp.concatenate(
+            [_pack_v5_bytes_device(mi), _pack_v5_bytes_device(m32)],
+            axis=-2))                                       # (n, N1, 2K, C)
+        ssum = (mi.astype(jnp.uint64) + m32.astype(jnp.uint64)).sum(
+            axis=-2, dtype=jnp.uint64) % pu                 # (n, N1, C)
         cs.append((ssum * U64(CENT % p) % pu).astype(jnp.uint32))
-    m8 = jnp.transpose(jnp.stack(ms), (2, 0, 1, 3, 4, 5))   # (n, P, 8, ...)
+    v32 = jnp.transpose(jnp.stack(ms), (1, 0, 2, 3, 4))     # (n, P, N1, 2K, C)
     corr = jnp.transpose(jnp.stack(cs), (1, 0, 2, 3))
-    return m8, corr
+    return v32, corr
 
 
 def regroup_middle_d(m_limbs):

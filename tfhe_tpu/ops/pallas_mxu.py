@@ -1177,7 +1177,8 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
     """Byte-limb blind-rotate kernel (see section comment above).
 
     Caller layout identical to v4 (to_v4_layout rows (k1, i2, el), lanes
-    i1); m8/corr from mxu.bsk_to_mxu_v5 (+ device build).
+    i1); v32 (reverse-byte-packed u32 middle words) / corr from
+    mxu.bsk_to_mxu_v5 (+ device build).
     """
     assert base_log <= 23, "v5 digit bytes assume base_log <= 23"
     n1 = LANES
@@ -1371,31 +1372,36 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                     st_hi_s[:, base + kk, :] = Xhi[:, kk * tb:(kk + 1) * tb]
 
             # ---- middle: two-family byte dot ----------------------------
-            r_lo = pltpu.bitcast(st_lo_s[:] ^ XORC, jnp.int8)
+            # rhs: bitcast interleaves (kk, byte) along the second-minor
+            # axis; family blocks concatenated -> contraction index
+            # fam*4*kmid + kk*4 + e, matching the packed-u32 lhs below.
+            r_lo = pltpu.bitcast(st_lo_s[:] ^ XORC, jnp.int8)  # (128,4kmid,tb)
             r_hi = pltpu.bitcast(st_hi_s[:] ^ XORC, jnp.int8)
-            rhs = jnp.concatenate(
-                [r_lo.reshape(n1, kmid, 4, tb), r_hi.reshape(n1, kmid, 4, tb)],
-                axis=1)                                     # (128, 2kmid, 4, tb)
-            # Mosaic's tpu.matmul wants ONE contracting dim: merge the
-            # (limb-column, byte) pair axes on both sides (row-major match)
-            rhs = rhs.reshape(n1, 2 * kmid * 4, tb)
+            rhs = jnp.concatenate([r_lo, r_hi], axis=1)     # (128, 8kmid, tb)
             if ablate == "mid":
                 diags = [rhs[:, :cmid, :].astype(jnp.int32)] * 7
             else:
-                mz = jnp.zeros((n1, cmid, kmid), jnp.int8)
+                # Diagonal-d lhs = ONE u32 shift of the reverse-byte-packed
+                # middle words (mxu._pack_v5_bytes_np): byte e of
+                # V >> 8*(3-d) (d<=3) / V << 8*(d-3) is digit (d-e), with
+                # zero-fill exactly where the grouping needs zeros; bitcast
+                # reinterprets the shifted words as (kk, byte)-interleaved
+                # int8 rows, and the dot contracts the second-minor axis of
+                # BOTH operands (Mosaic-legal, unlike an int8 minor-dim
+                # insertion — the jnp.stack this replaces).
+                v_pack = m_ref[0, pi]                 # (128, 2kmid, cmid) u32
                 diags = []
                 for d in range(7):
-                    lo_blk = jnp.stack(
-                        [m_ref[0, pi, d - e] if 0 <= d - e < 4 else mz
-                         for e in range(4)], axis=3)        # (128,cmid,kmid,4)
-                    hi_blk = jnp.stack(
-                        [m_ref[0, pi, 4 + d - e] if 0 <= d - e < 4 else mz
-                         for e in range(4)], axis=3)
-                    lhs = jnp.concatenate([lo_blk, hi_blk], axis=2)
-                    lhs = lhs.reshape(n1, cmid, 2 * kmid * 4)
+                    if d < 3:
+                        w_d = v_pack >> jnp.uint32(8 * (3 - d))
+                    elif d == 3:
+                        w_d = v_pack
+                    else:
+                        w_d = v_pack << jnp.uint32(8 * (d - 3))
+                    lhs = pltpu.bitcast(w_d, jnp.int8)  # (128, 8kmid, cmid)
                     diags.append(jax.lax.dot_general(
                         lhs, rhs,
-                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.int32))  # (128, cmid, tb)
             cmv = (cm_ref[0, pi] + U32(mid_const[pi]))[:, :, None]
             Vlo, Vhi, vb = mid_asm[pi](diags, cmv, 2 * (primes[pi] - 1))
@@ -1437,7 +1443,7 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
 
     n_steps_pad = -(-n_steps // LANES) * LANES
 
-    def run(acc_lo, acc_hi, a_rows, m8, corr_mid):
+    def run(acc_lo, acc_hi, a_rows, v32, corr_mid):
         batch_rows = acc_lo.shape[0]
         assert acc_lo.shape == (batch_rows, LANES)
         assert batch_rows % R == 0
@@ -1451,8 +1457,8 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                          memory_space=vmem),
             pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
             pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
-            pl.BlockSpec((1, num_primes, 8, n1, cmid, kmid),
-                         lambda t, s: (s,) + (z(t),) * 5, memory_space=vmem),
+            pl.BlockSpec((1, num_primes, n1, 2 * kmid, cmid),
+                         lambda t, s: (s,) + (z(t),) * 4, memory_space=vmem),
             pl.BlockSpec((1, num_primes, n1, cmid),
                          lambda t, s: (s,) + (z(t),) * 3, memory_space=vmem),
             pl.BlockSpec((num_primes, 6, n1, 4 * n1),
@@ -1481,23 +1487,23 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                 dimension_semantics=("arbitrary", "arbitrary"),
             ),
         )
-        return call(a_rows, acc_lo, acc_hi, m8, corr_mid,
+        return call(a_rows, acc_lo, acc_hi, v32, corr_mid,
                     jnp.asarray(L1_np), jnp.asarray(L1i_np),
                     jnp.asarray(corr1_np), jnp.asarray(corri_np))
 
     return run
 
 
-def blind_rotate_pallas_v5(msed_mask, msed_body, lut, m8, corr_mid, plan,
+def blind_rotate_pallas_v5(msed_mask, msed_body, lut, v32, corr_mid, plan,
                            base_log: int, levels: int, tb: int = 8,
                            interpret: bool = False,
                            ablate: str | None = None):
     """Blind rotation through the v5 byte-limb kernel; same semantics as
-    ops.mxu.blind_rotate_mxu.  m8/corr_mid from mxu.bsk_to_mxu_v5."""
+    ops.mxu.blind_rotate_mxu.  v32/corr_mid from mxu.bsk_to_mxu_v5."""
     from .server import monomial_div
 
     b, k1, n = lut.shape
-    n_in = m8.shape[0]
+    n_in = v32.shape[0]
     assert b % tb == 0, (b, tb)
     acc0 = monomial_div(lut, msed_body[:, None, None])
     lo0 = to_v4_layout((acc0 & np.uint64(0xFFFFFFFF)).astype(jnp.uint32),
@@ -1512,7 +1518,7 @@ def blind_rotate_pallas_v5(msed_mask, msed_body, lut, m8, corr_mid, plan,
     a_rows = jnp.tile(mi.reshape(b // tb, 1, tb, n_in), (1, k1 * n2, 1, 1))
     a_rows = a_rows.reshape(b * k1 * n2, n_in)
     a_rows = jnp.pad(a_rows, ((0, 0), (0, n_pad - n_in)))
-    lo, hi = run(lo0, hi0, a_rows, m8, corr_mid)
+    lo, hi = run(lo0, hi0, a_rows, v32, corr_mid)
     lo = from_v4_layout(lo, b, k1, n, tb)
     hi = from_v4_layout(hi, b, k1, n, tb)
     return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))
