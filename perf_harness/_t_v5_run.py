@@ -39,10 +39,10 @@ def main():
           f"({bhat.nbytes/1e6:.0f} MB); tb={tb} B={b} primes={nprimes} "
           f"rb={rb}", flush=True)
     t0 = time.time()
-    m8, corr = mxu.middle_v5_from_eval_device(jax.device_put(bhat), plan)
-    np.asarray(m8[0, 0, 0, 0, 0, 0]); np.asarray(corr[0, 0, 0, 0])
-    print(f"# device m8 build {time.time()-t0:.1f}s "
-          f"({m8.nbytes/1e9:.2f} GB + corr {corr.nbytes/1e6:.0f} MB)",
+    v32, corr = mxu.middle_v5_from_eval_device(jax.device_put(bhat), plan)
+    np.asarray(v32[0, 0, 0, 0, 0]); np.asarray(corr[0, 0, 0, 0])
+    print(f"# device v32 build {time.time()-t0:.1f}s "
+          f"({v32.nbytes/1e9:.2f} GB + corr {corr.nbytes/1e6:.0f} MB)",
           flush=True)
     m_ref = None
     if os.environ.get("V5_SKIP_CHECK") != "1":
@@ -72,7 +72,7 @@ def main():
     if os.environ.get("V5_SKIP_CHECK") != "1":
         sm = inputs(tb)
         t0 = time.time()
-        got = np.asarray(run(*sm, m8=m8, corr_mid=corr))
+        got = np.asarray(run(*sm, v32=v32, corr_mid=corr))
         print(f"# small compile+run {time.time()-t0:.1f}s", flush=True)
         t0 = time.time()
         want = np.asarray(mxu.blind_rotate_mxu(
@@ -82,13 +82,13 @@ def main():
 
     sets = [inputs(b) for _ in range(3)]
     t0 = time.time()
-    out = run(*sets[0], m8=m8, corr_mid=corr)
+    out = run(*sets[0], v32=v32, corr_mid=corr)
     np.asarray(out)
     print(f"# full compile+first {time.time()-t0:.1f}s", flush=True)
     iters = 3
     t0 = time.time()
     for i in range(iters):
-        out = run(*sets[i % 3], m8=m8, corr_mid=corr)
+        out = run(*sets[i % 3], v32=v32, corr_mid=corr)
     np.asarray(out)
     dt = (time.time() - t0) / iters
     print(f"v5 blind_rotate: {dt*1e3:.1f} ms/batch({b}) -> {b/dt:.1f} BR/s",

@@ -335,10 +335,14 @@ def _register_all():
 
     # the type received from untrusted clients (fuzz target, ref
     # utils/fuzz/README.md); the nested proof rides its own envelope so it
-    # keeps its own version/upgrade chain
-    from ..hlapi.proven_compact_list import ProvenCompactCiphertextList
+    # keeps its own version/upgrade chain.  Serialization dispatches by type
+    # NAME, so the class import stays inside from_dict — an eager import here
+    # would pull the jax-dependent hlapi stack into the client-only (no-JAX)
+    # import path (tests/test_client_only.py).
 
     def _proven_from_dict(p):
+        from ..hlapi.proven_compact_list import ProvenCompactCiphertextList
+
         c1 = np.asarray(p["c1"], dtype=np.uint64)
         c2 = np.asarray(p["c2"], dtype=np.uint64)
         if c1.ndim != 1 or c2.ndim != 1:
