@@ -6,9 +6,11 @@ Baseline: 10,000 PBS/s per chip (BASELINE.md north star; reference points:
 ~880 KS+MB-PBS/s on one H100 single-stream, 14.2k PBS/s on the V80 FPGA).
 
 Env overrides: TFHE_TPU_BENCH_PIPELINE=v3|v2 (default v3 = MXU blind-rotate
-stack, falls back to v2 on error), TFHE_TPU_BENCH_BATCH (default 64 for v3,
-256 for v2), TFHE_TPU_BENCH_PARAMS=test|prod (default prod = v1_4 2_2
-TUniform 2M128), TFHE_TPU_BENCH_TB / TFHE_TPU_BENCH_FOLD (v3 tile/fold knobs).
+stack with the v5 byte-limb kernel, falls back to v2 on error),
+TFHE_TPU_BENCH_KERNEL=v5|v4|v3 (default v5, measured fastest),
+TFHE_TPU_BENCH_PRIMES (default 3, rb=15), TFHE_TPU_BENCH_BATCH (default 128
+for the MXU stack, 256 for v2), TFHE_TPU_BENCH_PARAMS=test|prod (default
+prod = v1_4 2_2 TUniform 2M128), TFHE_TPU_BENCH_TB / TFHE_TPU_BENCH_FOLD.
 """
 
 import json
@@ -33,7 +35,7 @@ def main():
               if which == "prod" else TEST_PARAM_MESSAGE_2_CARRY_2)
     pipeline = os.environ.get("TFHE_TPU_BENCH_PIPELINE", "v3")
     batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH",
-                               "64" if pipeline == "v3" else "256"))
+                               "128" if pipeline == "v3" else "256"))
 
     t0 = time.time()
     ck, sk = get_shortint_keys(params)
@@ -93,11 +95,10 @@ def bench_v3(ck, sk, params, batch):
 
     p = params
     fold = os.environ.get("TFHE_TPU_BENCH_FOLD", "solinas")
-    kernel = os.environ.get("TFHE_TPU_BENCH_KERNEL", "v3")
-    # default stays on the hardware-compile-cached 4-prime config; 3-prime
-    # (25% less per-prime work) is opt-in until its kernel shape has been
-    # compiled on the real chip (first compile ~20 min through the tunnel)
-    nprimes = int(os.environ.get("TFHE_TPU_BENCH_PRIMES", "4"))
+    kernel = os.environ.get("TFHE_TPU_BENCH_KERNEL", "v5")
+    # 3-prime rb=15 is the measured-fastest config (v5 248.9 BR/s vs v3
+    # 188.9 at tb=64; rounding noise ~0.6% of PBS output variance)
+    nprimes = int(os.environ.get("TFHE_TPU_BENCH_PRIMES", "3"))
     rb = int(os.environ.get("TFHE_TPU_BENCH_ROUND_BITS",
                             "15" if nprimes == 3 else "0"))
     t0 = time.time()

@@ -1285,8 +1285,18 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
 
     d_pad = -(-4 * n1 // LANES) * LANES      # = 4*128 (already aligned)
 
+    # static lane tables for the tiled-V diagonal shifts in the mid stage
+    # (passed as kernel inputs — Pallas rejects captured array constants):
+    # lane l of the 8x-repeated V belongs to diagonal blk = l // cmid and is
+    # byte-shifted by 8*(3-blk) down (blk <= 3) or 8*(blk-3) up (blk > 3);
+    # block 7 is sliced away after the dot, so its garbage needs no zeroing.
+    _blk = np.arange(8 * cmid) // cmid
+    SHD_NP = (8 * np.maximum(3 - _blk, 0)).astype(np.uint32)[None, None, :]
+    SHU_NP = (8 * np.maximum(_blk - 3, 0)).astype(np.uint32)[None, None, :]
+
     def kernel(arow_ref, acc_lo_in, acc_hi_in, m_ref, cm_ref, L1_ref,
-               L1i_ref, c1_ref, ci_ref, out_lo_ref, out_hi_ref,
+               L1i_ref, c1_ref, ci_ref, shd_ref, shu_ref,
+               out_lo_ref, out_hi_ref,
                acc_lo_s, acc_hi_s, st_lo_s, st_hi_s, vt_lo_s, vt_hi_s):
         t = pl.program_id(0)
         s = pl.program_id(1)
@@ -1318,24 +1328,19 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
             qd = jax.lax.div(q, np.int32(LANES))
             lane4 = jax.lax.broadcasted_iota(jnp.int32, (k1, n2, tb, LANES), 3)
             flip = (((lane4 < qm).astype(jnp.int32) + qd) & 1) == 1
-            q0 = jax.lax.rem(qm, np.int32(8))
-            q1 = jax.lax.div(qm, np.int32(8))
 
             def rolled(src):
-                x4 = src.reshape(k1, n2, tb, LANES)
-                y = None
-                for r in range(n2):
-                    rr = pltpu.roll(x4, np.int32(r), 1)
-                    y = rr if y is None else jnp.where(a2v == r, rr, y)
-                z = None
-                for r0 in range(8):
-                    rr = pltpu.roll(y, np.int32(r0), 3)
-                    z = rr if z is None else jnp.where(q0 == r0, rr, z)
-                w = None
-                for r1 in range(LANES // 8):
-                    rr = pltpu.roll(z, np.int32(8 * r1), 3)
-                    w = rr if w is None else jnp.where(q1 == r1, rr, w)
-                return w
+                # binary ladder: conditional roll by 2^b per shift bit —
+                # 4 + 7 roll+selects instead of the 16 + 8 + 16 of the
+                # one-per-option ladders (rolls by powers of two compose)
+                y = src.reshape(k1, n2, tb, LANES)
+                for b in range(n2.bit_length() - 1):
+                    rr = pltpu.roll(y, np.int32(1 << b), 1)
+                    y = jnp.where((a2v >> b) & 1 == 1, rr, y)
+                for b in range(7):
+                    rr = pltpu.roll(y, np.int32(1 << b), 3)
+                    y = jnp.where((qm >> b) & 1 == 1, rr, y)
+                return y
 
             z_lo = rolled(acc_lo)
             z_hi = rolled(acc_hi)
@@ -1381,28 +1386,33 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
             if ablate == "mid":
                 diags = [rhs[:, :cmid, :].astype(jnp.int32)] * 7
             else:
-                # Diagonal-d lhs = ONE u32 shift of the reverse-byte-packed
-                # middle words (mxu._pack_v5_bytes_np): byte e of
+                # Diagonal-d lhs = ONE u32 byte-shift of the reverse-byte-
+                # packed middle words (mxu._pack_v5_bytes_np): byte e of
                 # V >> 8*(3-d) (d<=3) / V << 8*(d-3) is digit (d-e), with
                 # zero-fill exactly where the grouping needs zeros; bitcast
                 # reinterprets the shifted words as (kk, byte)-interleaved
                 # int8 rows, and the dot contracts the second-minor axis of
                 # BOTH operands (Mosaic-legal, unlike an int8 minor-dim
-                # insertion — the jnp.stack this replaces).
+                # insertion).  All 7 diagonals ride ONE batched dot with the
+                # d-axis on the lanes (M = 8*cmid): 7 separate M=cmid dots
+                # leave the MXU ~1/8 utilized and their issue overhead
+                # dominated the kernel (174 ms of 514, V5_ABLATE=mid).  The
+                # stacked lhs is built by pltpu.repeat-tiling V 8x on the
+                # lanes and shifting each 32-lane block by its own amount
+                # via lane-varying vector shifts (a 7-piece lane concat of
+                # the shifted blocks miscompiles on Mosaic — block d=5 came
+                # back corrupted — while repeat + variable shifts is probed
+                # bit-exact; see perf_harness/_t_v5_probe*.py).
                 v_pack = m_ref[0, pi]                 # (128, 2kmid, cmid) u32
-                diags = []
-                for d in range(7):
-                    if d < 3:
-                        w_d = v_pack >> jnp.uint32(8 * (3 - d))
-                    elif d == 3:
-                        w_d = v_pack
-                    else:
-                        w_d = v_pack << jnp.uint32(8 * (d - 3))
-                    lhs = pltpu.bitcast(w_d, jnp.int8)  # (128, 8kmid, cmid)
-                    diags.append(jax.lax.dot_general(
-                        lhs, rhs,
-                        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.int32))  # (128, cmid, tb)
+                tiled = pltpu.repeat(v_pack, 8, 2)    # (128, 2kmid, 8*cmid)
+                w_all = (tiled >> shd_ref[:]) << shu_ref[:]
+                lhs = pltpu.bitcast(w_all, jnp.int8)  # (128, 8kmid, 8*cmid)
+                out = jax.lax.dot_general(
+                    lhs, rhs,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32)  # (128, 8*cmid, tb)
+                diags = [out[:, d * cmid:(d + 1) * cmid, :]
+                         for d in range(7)]
             cmv = (cm_ref[0, pi] + U32(mid_const[pi]))[:, :, None]
             Vlo, Vhi, vb = mid_asm[pi](diags, cmv, 2 * (primes[pi] - 1))
             assert (vb >> 32) < (1 << 31)
@@ -1417,9 +1427,14 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
             if ablate == "inv":
                 diags = [rv[:n1].astype(jnp.int32)] * 7
             else:
-                diags = [jax.lax.dot_general(
-                    L1i_ref[pi, d], rv, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32) for d in range(7)]
+                # one M=7*n1 dot instead of 7 M=n1 dots (same issue-overhead
+                # argument as the mid stage; the table is static so the
+                # stacking is a free row-major reshape)
+                lhs_i = L1i_ref[pi].reshape(7 * n1, 8 * n1)
+                y_all = jax.lax.dot_general(
+                    lhs_i, rv, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)   # (7*n1, cmid*tb)
+                diags = [y_all[d * n1:(d + 1) * n1] for d in range(7)]
             Y = inv_asm[pi](diags, ci_ref[pi][:, :1], primes[pi] - 1)
             # pair -> canonical: lo + 2^4*eps*hi (2^32 = 2^4 * 2^28 mod p)
             a_, m_ = ams[pi]
@@ -1469,6 +1484,10 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                          lambda t, s: (z(t),) * 3, memory_space=vmem),
             pl.BlockSpec((num_primes, n1, LANES),
                          lambda t, s: (z(t),) * 3, memory_space=vmem),
+            pl.BlockSpec((1, 1, 8 * cmid),
+                         lambda t, s: (z(t),) * 3, memory_space=vmem),
+            pl.BlockSpec((1, 1, 8 * cmid),
+                         lambda t, s: (z(t),) * 3, memory_space=vmem),
         ]
         out_specs = [pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)),
                                   memory_space=vmem)] * 2
@@ -1489,7 +1508,8 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
         )
         return call(a_rows, acc_lo, acc_hi, v32, corr_mid,
                     jnp.asarray(L1_np), jnp.asarray(L1i_np),
-                    jnp.asarray(corr1_np), jnp.asarray(corri_np))
+                    jnp.asarray(corr1_np), jnp.asarray(corri_np),
+                    jnp.asarray(SHD_NP), jnp.asarray(SHU_NP))
 
     return run
 

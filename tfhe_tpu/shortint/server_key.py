@@ -200,7 +200,7 @@ class ServerKey:
             rb = int(os.environ.get("TFHE_TPU_MXU_ROUND_BITS",
                                     "15" if nprimes == 3 else "0"))
             fold = os.environ.get("TFHE_TPU_MXU_FOLD", "solinas")
-            kernel = os.environ.get("TFHE_TPU_MXU_KERNEL", "v3")
+            kernel = os.environ.get("TFHE_TPU_MXU_KERNEL", "v5")
             mplan = mxu.make_mxu_plan(p.polynomial_size, num_primes=nprimes,
                                       round_bits=rb)
             bhat, _ = mxu.bsk_eval_domain(self._bsk_coeff, mplan,
