@@ -8,8 +8,8 @@ Baseline: 10,000 PBS/s per chip (BASELINE.md north star; reference points:
 Env overrides: TFHE_TPU_BENCH_PIPELINE=v3|v2 (default v3 = MXU blind-rotate
 stack with the v5 byte-limb kernel, falls back to v2 on error),
 TFHE_TPU_BENCH_KERNEL=v5|v4|v3 (default v5, measured fastest),
-TFHE_TPU_BENCH_PRIMES (default 3, rb=15), TFHE_TPU_BENCH_BATCH (default 128
-for the MXU stack, 256 for v2), TFHE_TPU_BENCH_PARAMS=test|prod (default
+TFHE_TPU_BENCH_PRIMES (default 3, rb=15), TFHE_TPU_BENCH_BATCH (default
+256), TFHE_TPU_BENCH_PARAMS=test|prod (default
 prod = v1_4 2_2 TUniform 2M128), TFHE_TPU_BENCH_TB / TFHE_TPU_BENCH_FOLD.
 """
 
@@ -34,8 +34,7 @@ def main():
     params = (V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
               if which == "prod" else TEST_PARAM_MESSAGE_2_CARRY_2)
     pipeline = os.environ.get("TFHE_TPU_BENCH_PIPELINE", "v3")
-    batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH",
-                               "128" if pipeline == "v3" else "256"))
+    batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH", "256"))
 
     t0 = time.time()
     ck, sk = get_shortint_keys(params)
@@ -120,12 +119,12 @@ def bench_v3(ck, sk, params, batch):
         m_dev = mxu.middle_from_eval_device(jax.device_put(bhat), mplan)
         if kernel == "v4":
             m_dev = jnp.swapaxes(m_dev, -1, -2)  # transpose_middle, on device
-    np.asarray(m_dev[0, 0, 0, 0, 0, 0])
+    np.asarray(m_dev[(0,) * m_dev.ndim])
     print(f"# mxu key build: {time.time()-t0:.1f}s fold={fold} "
           f"primes={nprimes} round_bits={rb} kernel={kernel}",
           file=sys.stderr)
 
-    tb = int(os.environ.get("TFHE_TPU_BENCH_TB", "64"))
+    tb = int(os.environ.get("TFHE_TPU_BENCH_TB", "128"))
     lut = sk.generate_lookup_table(lambda x: (x * 3 + 1) % 16)
     ct_sets = []
     for s in range(3):

@@ -1226,32 +1226,55 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
     def _weights_and_asm(bounds, a_, m_, hi_ds, eps_ds):
         """Returns (weights list, assemble fn).  d in hi_ds go through the
         u32 hi-word chain (exact weight 2^(8d)); d in eps_ds go through
-        eps-folding (exact weight eps * 2^(8d-28))."""
+        eps-folding (exact weight eps * 2^(8d-28)).
+
+        Adjacent same-class diagonals (d, d+1) whose combined bound fits
+        int31 are pre-combined in ONE int32 value dg_d + 256*dg_{d+1}
+        (their weight ratio is exactly 256 within a class), halving the
+        offset-adds and pair-chain links of the assembly; the offset
+        b_d + 256*b_{d+1} at weight w_d contributes w_d*b_d + w_{d+1}*
+        b_{d+1}, so the compensation constant is unchanged."""
         eps = a_ * (1 << m_) - 1
-        ws = []
-        for d in range(len(bounds)):
-            if d in eps_ds:
-                ws.append(eps << (8 * d - 28))
+        n_d = len(bounds)
+        ws = [(eps << (8 * d - 28)) if d in eps_ds else (1 << (8 * d))
+              for d in range(n_d)]
+
+        def cls(d):
+            return 2 if d in eps_ds else 1 if d in hi_ds else 0
+
+        groups = []                       # (d, paired) — static plan
+        d = 0
+        while d < n_d:
+            if (d + 1 < n_d and cls(d) == cls(d + 1)
+                    and bounds[d] + 256 * bounds[d + 1] < (1 << 31)):
+                groups.append((d, True))
+                d += 2
             else:
-                ws.append(1 << (8 * d))
+                groups.append((d, False))
+                d += 1
 
         def asm(diags, corr_vec, corr_bound):
-            us = [((dg + np.int32(bd)).astype(U32), None, 2 * bd)
-                  for dg, bd in zip(diags, bounds)]
-            X = us[0]
-            for d in range(1, len(us)):
-                if d in eps_ds:
-                    X = _sol_add(X, _sol_shl(
-                        _sol_eps_mul(us[d], a_, m_), 8 * d - 28))
-                elif d in hi_ds:
-                    continue
-                else:
-                    X = _sol_add(X, _sol_shl(us[d], 8 * d))
+            X = None
             XH = None
-            for d in hi_ds:
-                t = us[d] if d == hi_ds[0] else _sol_shl(
-                    us[d], 8 * (d - hi_ds[0]))
-                XH = t if XH is None else _sol_add(XH, t)
+            for d, paired in groups:
+                if paired:
+                    dg = diags[d] + (diags[d + 1] << np.int32(8))
+                    bd = bounds[d] + 256 * bounds[d + 1]
+                else:
+                    dg = diags[d]
+                    bd = bounds[d]
+                u = ((dg + np.int32(bd)).astype(U32), None, 2 * bd)
+                c = cls(d)
+                if c == 2:
+                    t = _sol_shl(_sol_eps_mul(u, a_, m_), 8 * d - 28)
+                    X = t if X is None else _sol_add(X, t)
+                elif c == 1:
+                    t = u if d == hi_ds[0] else _sol_shl(
+                        u, 8 * (d - hi_ds[0]))
+                    XH = t if XH is None else _sol_add(XH, t)
+                else:
+                    t = u if d == 0 else _sol_shl(u, 8 * d)
+                    X = t if X is None else _sol_add(X, t)
             X = _sol_add(X, (corr_vec, None, corr_bound))
             if X[1] is None:
                 X = (X[0], jnp.zeros_like(X[0]), X[2])

@@ -112,12 +112,13 @@ def sharded_ks_pbs_mxu(mesh: Mesh, ct, lut, ksk, m_limbs, mplan,
                        bits: int = 64, centered_ms: bool = False,
                        tb: int = 64, fold_mode: str = "solinas",
                        kernel: str = "v3", interpret: bool = False,
-                       axis_name: str = "batch"):
+                       axis_name: str = "batch", corr_mid=None):
     """Multi-chip variant of the production MXU stack (ks_pbs_batch_mxu):
     batch sharded, the compact middle tensors (~1.4 GB at 3-prime 2_2)
-    replicated per chip, each device running the fused v3/v4 kernel on its
-    shard via shard_map — pure data parallelism, no steady-state
-    collectives, linear PBS/s scaling over ICI."""
+    replicated per chip, each device running the fused v3/v4/v5 kernel on
+    its shard via shard_map — pure data parallelism, no steady-state
+    collectives, linear PBS/s scaling over ICI.  kernel="v5" takes the
+    packed-u32 middle words as m_limbs plus corr_mid (mxu.bsk_to_mxu_v5)."""
     from jax.experimental.shard_map import shard_map  # noqa: the jax.shard_map
     # alias drops check_rep, which the pallas-bearing bodies need disabled
 
@@ -125,17 +126,24 @@ def sharded_ks_pbs_mxu(mesh: Mesh, ct, lut, ksk, m_limbs, mplan,
     lut = shard_batch(mesh, lut, axis_name)
     ksk = replicate(mesh, ksk)
     m_limbs = replicate(mesh, m_limbs)
+    extra_specs = ()
+    extra_args = ()
+    if corr_mid is not None:
+        extra_specs = (P(),)
+        extra_args = (replicate(mesh, corr_mid),)
 
-    def per_device(ct_s, lut_s, ksk_r, m_r):
+    def per_device(ct_s, lut_s, ksk_r, m_r, *corr_r):
         return srv.ks_pbs_batch_mxu(
             ct_s, lut_s, ksk_r, m_r, mplan, ks_base_log, ks_levels,
             pbs_base_log, pbs_levels, bits, centered_ms, tb,
-            fold_mode=fold_mode, kernel=kernel, interpret=interpret)
+            fold_mode=fold_mode, kernel=kernel, interpret=interpret,
+            corr_mid=corr_r[0] if corr_r else None)
 
     f = jax.jit(shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name, None, None), P(), P()),
+        in_specs=(P(axis_name, None), P(axis_name, None, None), P(), P())
+                 + extra_specs,
         out_specs=P(axis_name, None),
         check_rep=False,
     ))
-    return f(ct, lut, ksk, m_limbs)
+    return f(ct, lut, ksk, m_limbs, *extra_args)

@@ -188,7 +188,7 @@ class ServerKey:
         """Lazy one-time build of the MXU engine's middle tensors on device
         (~1.4 GB at 3-prime 2_2; ~70 s first time).  Env knobs:
         TFHE_TPU_MXU_PRIMES (3), TFHE_TPU_MXU_ROUND_BITS (15 when 3-prime),
-        TFHE_TPU_MXU_FOLD (solinas), TFHE_TPU_MXU_TB (64),
+        TFHE_TPU_MXU_FOLD (solinas), TFHE_TPU_MXU_TB (128),
         TFHE_TPU_MXU_KERNEL (v3 | v4 | v5)."""
         if getattr(self, "_mxu_m", None) is None:
             import os
@@ -289,7 +289,7 @@ class ServerKey:
 
             m, mplan, fold, kernel, corr = self._ensure_mxu()
             # padded batch is a power of two >= 8: tb always divides it
-            tb = min(int(os.environ.get("TFHE_TPU_MXU_TB", "64")),
+            tb = min(int(os.environ.get("TFHE_TPU_MXU_TB", "128")),
                      batch.shape[0])
             out = srv.ks_pbs_batch_mxu(
                 jnp.asarray(batch), jnp.asarray(lut_b), self.ksk, m, mplan,
