@@ -213,6 +213,36 @@ def bench_integer_throughput(which, batch):
           64, "8xH100 multi-bit 510 adds/s => ~64 per accelerator")
 
 
+def bench_sizes(which, batch):
+    """Key/ciphertext serialized-size report (reference analog:
+    tfhe-benchmark/src/bin/{shortint,boolean}_key_sizes.rs and
+    hlapi_ct_sizes.rs; reference 2_2 numbers from docs: Fourier BSK
+    ~59 MB, seeded/compressed server key ~few MB).  CPU-only."""
+    import tfhe_tpu as t
+    from tfhe_tpu.utils.serialization import serialize
+
+    p = get_params(which)
+    cfg = t.ConfigBuilder().use_custom_parameters(p).build()
+    ck, sk = t.generate_keys(cfg, seed=0x51)
+    t.set_server_key(sk)
+    csk = t.CompressedServerKey(ck, seed=0x52)
+    a = t.FheUint64.encrypt(12345, ck)
+
+    def emit_bytes(name, nbytes):
+        print(json.dumps({"metric": f"size_{name}_{which}",
+                          "value": int(nbytes), "unit": "bytes"}), flush=True)
+
+    sks = sk.integer_key.key           # the shortint compute key
+    emit_bytes("bootstrap_key", int(np.asarray(sks._bsk_coeff.data).nbytes))
+    emit_bytes("keyswitch_key", int(np.asarray(sks.ksk).nbytes))
+    comp = csk._compressed
+    emit_bytes("compressed_server_key",
+               len(serialize(comp.seeded_bsk)) + len(serialize(comp.seeded_ksk)))
+    emit_bytes("fheuint64_ciphertext", len(serialize(a.inner)))
+    emit_bytes("shortint_ciphertext",
+               len(serialize(ck.integer_key.key.encrypt(1))))
+
+
 SUITES = {
     "ks": bench_ks,
     "ks_pbs": bench_ks_pbs,
@@ -221,6 +251,7 @@ SUITES = {
     "compression": bench_compression,
     "integer": bench_integer,
     "integer_throughput": bench_integer_throughput,
+    "sizes": bench_sizes,
 }
 
 

@@ -93,9 +93,14 @@ def _decode(r: _Reader):
             return out
         n = _read_uint(r, info)
         return {_decode(r): _decode(r) for _ in range(n)}
-    if major == 6:  # tag — skip tag, return value
-        _read_uint(r, info)
-        return _decode(r)
+    if major == 6:  # tag
+        tag = _read_uint(r, info)
+        v = _decode(r)
+        if tag == 2:   # RFC 8949 positive bignum
+            return int.from_bytes(v, "big")
+        if tag == 3:   # negative bignum
+            return -1 - int.from_bytes(v, "big")
+        return v
     # major == 7: simple / float / break
     if info == 20:
         return False

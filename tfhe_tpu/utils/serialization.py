@@ -65,10 +65,14 @@ def _encode(obj, out: bytearray):
         out.append(0xF4)
     elif isinstance(obj, (int, np.integer)):
         obj = int(obj)
-        if obj >= 0:
-            _enc_uint(0, obj, out)
-        else:
-            _enc_uint(1, -1 - obj, out)
+        n = obj if obj >= 0 else -1 - obj
+        if n < (1 << 64):
+            _enc_uint(0 if obj >= 0 else 1, n, out)
+        else:  # RFC 8949 bignum: tag 2 (positive) / 3 (negative) + bytes
+            _enc_uint(6, 2 if obj >= 0 else 3, out)
+            b = n.to_bytes((n.bit_length() + 7) // 8, "big")
+            _enc_uint(2, len(b), out)
+            out += b
     elif isinstance(obj, float):
         out.append(0xFB)
         out += struct.pack(">d", obj)
