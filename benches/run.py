@@ -213,6 +213,69 @@ def bench_integer_throughput(which, batch):
           64, "8xH100 multi-bit 510 adds/s => ~64 per accelerator")
 
 
+def bench_zk(which, batch):
+    """pke_v2 prove/verify latency (reference: 146 ms prove / 31.2 ms verify
+    on a 2x96-core EPYC for 1xFheUint64, BASELINE.md; this host has ONE
+    core).  prod = D=2048, k=64 (a FheUint64's 32 blocks at 2 bits, padded
+    to the k_max-64 CRS of the fast-proof profile)."""
+    import random as _random
+
+    from tfhe_tpu.zk import pke_v2
+    from tfhe_tpu.zk.pke import PrivateCommit, PublicCommit
+
+    d, k = (2048, 64) if which == "prod" else (64, 4)
+    B, Q, T, MSBS = 1 << 17, 0, 32, 1
+    M64 = 1 << 64
+
+    def center(x):
+        x &= M64 - 1
+        return x - M64 if x >= M64 // 2 else x
+
+    def polymul_rev(a, b):
+        # negacyclic reversed product via numpy int-object convolution
+        import numpy as _np
+        aa = _np.array(a, dtype=object)
+        bb = _np.array(b[::-1], dtype=object)
+        full = _np.convolve(aa, bb)
+        out = full[:d].copy()
+        out[: d - 1] -= full[d:]
+        return [int(v) for v in out]
+
+    rng = _random.Random(11)
+    t_eff = T >> MSBS
+    delta = M64 // T
+    a = [center(rng.randrange(M64)) for _ in range(d)]
+    sKey = [rng.randrange(2) for _ in range(d)]
+    e_pk = [rng.randrange(-B, B) for _ in range(d)]
+    b = [center(x + e) for x, e in zip(polymul_rev(a, sKey), e_pk)]
+    r = [rng.randrange(2) for _ in range(d)]
+    e1 = [rng.randrange(-B, B) for _ in range(d)]
+    e2 = [rng.randrange(-B, B) for _ in range(k)]
+    msgs = [rng.randrange(t_eff) for _ in range(k)]
+    c1 = [center(x + e) for x, e in zip(polymul_rev(a, r), e1)]
+    br = polymul_rev(b, r)
+    # slot i of c2 lives at coefficient d-1-i of b (*) r (pke encoding)
+    c2 = [center(br[d - 1 - i] + e2[i] + delta * msgs[i]) for i in range(k)]
+    pc = PublicCommit(a, b, c1, c2)
+    priv = PrivateCommit(r, e1, msgs, e2)
+
+    t0 = time.time()
+    crs = pke_v2.crs_gen(d, k, B, Q, T, MSBS, seed=0x2A)
+    print(f"# crs_gen {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    proof = pke_v2.prove(crs, pc, priv, metadata=b"bench", load="proof",
+                         seed=b"zk-bench")
+    t_prove = time.time() - t0
+    t0 = time.time()
+    ok = pke_v2.verify(proof, crs, pc, metadata=b"bench")
+    t_verify = time.time() - t0
+    assert ok
+    _emit(f"zk_pke_v2_prove_{which}", t_prove * 1e3, "ms", 146,
+          "CPU 2x96-core EPYC 146 ms (this host: 1 core)", throughput=False)
+    _emit(f"zk_pke_v2_verify_{which}", t_verify * 1e3, "ms", 31.2,
+          "CPU 2x96-core EPYC 31.2 ms (this host: 1 core)", throughput=False)
+
+
 def bench_sizes(which, batch):
     """Key/ciphertext serialized-size report (reference analog:
     tfhe-benchmark/src/bin/{shortint,boolean}_key_sizes.rs and
@@ -252,6 +315,7 @@ SUITES = {
     "integer": bench_integer,
     "integer_throughput": bench_integer_throughput,
     "sizes": bench_sizes,
+    "zk": bench_zk,
 }
 
 
