@@ -24,7 +24,8 @@ import numpy as np
 from ..core import keygen as kg
 from ..ops import server as srv
 from ..utils.csprng import DeterministicSeeder, EncryptionRandomGenerator
-from .ciphertext import NOMINAL_NOISE, Ciphertext
+from .ciphertext import (NOMINAL_NOISE, Ciphertext, DeviceLweBatch,
+                         LazyLweData)
 from .client_key import ClientKey
 from .params import MsNoiseReduction, ShortintParams
 
@@ -32,6 +33,68 @@ from .params import MsNoiseReduction, ShortintParams
 class CarryFullError(Exception):
     """checked_* flavor failure (the reference's CheckError): the operation
     would exceed the degree or noise budget."""
+
+
+_M64 = 1 << 64
+
+
+def _device_resident() -> bool:
+    """Keep PBS-round outputs on device as LazyLweData (default on;
+    TFHE_TPU_DEVICE_RESIDENT=0 restores eager host materialization)."""
+    import os
+
+    return os.environ.get("TFHE_TPU_DEVICE_RESIDENT", "1") != "0"
+
+
+@jax.jit
+def _lazy_combine_jit(parent, idx, coef):
+    """sum_j coef[:, j] * parent[idx[:, j]] (wrapping u64)."""
+    return (coef[:, :, None] * parent[idx]).sum(axis=1, dtype=jnp.uint64)
+
+
+def _stack_lazy_batch(datas, width):
+    """Compile a round's input linear forms into ONE device gather+combine.
+
+    datas: list of LazyLweData / np.ndarray.  Returns a (B, width) u64
+    device array.  Rows referencing prior-round DeviceLweBatch parents
+    never touch the host; fresh host ciphertexts ride the const upload.
+    """
+    lazies = [d if isinstance(d, LazyLweData)
+              else LazyLweData((), np.asarray(d), width) for d in datas]
+    parents: dict = {}
+    for lz in lazies:
+        for _, h, _ in lz.terms:
+            parents.setdefault(id(h), h)
+    plist = list(parents.values())
+    offs, off = {}, 0
+    for h in plist:
+        offs[id(h)] = off
+        off += int(h.arr.shape[0])
+    t_max = max((len(lz.terms) for lz in lazies), default=0)
+    b = len(lazies)
+    consts = None
+    for i, lz in enumerate(lazies):
+        if lz.const is not None:
+            if consts is None:
+                consts = np.zeros((b, width), np.uint64)
+            consts[i] = lz.const
+    if not plist:
+        return jnp.asarray(consts if consts is not None
+                           else np.zeros((b, width), np.uint64))
+    t_pad = 1 << (t_max - 1).bit_length() if t_max > 1 else 1
+    idx = np.zeros((b, t_pad), np.int32)
+    coef = np.zeros((b, t_pad), np.uint64)
+    for i, lz in enumerate(lazies):
+        for j, (c, h, r) in enumerate(lz.terms):
+            idx[i, j] = offs[id(h)] + r
+            coef[i, j] = c % _M64
+    cat = (plist[0].arr if len(plist) == 1
+           else jnp.concatenate([h.arr for h in plist]))
+    batch = _lazy_combine_jit(cat, jnp.asarray(idx), jnp.asarray(coef))
+    if consts is not None:
+        batch = batch + jnp.asarray(consts)
+    return batch
+
 
 
 @dataclass
@@ -266,13 +329,34 @@ class ServerKey:
         # bucket the batch size to powers of two: bounds the number of
         # distinct XLA programs (compile cost), like CUDA kernel occupancy bins
         n_pad = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
-        batch = np.stack([np.asarray(c.data) for c in cts] +
-                         [np.asarray(cts[0].data)] * (n_pad - n_real))
-        lut_b = np.stack([t.acc for t in luts] + [luts[0].acc] * (n_pad - n_real))
         if self.use_pallas and n_pad % 8 != 0:
-            pad_to = ((n_pad + 7) // 8) * 8
-            batch = np.concatenate([batch, np.broadcast_to(batch[:1], (pad_to - n_pad,) + batch.shape[1:])])
-            lut_b = np.concatenate([lut_b, np.broadcast_to(lut_b[:1], (pad_to - n_pad,) + lut_b.shape[1:])])
+            n_pad = ((n_pad + 7) // 8) * 8
+        datas = ([c.data for c in cts] + [cts[0].data] * (n_pad - n_real))
+        if any(isinstance(d, LazyLweData) for d in datas):
+            width = (datas[0].width if isinstance(datas[0], LazyLweData)
+                     else np.asarray(datas[0]).shape[-1])
+            batch = _stack_lazy_batch(datas, width)
+        else:
+            batch = np.stack([np.asarray(d) for d in datas])
+        # upload each DISTINCT table once and gather on device — a shared
+        # LUT over a large batch would otherwise ship B identical copies
+        # (at batch 2048 that is ~67 MB of redundant host->device traffic
+        # per PBS round)
+        uniq: dict = {}
+        lut_idx = []
+        for t in luts:
+            key = id(t.acc)
+            if key not in uniq:
+                uniq[key] = (len(uniq), t.acc)
+            lut_idx.append(uniq[key][0])
+        lut_idx += [lut_idx[0]] * (n_pad - n_real)
+        uniq_arr = np.stack([acc for _, acc in uniq.values()])
+        if len(uniq) == 1:
+            lut_b = jnp.broadcast_to(jnp.asarray(uniq_arr[0]),
+                                     (n_pad,) + uniq_arr.shape[1:])
+        else:
+            lut_b = jnp.take(jnp.asarray(uniq_arr),
+                             jnp.asarray(np.array(lut_idx, np.int32)), axis=0)
         if getattr(self, "mb_bsk_mont", None) is not None:
             out = srv.ks_pbs_batch_multibit(
                 jnp.asarray(batch), jnp.asarray(lut_b), self.ksk,
@@ -313,8 +397,19 @@ class ServerKey:
                 p.drift_r_sigma, p.drift_ms_bound,
                 p.drift_input_variance * (2.0 ** 64) ** 2,
             )
-        out_np = np.asarray(out)[:n_real]
         self.pbs_count += n_real
+        if _device_resident():
+            # keep the round's outputs on device: consumers that only feed
+            # the next PBS round (the integer layer / scheduler) never cross
+            # the host link; everything else materializes via __array__
+            handle = DeviceLweBatch(out)
+            w = int(out.shape[-1])
+            return [
+                c.with_data(LazyLweData(((1, handle, i),), None, w),
+                            degree=luts[i].degree, noise_level=NOMINAL_NOISE)
+                for i, c in enumerate(cts)
+            ]
+        out_np = np.asarray(out)[:n_real]
         return [
             c.with_data(out_np[i], degree=luts[i].degree, noise_level=NOMINAL_NOISE)
             for i, c in enumerate(cts)
@@ -486,10 +581,16 @@ class ServerKey:
                            noise_level=a.noise_level + b.noise_level)
 
     @staticmethod
-    def _add_to_body(data: np.ndarray, scalar: np.uint64) -> np.ndarray:
+    def _add_to_body(data, scalar: np.uint64):
         """Add a plaintext offset to the body element only (wrapping mod 2^64
         is the torus semantics — numpy's scalar-overflow warning is silenced
-        deliberately so a real overflow bug elsewhere still warns)."""
+        deliberately so a real overflow bug elsewhere still warns).  Lazy
+        device-resident data stays lazy (the offset rides the const term)."""
+        if isinstance(data, LazyLweData):
+            vec = np.zeros(data.width, np.uint64)
+            with np.errstate(over="ignore"):
+                vec[-1] = scalar
+            return data + vec
         out = np.array(data)
         with np.errstate(over="ignore"):
             out[..., -1] = out[..., -1] + scalar
@@ -502,7 +603,7 @@ class ServerKey:
         msg = p.message_modulus
         z = (b.degree + msg) // msg * msg  # multiple of msg, > b.degree
         corr = np.uint64((z * p.delta) % (1 << p.bits))
-        data = self._add_to_body(np.asarray(a.data) - np.asarray(b.data), corr)
+        data = self._add_to_body(a.data - b.data, corr)
         return a.with_data(data, degree=a.degree + z,
                            noise_level=a.noise_level + b.noise_level)
 
@@ -511,14 +612,18 @@ class ServerKey:
         msg = p.message_modulus
         z = (a.degree + msg) // msg * msg
         corr = np.uint64((z * p.delta) % (1 << p.bits))
-        zero = np.zeros_like(np.asarray(a.data))
-        data = self._add_to_body(zero - np.asarray(a.data), corr)
+        if isinstance(a.data, LazyLweData):
+            neg = -a.data
+        else:
+            neg = np.zeros_like(np.asarray(a.data)) - np.asarray(a.data)
+        data = self._add_to_body(neg, corr)
         return a.with_data(data, degree=z, noise_level=a.noise_level)
 
     def unchecked_scalar_add(self, a: Ciphertext, scalar: int) -> Ciphertext:
         p = self.params
         shift = np.uint64((scalar * p.delta) % (1 << p.bits))
-        data = self._add_to_body(np.asarray(a.data), shift)
+        data = self._add_to_body(a.data if isinstance(a.data, LazyLweData)
+                                 else np.asarray(a.data), shift)
         return a.with_data(data, degree=a.degree + scalar)
 
     def unchecked_scalar_mul(self, a: Ciphertext, scalar: int) -> Ciphertext:
