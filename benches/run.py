@@ -50,6 +50,23 @@ def _time(fn, arg_sets, sync):
     return (time.time() - t0) / ITERS
 
 
+def _sync_blocks(o):
+    """Force device completion: materialize one block of the result (the
+    last round's DeviceLweBatch parent covers the whole batch).  Needed
+    because PBS outputs are lazy device handles (LazyLweData)."""
+    x = o
+    if isinstance(x, (list, tuple)) and x:
+        x = x[-1]
+    x = getattr(x, "inner", x)
+    if hasattr(x, "blocks"):
+        x = x.blocks[-1]
+    if hasattr(x, "block"):
+        x = x.block
+    if hasattr(x, "data"):
+        return np.asarray(x.data)
+    return np.asarray(x)
+
+
 def get_params(which):
     from tfhe_tpu import shortint
     if which == "prod":
@@ -88,7 +105,7 @@ def bench_ks_pbs(which, batch):
     sets = [([ck.encrypt((i + s) % 4) for i in range(batch)],)
             for s in range(3)]
     dt = _time(lambda cts: sk.apply_lookup_table_batch(cts, lut), sets,
-               lambda o: o)
+               _sync_blocks)
     val = batch / dt
     _emit(f"ks_pbs_throughput_2_2_{which}", val, "PBS/s per chip",
           10000, "north star (HPU V80: 14167 PBS/s; 1xH100 ~880-4000)")
@@ -111,7 +128,7 @@ def bench_multibit(which, batch):
     sets = [([ck.encrypt((i + s) % 4) for i in range(batch)],)
             for s in range(3)]
     dt = _time(lambda cts: sk.apply_lookup_table_batch(cts, lut), sets,
-               lambda o: o)
+               _sync_blocks)
     _emit(f"ks_mbpbs_g4_throughput_2_2_{which}", batch / dt, "PBS/s per chip",
           10000, "north star (1xH100 KS+MB-PBS latency 1.13 ms => ~885/s "
                  "single-stream)")
@@ -135,7 +152,7 @@ def bench_pbs128(which, batch):
     sets = [([ck.encrypt((i + s) % 4) for i in range(batch)],)
             for s in range(3)]
     dt = _time(lambda cts: nsk.squash_ciphertext_noise_batch(cts, sk), sets,
-               lambda o: o)
+               _sync_blocks)
     _emit(f"pbs128_squash_throughput_2_2_{which}", batch / dt,
           "squash/s per chip", None,
           "no isolated reference squashing number published")
@@ -151,11 +168,11 @@ def bench_compression(which, batch):
     comp_key = CompressionKey(ck, seed=0xC0FF)
     sets = [([ck.encrypt((i + s) % 4) for i in range(batch)],)
             for s in range(3)]
-    dt = _time(lambda cts: comp_key.compress(cts), sets, lambda o: o)
+    dt = _time(lambda cts: comp_key.compress(cts), sets, _sync_blocks)
     _emit(f"compress_throughput_2_2_{which}", batch / dt, "ct/s per chip",
           None, "no isolated reference compression number published")
     packed_sets = [(comp_key.compress(s[0]),) for s in sets]
-    dt = _time(lambda pk: comp_key.decompress(pk), packed_sets, lambda o: o)
+    dt = _time(lambda pk: comp_key.decompress(pk), packed_sets, _sync_blocks)
     _emit(f"decompress_throughput_2_2_{which}", batch / dt, "ct/s per chip",
           None, "decompression = packing-KS inverse + blind rotate")
 
@@ -182,7 +199,7 @@ def bench_integer(which, batch):
     ]
     for name, f, ref_ms, note in ops:
         sets = [(enc[2 * s], enc[2 * s + 1]) for s in range(3)]
-        dt = _time(f, sets, lambda o: o)
+        dt = _time(f, sets, _sync_blocks)
         _emit(f"fheuint64_{name}_latency_{which}", dt * 1e3, "ms",
               ref_ms, note, throughput=False)
 
@@ -208,7 +225,7 @@ def bench_integer_throughput(which, batch):
                  for _ in range(npairs)]
         sets.append((pairs,))
     dt = _time(lambda ps: scheduler.add_many_parallelized(ik, ps), sets,
-               lambda o: o)
+               _sync_blocks)
     _emit(f"fheuint64_add_throughput_{which}", npairs / dt, "ops/s per chip",
           64, "8xH100 multi-bit 510 adds/s => ~64 per accelerator")
 
