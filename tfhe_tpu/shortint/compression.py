@@ -193,7 +193,17 @@ class CompressionKey:
 def decompress(packed: CompressedCiphertextList, indices=None,
                key: DecompressionKey | None = None, compute_params=None) -> list:
     """Extract slots from the storage domain and refresh each through the
-    decompression blind rotation (list_compression decompression path)."""
+    decompression blind rotation (list_compression decompression path).
+
+    The storage-domain extraction (monomial_div by X^j + sample_extract,
+    composed: a[l] = m[j-l] for l<=j, -m[N+j-l] for l>j; body = b[j]) is
+    pure index shuffling on tiny u16 GLWEs, so it runs vectorized on the
+    host — one device call total for the whole batch, through the fused
+    Pallas blind rotate when the backend supports it."""
+    import os
+
+    import jax
+
     key = key or getattr(packed, "_decompression_key", None)
     compute_params = compute_params or getattr(packed, "_compute_params", None)
     if key is None or compute_params is None:
@@ -202,24 +212,36 @@ def decompress(packed: CompressedCiphertextList, indices=None,
     p = compute_params
     n_c = packed.glwes.shape[-1]
     log_mod = packed.storage_log_modulus
-    top = np.uint64(64 - log_mod)
+    mod_mask = np.uint64((1 << log_mod) - 1)
     indices = list(range(packed.count)) if indices is None else list(indices)
-    # top-aligned u64 so negacyclic negation wraps correctly mod 2^log_mod
-    glwes_u64 = jnp.asarray(packed.glwes.astype(np.uint64) << top)
-    rows = []
-    for idx in indices:
-        g, j = divmod(idx, n_c)
-        rotated = srv.monomial_div(glwes_u64[g][None],
-                                   jnp.asarray([[[j]]], dtype=jnp.uint64))
-        rows.append(np.asarray(srv.sample_extract(rotated))[0])
-    msed = (np.stack(rows) >> top)  # (B, n_in+1) in [0, 2N_compute)
+    b = len(indices)
+    idx_arr = np.asarray(indices, dtype=np.int64)
+    g_arr, j_arr = np.divmod(idx_arr, n_c)
+    glwes = packed.glwes.astype(np.uint64)          # (G, k+1, N_c)
+    masks = glwes[g_arr, :-1, :]                    # (B, k, N_c)
+    k = masks.shape[1]
+    ll = np.arange(n_c, dtype=np.int64)
+    src = (j_arr[:, None] - ll[None, :]) % n_c      # (B, N_c)
+    neg = ll[None, :] > j_arr[:, None]              # sign flip for l > j
+    a = np.take_along_axis(
+        masks, np.broadcast_to(src[:, None, :], (b, k, n_c)), axis=-1)
+    a = np.where(neg[:, None, :], (np.uint64(0) - a) & mod_mask, a)
+    body = glwes[g_arr, -1, j_arr]
+    msed = np.concatenate([a.reshape(b, -1), body[:, None]], axis=1)
     lut = srv.generate_lut(p.polynomial_size, p.glwe_dimension + 1,
                            p.total_modulus, p.delta, lambda x: x, p.bits)
-    b = len(indices)
-    lut_b = jnp.asarray(np.broadcast_to(lut, (b,) + lut.shape))
+    use_pallas = (
+        jax.default_backend() not in ("cpu",)
+        and os.environ.get("TFHE_TPU_DISABLE_PALLAS") != "1"
+        and p.polynomial_size % 128 == 0
+        and key.br_base_log * key.br_level <= 31)
+    b_pad = ((b + 7) // 8) * 8 if use_pallas else b
+    if b_pad != b:
+        msed = np.concatenate([msed, np.repeat(msed[:1], b_pad - b, 0)], 0)
+    lut_b = jnp.asarray(np.broadcast_to(lut, (b_pad,) + lut.shape))
     out = np.asarray(srv.pbs_from_switched_batch(
         jnp.asarray(msed), lut_b, key.bsk_mont, key.plan,
-        key.br_base_log, key.br_level, p.bits))
+        key.br_base_log, key.br_level, p.bits, use_pallas))[:b]
     return [Ciphertext(out[i], packed.degrees[idx], NOMINAL_NOISE,
                        packed.message_modulus, packed.carry_modulus)
             for i, idx in enumerate(indices)]
