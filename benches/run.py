@@ -174,7 +174,8 @@ def bench_compression(which, batch):
     packed_sets = [(comp_key.compress(s[0]),) for s in sets]
     dt = _time(lambda pk: comp_key.decompress(pk), packed_sets, _sync_blocks)
     _emit(f"decompress_throughput_2_2_{which}", batch / dt, "ct/s per chip",
-          None, "decompression = packing-KS inverse + blind rotate")
+          None, "decompression = vectorized storage extract + one fused "
+                "Pallas blind rotate batch")
 
 
 def bench_integer(which, batch):

@@ -25,6 +25,23 @@ def test_compress_decompress_roundtrip(keys):
         assert ck.decrypt(o) == m
 
 
+def test_decompress_glwe_boundary_indices(keys):
+    """Slots at the last coefficient of one storage GLWE and the first of the
+    next exercise the extraction's sign-flip edge cases (j=0, j=N_c-1)."""
+    ck, sk = keys
+    comp_key = CompressionKey(ck, seed=0xC0FF)
+    n_c = comp_key.comp.lwe_per_glwe
+    count = n_c + 3
+    msgs = [i % 4 for i in range(count)]
+    cts = [ck.encrypt(m) for m in msgs]
+    packed = comp_key.compress(cts)
+    assert packed.glwes.shape[0] == 2
+    picks = [0, 1, n_c - 1, n_c, n_c + 2]
+    outs = comp_key.decompress(packed, indices=picks)
+    for idx, o in zip(picks, outs):
+        assert ck.decrypt(o) == msgs[idx]
+
+
 def test_compression_ratio(keys):
     ck, sk = keys
     comp_key = CompressionKey(ck, seed=0xC0FF)
