@@ -101,13 +101,7 @@ def bench_v3(ck, sk, params, batch):
     rb = int(os.environ.get("TFHE_TPU_BENCH_ROUND_BITS",
                             "15" if nprimes == 3 else "0"))
     t0 = time.time()
-    # rebuild the coefficient BSK deterministically from the cached seed
-    bsk = kg.generate_lwe_bootstrap_key(
-        ck.lwe_secret_key, ck.glwe_secret_key, p.core.pbs_decomp,
-        p.glwe_noise,
-        __import__("tfhe_tpu.utils.csprng", fromlist=["x"]).EncryptionRandomGenerator(
-            0x7FEE, __import__("tfhe_tpu.utils.csprng", fromlist=["x"]).DeterministicSeeder(0x7FEE ^ 0xB5297A4D)),
-        p.bits)
+    bsk = sk._bsk_coeff   # coefficient BSK persisted in the keycache
     mplan = mxu.make_mxu_plan(p.polynomial_size, num_primes=nprimes,
                               round_bits=rb)
     bhat, _ = mxu.bsk_eval_domain(bsk, mplan, mont=(fold == "redc"))

@@ -304,6 +304,28 @@ def bsk_eval_domain(bsk, plan: MxuPlan = None, mont: bool = False):
     return np.ascontiguousarray(np.stack(outs, axis=-3)), plan
 
 
+def _pick_chunk(n_in: int, chunk: int) -> int:
+    """Largest divisor of n_in that is <= chunk (so every chunk shares ONE
+    jitted executable and no tail shape recompiles); falls back to `chunk`
+    with a zero-padded tail when n_in is awkward (prime-ish)."""
+    for c in range(min(chunk, n_in), 0, -1):
+        if n_in % c == 0:
+            if c >= max(8, chunk // 4):
+                return c
+            break
+    return chunk
+
+
+@lru_cache(maxsize=None)
+def _middle_chunk_jit(plan: MxuPlan):
+    return jax.jit(lambda bh: _middle_from_eval_chunk(bh, plan))
+
+
+@lru_cache(maxsize=None)
+def _middle_v5_chunk_jit(plan: MxuPlan):
+    return jax.jit(lambda bh: _middle_v5_chunk(bh, plan))
+
+
 def middle_from_eval_device(bhat, plan: MxuPlan, dgroup: bool = False,
                             chunk: int = 48):
     """Device-side M assembly: M = F * diag(b_hat) * G mod p, limb-extracted.
@@ -314,21 +336,29 @@ def middle_from_eval_device(bhat, plan: MxuPlan, dgroup: bool = False,
     behind a tunnel and a waste of PCIe anywhere).  dgroup=True emits the
     kernel's diagonal-grouped layout directly.
 
-    Processed in chunks of `chunk` mask elements so the emulated-u64
-    workspace stays a small fraction of HBM (full-key intermediates are
-    ~4 GB each and overflow a 16 GB chip alongside the outputs).
+    Processed in jitted chunks of `chunk` mask elements (one compiled
+    executable reused across chunks — unjitted, the per-op dispatch through
+    the device link dominates) so the emulated-u64 workspace stays a small
+    fraction of HBM (full-key intermediates are ~4 GB each and overflow a
+    16 GB chip alongside the outputs).
 
     Arithmetic: u64 Montgomery (REDC32) — no division, XLA-exact.
     """
     n_in = bhat.shape[0]
-    if n_in > chunk:
-        parts = []
-        for s in range(0, n_in, chunk):
-            part = _middle_from_eval_chunk(bhat[s:s + chunk], plan)
-            parts.append(regroup_middle_d(part) if dgroup else part)
-        return jnp.concatenate(parts, axis=0)
-    part = _middle_from_eval_chunk(bhat, plan)
-    return regroup_middle_d(part) if dgroup else part
+    c = _pick_chunk(n_in, chunk)
+    fn = _middle_chunk_jit(plan)
+    parts = []
+    for s in range(0, n_in, c):
+        bh = bhat[s:s + c]
+        if bh.shape[0] < c:       # awkward n_in: zero-pad the tail chunk
+            bh = jnp.pad(bh, ((0, c - bh.shape[0]),) + ((0, 0),) * (bh.ndim - 1))
+            part = fn(bh)[:n_in - s]
+        else:
+            part = fn(bh)
+        parts.append(regroup_middle_d(part) if dgroup else part)
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.concatenate(parts, axis=0)
 
 
 def _middle_from_eval_chunk(bhat, plan: MxuPlan):
@@ -460,12 +490,22 @@ def _pack_v5_bytes_device(m_i32) -> "jnp.ndarray":
 def middle_v5_from_eval_device(bhat, plan: MxuPlan, chunk: int = 48):
     """Device-side v5 middle build: (v32, corr) as in bsk_to_mxu_v5, computed
     from the ~16x smaller eval-domain precursor (bsk_eval_domain, mont=False)
-    entirely on device.  v32 u32 (n, P, N1, 2K, C); corr u32 (n, P, N1, C).
+    entirely on device, in jitted chunks sharing one compiled executable.
+    v32 u32 (n, P, N1, 2K, C); corr u32 (n, P, N1, C).
     """
     n_in = bhat.shape[0]
+    c = _pick_chunk(n_in, chunk)
+    fn = _middle_v5_chunk_jit(plan)
     outs_m, outs_c = [], []
-    for s in range(0, n_in, chunk):
-        v32, corr = _middle_v5_chunk(bhat[s:s + chunk], plan)
+    for s in range(0, n_in, c):
+        bh = bhat[s:s + c]
+        if bh.shape[0] < c:
+            pad = c - bh.shape[0]
+            bh = jnp.pad(bh, ((0, pad),) + ((0, 0),) * (bh.ndim - 1))
+            v32, corr = fn(bh)
+            v32, corr = v32[:n_in - s], corr[:n_in - s]
+        else:
+            v32, corr = fn(bh)
         outs_m.append(v32)
         outs_c.append(corr)
     if len(outs_m) == 1:
