@@ -96,7 +96,9 @@ def bench_v3(ck, sk, params, batch):
     fold = os.environ.get("TFHE_TPU_BENCH_FOLD", "solinas")
     kernel = os.environ.get("TFHE_TPU_BENCH_KERNEL", "v5")
     # 3-prime rb=15 is the measured-fastest config (v5 248.9 BR/s vs v3
-    # 188.9 at tb=64; rounding noise ~0.6% of PBS output variance)
+    # 188.9 at tb=64; the keycache BSK is mask-floored so the rounding
+    # noise is body-only ~0.6% of PBS output variance — see
+    # tests/test_noise_rounded_bsk.py)
     nprimes = int(os.environ.get("TFHE_TPU_BENCH_PRIMES", "3"))
     rb = int(os.environ.get("TFHE_TPU_BENCH_ROUND_BITS",
                             "15" if nprimes == 3 else "0"))

@@ -25,11 +25,9 @@ def main():
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     n_poly, n_in, k = P.polynomial_size, P.lwe_dimension, P.glwe_dimension
 
-    z = np.load(".keys/mxu_2_2_r2.npz")
-    from tfhe_tpu.core.entities import LweBootstrapKey
-    from tfhe_tpu.core.params import DecompParams
-    bsk = LweBootstrapKey(z["bsk_data"],
-                          DecompParams(P.pbs_base_log, P.pbs_level), 64)
+    from tfhe_tpu.utils.keycache import get_shortint_keys
+    _, sk = get_shortint_keys(P)
+    bsk = sk._bsk_coeff
     nprimes = int(os.environ.get("V5_PRIMES", "3"))
     rb = int(os.environ.get("V5_ROUND_BITS", "15" if nprimes == 3 else "0"))
     plan = mxu.make_mxu_plan(n_poly, num_primes=nprimes, round_bits=rb)

@@ -82,11 +82,14 @@ def _tfhe_lib_params():
 TFHE_LIB_PARAMETERS = _tfhe_lib_params()
 
 # Higher-assurance variant (PARAMETERS_ERROR_PROB_2_POW_MINUS_165 analog).
+# TUniform(43) is the estimator minimum at n=1024/q=2^64
+# (core/security.minimal_lwe_bound_tuniform; the round-3 security gate
+# caught the earlier TUniform(42) as one bit short).
 PARAMETERS_ERROR_PROB_2_POW_MINUS_165 = BooleanParameters(
     lwe_dimension=1024,
     glwe_dimension=1,
     polynomial_size=2048,
-    lwe_noise=TUniform(42),
+    lwe_noise=TUniform(43),
     glwe_noise=TUniform(17),
     pbs_base_log=23,
     pbs_level=1,

@@ -58,9 +58,22 @@ def modulus_switch_additive_variance(n: int, log_modulus: int, bits: int = 64) -
     return (n / 2.0 + 1.0) * (step ** 2) / 12.0 - (n / 2.0 + 1.0) / 12.0
 
 
+def centered_ms_additive_variance(n: int, log_modulus: int,
+                                  bits: int = 64) -> float:
+    """Centered-binary (mean-shifted) modulus-switch additive variance —
+    the v1_4 production default (MsNoiseReduction.CENTERED_MEAN).  Modular
+    (q^2-scaled) form of the reference's recorded heuristic
+    n * (q^-2/24 + q_new^-2/48)
+    (noise_formulas/centered_mean_shifted_modulus_switch.rs:27-35): the
+    centering halves the plain MS rounding variance."""
+    step = 2.0 ** (bits - log_modulus)
+    return n * (1.0 / 24.0 + (step ** 2) / 48.0)
+
+
 def pbs_output_variance(n_in: int, glwe_dim: int, poly_size: int,
                         base_log: int, levels: int, var_bsk: float,
-                        bits: int = 64) -> float:
+                        bits: int = 64, bsk_round_bits: int = 0,
+                        bsk_mask_floored: bool = False) -> float:
     """Variance after a fresh (classic) PBS with an exact polynomial product.
 
     Standard external-product accumulation bound for binary GLWE keys
@@ -69,6 +82,12 @@ def pbs_output_variance(n_in: int, glwe_dim: int, poly_size: int,
       n * [ l*(k+1)*N*(B^2+2)/12 * var_bsk
             + (q^2 B^-2l - 1)/24 * (1 + k*N/2)
             + k*N/32 * B^-2l ... ]  (small terms kept for fidelity)
+
+    bsk_round_bits > 0 adds the rounded-BSK truncation term (the production
+    3-prime TPU configuration, ops/mxu.round_bsk): each key coefficient
+    gains an independent uniform error over a 2^rb-wide step, variance
+    2^(2rb)/12, accumulated through the external product exactly like the
+    key noise — see bsk_rounding_additive_variance.
     """
     k = glwe_dim
     n_poly = poly_size
@@ -78,7 +97,46 @@ def pbs_output_variance(n_in: int, glwe_dim: int, poly_size: int,
     term_key = levels * (k + 1) * n_poly * (b * b + 2.0) / 12.0 * var_bsk
     term_round = (q2 / b2l - 1.0) / 24.0 * (1.0 + k * n_poly / 2.0)
     term_small = k * n_poly / 32.0 + 1.0 / 16.0 * (1.0 - k * n_poly / 2.0) ** 2 / b2l
-    return n_in * (term_key + term_round + term_small)
+    out = n_in * (term_key + term_round + term_small)
+    if bsk_round_bits:
+        out += bsk_rounding_additive_variance(
+            n_in, glwe_dim, poly_size, base_log, levels, bsk_round_bits,
+            mask_floored=bsk_mask_floored)
+    return out
+
+
+def bsk_rounding_additive_variance(n_in: int, glwe_dim: int, poly_size: int,
+                                   base_log: int, levels: int,
+                                   round_bits: int,
+                                   mask_floored: bool = False) -> float:
+    """Extra PBS output variance from rounding every BSK coefficient to a
+    multiple of 2^round_bits (ops/mxu.round_bsk, the 3-prime TPU config).
+
+    Each of the n * l*(k+1)*N accumulated products multiplies a balanced
+    digit (E[d^2] = (B^2+2)/12) by an independent uniform rounding error in
+    (-2^(rb-1), 2^(rb-1)] (variance 2^(2rb)/12).  Unlike the BSK encryption
+    noise (body-only), rounding perturbs the GGSW MASK coefficients too, and
+    a mask error e_a enters the decrypted phase convolved with the binary
+    GLWE secret (e_a (*) s, per-coefficient variance k*N/2 * var_e) — the
+    same (1 + k*N/2) amplification as the decomposition-rounding term:
+
+        n * l*(k+1)*N * (B^2+2)/12 * 2^(2rb)/12 * (1 + k*N/2)
+
+    Empirically confirmed (rounded-vs-unrounded key on identical inputs,
+    tests/test_noise_rounded_bsk.py): at N=256, k=1 the measured factor is
+    ~143 vs the 129 of this formula's tail — within sampling tolerance.
+
+    mask_floored=True: the key was first passed through mxu.mask_floor_bsk
+    (masks exact multiples of 2^rb, phase-preserving), so rounding only
+    perturbs the BODY coefficient and the (1 + k*N/2) amplification
+    vanishes.  This is the production ServerKey configuration.
+    """
+    b = 2.0 ** base_log
+    k = glwe_dim
+    var_round = 2.0 ** (2 * round_bits) / 12.0
+    amp = 1.0 if mask_floored else (1.0 + k * poly_size / 2.0)
+    return (n_in * levels * (k + 1) * poly_size
+            * (b * b + 2.0) / 12.0 * var_round * amp)
 
 
 @dataclass

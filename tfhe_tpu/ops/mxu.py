@@ -198,6 +198,50 @@ def _forward_eval(polys: np.ndarray, plan: MxuPlan, pi: int,
     return xhat
 
 
+def mask_floor_bsk(bsk, glwe_sk, round_bits: int):
+    """Exact, phase-preserving re-randomization of a BSK onto 2^rb-aligned
+    masks (keygen-side; requires the GLWE secret key).
+
+    For each GLWE row (a_1..a_k, b): the dropped low bits r_j = a_j mod 2^rb
+    are moved into the body, b' = b - sum_j r_j (*) s_j (negacyclic, exact
+    mod 2^64), a'_j = a_j - r_j.  Phases are IDENTICAL (b' - <a', s> =
+    b - <a, s>), so this costs zero noise; a subsequent round_bsk then only
+    perturbs the BODY coefficient, which kills the (1 + k*N/2) mask-error
+    amplification of the rounding noise (core/noise.
+    bsk_rounding_additive_variance) — the production 3-prime configuration's
+    soundness fix (tests/test_noise_rounded_bsk.py).
+
+    Security: the floored masks are uniform over 2^rb * Z_{2^(64-rb)}, i.e.
+    the GGSWs become GLWE samples over ciphertext modulus 2^(64-rb) embedded
+    in 2^64 — the same dimension and the same ABSOLUTE noise at a smaller
+    modulus, a strictly harder lattice instance than the original.
+    """
+    from ..core.entities import LweBootstrapKey
+
+    data = np.asarray(bsk.data)
+    n_in, lev, rows, k1c, n = data.shape
+    k = k1c - 1
+    low = data[..., :k, :] & np.uint64((1 << round_bits) - 1)   # r_j
+    # negacyclic circulant of each secret poly: S[j][i, out] for r (*) s_j
+    out = data.copy()
+    out[..., :k, :] -= low
+    corr = np.zeros(data.shape[:3] + (n,), dtype=np.uint64)
+    idx = np.arange(n)
+    for j in range(k):
+        s = glwe_sk.data[j].astype(np.int64)
+        # circ[i, o] = sign * s[o - i mod n], negacyclic wrap
+        mat = s[(idx[None, :] - idx[:, None]) % n].astype(np.float64)
+        sign = np.where(idx[None, :] < idx[:, None], -1.0, 1.0)
+        mat = mat * sign
+        r = low[..., j, :].reshape(-1, n).astype(np.float64)    # < 2^rb
+        # exact in f64: |sum| <= N * 2^rb < 2^(11+rb) << 2^53 for rb <= 40
+        assert round_bits + 11 < 52
+        prod = r @ mat                                          # (rows, n)
+        corr += prod.astype(np.int64).astype(np.uint64).reshape(corr.shape)
+    out[..., k, :] -= corr
+    return LweBootstrapKey(out, bsk.decomp, bsk.bits)
+
+
 def round_bsk(bsk, round_bits: int):
     """Centered-round every BSK coefficient to a multiple of 2^round_bits.
 
@@ -211,9 +255,14 @@ def round_bsk(bsk, round_bits: int):
     rb = 15) — a ~25% cut of all per-prime kernel work.
 
     Noise cost: each coefficient gains a uniform error in (-2^(rb-1),
-    2^(rb-1)], adding n*l*(k+1)*N * (B^2+2)/12 * 2^(2rb)/12 to the PBS
-    output variance — 0.6% of the 2_2 PBS output variance at rb = 15
-    (measured against core/noise.pbs_output_variance; pfail impact nil).
+    2^(rb-1)].  On a mask-floored key (mask_floor_bsk — the production
+    ServerKey configuration) only the BODY is perturbed and the added PBS
+    output variance is n*l*(k+1)*N * (B^2+2)/12 * 2^(2rb)/12 — ~0.6% of the
+    2_2 PBS output variance at rb = 15, pfail impact < 0.1 bit.  On a RAW
+    key the mask errors convolve with the GLWE secret and the term is
+    amplified by (1 + k*N/2) = 1025x at 2_2 — measured and modeled in
+    core/noise.bsk_rounding_additive_variance + tests/
+    test_noise_rounded_bsk.py; that is why ServerKey floors first.
     Both the XLA MXU path and the fused kernel consume the SAME rounded key,
     so the bit-exactness invariant between paths is preserved.
     """

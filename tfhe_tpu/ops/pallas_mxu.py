@@ -1376,7 +1376,10 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
         # digit planes: transpose + offset + XOR + bitcast (per level)
         dxs = []
         for lev in range(levels):
-            dT = jnp.transpose(digits[lev]) + U32(OFF)       # (128 i1, R)
+            if ablate == "dpl":   # skip the (R,128)->(128,R) transpose
+                dT = st_lo_s[:].reshape(n1, R) ^ digits[lev][:1, :1]
+            else:
+                dT = jnp.transpose(digits[lev]) + U32(OFF)   # (128 i1, R)
             dxs.append(pltpu.bitcast(dT ^ XORC, jnp.int8))   # (4*128, R)
 
         res_primes = []
@@ -1391,6 +1394,12 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                     diags = [jax.lax.dot_general(
                         L1_ref[pi, d], dxs[lev], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32) for d in range(6)]
+                if ablate == "s1a":   # skip pair assembly + st packing
+                    st_lo_s[:] = jnp.broadcast_to(
+                        diags[0][:, :1, None].astype(U32), (n1, kmid, tb))
+                    st_hi_s[:] = jnp.broadcast_to(
+                        diags[1][:, :1, None].astype(U32), (n1, kmid, tb))
+                    continue
                 Xlo, Xhi, xb = s1_asm[pi](diags, c1_ref[pi][:, :1],
                                           primes[pi] - 1)
                 assert (xb >> 32) < (1 << 31)
@@ -1427,8 +1436,12 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                 # back corrupted — while repeat + variable shifts is probed
                 # bit-exact; see perf_harness/_t_v5_probe*.py).
                 v_pack = m_ref[0, pi]                 # (128, 2kmid, cmid) u32
-                tiled = pltpu.repeat(v_pack, 8, 2)    # (128, 2kmid, 8*cmid)
-                w_all = (tiled >> shd_ref[:]) << shu_ref[:]
+                if ablate == "mlb":   # skip the repeat + variable shifts
+                    w_all = jnp.broadcast_to(v_pack[:, :, :1],
+                                             (n1, 2 * kmid, 8 * cmid))
+                else:
+                    tiled = pltpu.repeat(v_pack, 8, 2)  # (128, 2kmid, 8cmid)
+                    w_all = (tiled >> shd_ref[:]) << shu_ref[:]
                 lhs = pltpu.bitcast(w_all, jnp.int8)  # (128, 8kmid, 8*cmid)
                 out = jax.lax.dot_general(
                     lhs, rhs,
@@ -1436,12 +1449,18 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                     preferred_element_type=jnp.int32)  # (128, 8*cmid, tb)
                 diags = [out[:, d * cmid:(d + 1) * cmid, :]
                          for d in range(7)]
-            cmv = (cm_ref[0, pi] + U32(mid_const[pi]))[:, :, None]
-            Vlo, Vhi, vb = mid_asm[pi](diags, cmv, 2 * (primes[pi] - 1))
-            assert (vb >> 32) < (1 << 31)
-            for cc in range(cmid):
-                vt_lo_s[:, cc * tb:(cc + 1) * tb] = Vlo[:, cc, :]
-                vt_hi_s[:, cc * tb:(cc + 1) * tb] = Vhi[:, cc, :]
+            if ablate == "mida":   # skip mid pair assembly + vt packing
+                vt_lo_s[:] = jnp.broadcast_to(
+                    diags[0][:, :1, 0].astype(U32), (n1, cmid * tb))
+                vt_hi_s[:] = jnp.broadcast_to(
+                    diags[1][:, :1, 0].astype(U32), (n1, cmid * tb))
+            else:
+                cmv = (cm_ref[0, pi] + U32(mid_const[pi]))[:, :, None]
+                Vlo, Vhi, vb = mid_asm[pi](diags, cmv, 2 * (primes[pi] - 1))
+                assert (vb >> 32) < (1 << 31)
+                for cc in range(cmid):
+                    vt_lo_s[:, cc * tb:(cc + 1) * tb] = Vlo[:, cc, :]
+                    vt_hi_s[:, cc * tb:(cc + 1) * tb] = Vhi[:, cc, :]
 
             # ---- inverse stage: two-family byte dot ---------------------
             rv = jnp.concatenate(
@@ -1458,14 +1477,20 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                     lhs_i, rv, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)   # (7*n1, cmid*tb)
                 diags = [y_all[d * n1:(d + 1) * n1] for d in range(7)]
-            Y = inv_asm[pi](diags, ci_ref[pi][:, :1], primes[pi] - 1)
-            # pair -> canonical: lo + 2^4*eps*hi (2^32 = 2^4 * 2^28 mod p)
-            a_, m_ = ams[pi]
-            ylo, yhi, yb = Y
-            H = (yhi, None, yb >> 32)
-            Z = _sol_add((ylo, None, min(yb, (1 << 32) - 1)),
-                         _sol_shl(_sol_eps_mul(H, a_, m_), 4))
-            y = _sol_reduce_canonical(Z, a_, m_, primes[pi])
+            if ablate == "inva":   # skip inv pair assembly + canonicalize
+                y = pltpu.bitcast(diags[0], U32)
+            elif ablate == "rtr":  # skip the (128,R)->(R,128) transpose
+                res_primes.append(acc_lo ^ diags[0][:1, :1].astype(U32))
+                continue
+            else:
+                Y = inv_asm[pi](diags, ci_ref[pi][:, :1], primes[pi] - 1)
+                # pair -> canonical: lo + 2^4*eps*hi (2^32 = 2^4*2^28 mod p)
+                a_, m_ = ams[pi]
+                ylo, yhi, yb = Y
+                H = (yhi, None, yb >> 32)
+                Z = _sol_add((ylo, None, min(yb, (1 << 32) - 1)),
+                             _sol_shl(_sol_eps_mul(H, a_, m_), 4))
+                y = _sol_reduce_canonical(Z, a_, m_, primes[pi])
             res_primes.append(jnp.transpose(y))             # (R, 128)
 
         new_lo, new_hi = _garner_acc(

@@ -144,6 +144,24 @@ def _unpack_bits(packed: np.ndarray, width: int, count: int) -> np.ndarray:
         axis=1, dtype=np.uint64)
 
 
+def _mxu_family(p) -> bool:
+    """Parameter families the MXU blind-rotate stack covers (static — must
+    not depend on the runtime backend, so keys built on CPU and TPU are
+    identical)."""
+    return (p.polynomial_size == 2048 and p.glwe_dimension == 1
+            and p.pbs_level == 1 and p.pbs_base_log <= 23
+            and getattr(p, "grouping_factor", None) is None)
+
+
+def _mxu_round_bits() -> int:
+    """Resolved BSK rounding for the MXU stack (3-prime default rb=15)."""
+    import os
+
+    nprimes = int(os.environ.get("TFHE_TPU_MXU_PRIMES", "3"))
+    return int(os.environ.get("TFHE_TPU_MXU_ROUND_BITS",
+                              "15" if nprimes == 3 else "0"))
+
+
 class ServerKey:
     def __init__(self, client_key: ClientKey, seed: int | None = None):
         p = client_key.params
@@ -179,6 +197,37 @@ class ServerKey:
             client_key.lwe_secret_key, client_key.glwe_secret_key,
             core.pbs_decomp, p.glwe_noise, gen, p.bits,
         )
+        if _mxu_family(p) and _mxu_round_bits() > 0:
+            # Keygen-side, phase-preserving mask alignment so the 3-prime
+            # MXU stack's BSK rounding only perturbs bodies (kills the
+            # (1+k*N/2) mask-error amplification; zero noise cost here and
+            # for the v2/XLA paths, which share this key).  See
+            # ops/mxu.mask_floor_bsk + tests/test_noise_rounded_bsk.py.
+            # Security guard: the floored key is a GLWE instance over
+            # effective modulus 2^(64-rb) with the same absolute noise —
+            # only floor when that instance still meets the estimator
+            # curves (core/security; e.g. production TUniform(17) at rb=15
+            # leaves exactly the minimal TUniform(2) on the 2^49 grid).
+            # Flooring an already-insecure test set is harmless and keeps
+            # the fast path exercised in tests.
+            from ..core import security as _sec
+            from ..ops import mxu as _mxu
+
+            rb = _mxu_round_bits()
+            kn = p.glwe_dimension * p.polynomial_size
+            ok_floored, detail = _sec.check_lwe_noise_secure(
+                p.glwe_noise, kn, p.bits, modulus_log2_shrink=rb)
+            ok_plain, _ = _sec.check_lwe_noise_secure(p.glwe_noise, kn,
+                                                      p.bits)
+            if ok_floored or not ok_plain:
+                bsk = _mxu.mask_floor_bsk(bsk, client_key.glwe_secret_key,
+                                          rb)
+                self._bsk_floored = rb
+            else:
+                raise ValueError(
+                    f"BSK mask flooring at rb={rb} would degrade a secure "
+                    f"parameter set below the estimator curve: {detail}; "
+                    "lower TFHE_TPU_MXU_ROUND_BITS or use 4 primes")
         self.drift_zeros = None
         if p.ms_noise_reduction == MsNoiseReduction.DRIFT:
             from ..core.encrypt import encrypt_lwe
@@ -213,6 +262,11 @@ class ServerKey:
         # coefficient-domain BSK kept (53 MB at 2_2) for the lazy MXU-engine
         # middle-tensor build (_ensure_mxu); None disables the MXU path
         self._bsk_coeff = bsk
+        # rb the masks are floored to (set by __init__/keycache); an
+        # UNfloored key (from_raw_keys — no secret available) must not be
+        # rounded, or the (1+kN/2)-amplified noise breaks the pfail claim:
+        # _ensure_mxu falls back to 4-prime rb=0 for those.
+        self._bsk_floored = getattr(self, "_bsk_floored", 0)
 
     @property
     def use_pallas(self) -> bool:
@@ -262,6 +316,10 @@ class ServerKey:
             nprimes = int(os.environ.get("TFHE_TPU_MXU_PRIMES", "3"))
             rb = int(os.environ.get("TFHE_TPU_MXU_ROUND_BITS",
                                     "15" if nprimes == 3 else "0"))
+            if rb and getattr(self, "_bsk_floored", 0) < rb:
+                # unfloored key (from_raw_keys): rounding it would pay the
+                # (1+kN/2)-amplified noise — use the exact 4-prime plan
+                nprimes, rb = 4, 0
             fold = os.environ.get("TFHE_TPU_MXU_FOLD", "solinas")
             kernel = os.environ.get("TFHE_TPU_MXU_KERNEL", "v5")
             mplan = mxu.make_mxu_plan(p.polynomial_size, num_primes=nprimes,
