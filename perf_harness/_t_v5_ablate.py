@@ -16,7 +16,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 MODES = [None, "rot", "dpl", "s1", "s1a", "mlb", "mid", "mida", "inv",
-         "inva", "rtr", "gar"]
+         "inva", "gar"]
 
 
 def main():
@@ -58,11 +58,12 @@ def main():
     for mode in modes:
         run = jax.jit(functools.partial(
             pallas_mxu.blind_rotate_pallas_v5, plan=plan,
-            base_log=P.pbs_base_log, levels=P.pbs_level, tb=tb, ablate=mode))
+            base_log=P.pbs_base_log, levels=P.pbs_level, tb=tb, ablate=mode,
+            jfold=os.environ.get("V5_JFOLD") == "1"))
         t0 = time.time()
         np.asarray(run(*sets[0], v32=v32, corr_mid=corr))
         print(f"# [{mode}] compile+first {time.time()-t0:.1f}s", flush=True)
-        iters = 3
+        iters = 6
         t0 = time.time()
         for i in range(iters):
             out = run(*sets[i % 3], v32=v32, corr_mid=corr)

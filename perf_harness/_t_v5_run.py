@@ -56,7 +56,8 @@ def main():
     print(f"# ABLATE={ablate}", flush=True)
     run = jax.jit(functools.partial(
         pallas_mxu.blind_rotate_pallas_v5, plan=plan, base_log=P.pbs_base_log,
-        levels=P.pbs_level, tb=tb, ablate=ablate))
+        levels=P.pbs_level, tb=tb, ablate=ablate,
+        jfold=os.environ.get("V5_JFOLD") == "1"))
 
     rng = np.random.default_rng(3)
 

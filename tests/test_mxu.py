@@ -273,3 +273,40 @@ def test_v5_kernel_parity_interpret(setup):
         jnp.asarray(m8_3), jnp.asarray(corr3), plan3, BASE_LOG, LEVELS,
         tb=2, interpret=True))
     assert (got3 == want3).all()
+
+
+def test_v6_jfold_kernel_parity_interpret(setup):
+    """The v6 (jfold) kernel — weight-premultiplied stage tables — vs the
+    XLA reference path: bit-exact, 4-prime and 3-prime rounded modes."""
+    from tfhe_tpu.ops import pallas_mxu
+
+    bsk_mont, plan_ref, m_limbs, plan_mxu = setup
+    bsk = _rebuild_bsk()
+    rng = np.random.default_rng(13)
+    b = 4
+    mask = rng.integers(0, 2 * N, (b, N_IN), dtype=np.uint64)
+    body = rng.integers(0, 2 * N, (b,), dtype=np.uint64)
+    lut = rng.integers(0, 1 << 64, (b, K_GLWE + 1, N), dtype=np.uint64)
+    want = np.asarray(srv.blind_rotate(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(bsk_mont).astype(jnp.uint64), plan_ref, BASE_LOG, LEVELS))
+    m8, corr, _ = mxu.bsk_to_mxu_v5(bsk, plan_mxu)
+    got = np.asarray(pallas_mxu.blind_rotate_pallas_v5(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(m8), jnp.asarray(corr), plan_mxu, BASE_LOG, LEVELS,
+        tb=2, interpret=True, jfold=True))
+    assert (got == want).all()
+
+    plan3 = mxu.make_mxu_plan(N, num_primes=3, round_bits=15)
+    m8_3, corr3, _ = mxu.bsk_to_mxu_v5(bsk, plan3)
+    bsk_r = mxu.round_bsk(bsk, 15)
+    bsk_mont_r, plan_ref_r = kg.bootstrap_key_to_ntt(bsk_r)
+    want3 = np.asarray(srv.blind_rotate(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(bsk_mont_r).astype(jnp.uint64), plan_ref_r,
+        BASE_LOG, LEVELS))
+    got3 = np.asarray(pallas_mxu.blind_rotate_pallas_v5(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(m8_3), jnp.asarray(corr3), plan3, BASE_LOG, LEVELS,
+        tb=2, interpret=True, jfold=True))
+    assert (got3 == want3).all()

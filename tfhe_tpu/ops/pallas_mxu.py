@@ -1169,22 +1169,85 @@ def _kernel_tables_v5(n: int, num_primes: int, base_log: int):
 
 
 @lru_cache(maxsize=None)
+def _kernel_tables_v6(n: int, num_primes: int, base_log: int):
+    """Static v6 ("j-fold") tables: the data-byte weights 2^(8e) are folded
+    INTO the matrix entries before byte-limbing, so each stage emits FOUR
+    uniform-weight diagonals (j = matrix byte index) instead of 6/7
+    mixed-class ones — the pair assembly collapses to a short 2^(8j)
+    weighted chain and the dots shrink by the same 6->4 / 7->4 ratio.
+
+    L1j  (P, 4, 128, 4*128) int8 — col (4*i+e) of diag j holds
+         byte_j(2^(8e) * W1'[k,i] mod p), e<=2 live;
+    L1ij (P, 4, 128, 8*128) — cols [lo-family (4i+e)] ++ [hi-family], the
+         hi family folds the pair's 2^32 weight as in v5.
+    s1w_sum / s1j_sum / invj_sum: integer column sums for the corrections
+    (true value = sum_e W_e * s_e + 128 * sum_e W_e - OFF * sum W1 mod p,
+    s_e the XOR-centered data bytes).
+    """
+    plan = mxu_mod.make_mxu_plan(n, num_primes=num_primes)
+    P = num_primes
+    n1 = LANES
+
+    def vals(limbs):
+        return sum(limbs[:, e].astype(np.uint64) << np.uint64(LB * e)
+                   for e in range(NL))
+
+    w1 = vals(plan.w1_limbs)            # (P, k, i)
+    w1i = vals(plan.w1i_limbs)
+    ps = np.array(plan.primes, dtype=np.uint64)[:, None, None]
+    r32 = np.array([(1 << 32) % p for p in plan.primes],
+                   dtype=np.uint64)[:, None, None]
+    w1i32 = (w1i * r32) % ps
+    L1j = np.zeros((P, 4, n1, 4 * n1), np.int8)
+    s1j_sum = np.zeros((P, n1), dtype=object)
+    for e in range(3):
+        we = (w1 << np.uint64(8 * e)) % ps          # 2^(8e) W1 mod p
+        ble = mxu_mod.byte_limbs_balanced(we)       # (4, P, k, i)
+        for j in range(4):
+            L1j[:, j, :, e::4] = ble[j]
+        s1j_sum += we.sum(axis=2).astype(object)
+    L1ij = np.zeros((P, 4, n1, 8 * n1), np.int8)
+    invj_sum = np.zeros((P, n1), dtype=object)
+    for e in range(4):
+        for fam, w in enumerate((w1i, w1i32)):
+            we = (w << np.uint64(8 * e)) % ps
+            ble = mxu_mod.byte_limbs_balanced(we)
+            for j in range(4):
+                L1ij[:, j, :, fam * 4 * n1 + e:(fam + 1) * 4 * n1:4] = ble[j]
+            invj_sum += we.sum(axis=2).astype(object)
+    s1w_sum = w1.sum(axis=2).astype(object)         # (P, k) ints
+    return L1j, L1ij, s1w_sum, s1j_sum, invj_sum, plan
+
+
+@lru_cache(maxsize=None)
 def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                           tb: int, n_steps: int, interpret: bool = False,
                           ablate: str | None = None,
                           num_primes: int = mxu_mod.N_PRIMES_DEFAULT,
-                          round_bits: int = 0):
+                          round_bits: int = 0, jfold: bool = False):
     """Byte-limb blind-rotate kernel (see section comment above).
 
     Caller layout identical to v4 (to_v4_layout rows (k1, i2, el), lanes
     i1); v32 (reverse-byte-packed u32 middle words) / corr from
     mxu.bsk_to_mxu_v5 (+ device build).
+
+    jfold=True is the "v6" variant: the static stage-1/inverse tables carry
+    the data-byte weights 2^(8e) pre-multiplied mod p (_kernel_tables_v6),
+    so those stages emit FOUR uniform-weight diagonals instead of 6/7
+    mixed-class ones — ~2/3 / ~4/7 of the dot work and a much shorter pair
+    assembly.  The mid stage (per-step key tensors — folding there would 4x
+    their memory) is unchanged.
     """
     assert base_log <= 23, "v5 digit bytes assume base_log <= 23"
     n1 = LANES
     n2 = n // n1
-    L1_np, L1i_np, s1_sum, inv_sum, plan = _kernel_tables_v5(
-        n, num_primes, base_log)
+    if jfold:
+        L1_np, L1i_np, s1w_sum, s1j_sum, invj_sum, plan = _kernel_tables_v6(
+            n, num_primes, base_log)
+    else:
+        L1_np, L1i_np, s1_sum, inv_sum, plan = _kernel_tables_v5(
+            n, num_primes, base_log)
+    nd_s1, nd_inv = (4, 4) if jfold else (6, 7)
     primes = [int(p) for p in plan.primes]
     pinvs = [int(ntt_mod.make_plan(n, num_primes, primes=plan.primes)
                .plans[i].p_inv_neg32) for i in range(num_primes)]
@@ -1212,16 +1275,24 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
     CENT4 = 128 * 0x01010101
 
     # ---- per-diag |bound|s (python ints; asserted into offsets) ----------
-    # s1: cols per (e,f) pair = 128; |s_e|<=128, |limb|<=128
-    live_s1 = [len([1 for e in range(3) for f in range(NL) if e + f == d])
-               for d in range(6)]
-    b_s1 = [lv * n1 * 128 * 128 for lv in live_s1]
-    # mid: cols per (e,f) = kmid, two families
+    if jfold:
+        # j-fold: every diagonal j sums ALL live columns (3 data bytes for
+        # s1; 4 bytes x 2 families for inv), |byte|<=128, |s_e|<=128
+        b_s1 = [3 * n1 * 128 * 128] * 4
+        b_inv = [8 * n1 * 128 * 128] * 4
+    else:
+        # s1: cols per (e,f) pair = 128; |s_e|<=128, |limb|<=128
+        live_s1 = [len([1 for e in range(3) for f in range(NL) if e + f == d])
+                   for d in range(6)]
+        b_s1 = [lv * n1 * 128 * 128 for lv in live_s1]
+        # inv: cols per (e,f) = 128, two families
+        live_i = [len([1 for e in range(4) for f in range(4) if e + f == d])
+                  for d in range(7)]
+        b_inv = [2 * lv * n1 * 128 * 128 for lv in live_i]
+    # mid: cols per (e,f) = kmid, two families (jfold-independent)
     live_m = [len([1 for e in range(4) for f in range(4) if e + f == d])
               for d in range(7)]
     b_mid = [2 * lv * kmid * 128 * 128 for lv in live_m]
-    # inv: cols per (e,f) = 128, two families
-    b_inv = [2 * lv * n1 * 128 * 128 for lv in live_m]
 
     def _weights_and_asm(bounds, a_, m_, hi_ds, eps_ds):
         """Returns (weights list, assemble fn).  d in hi_ds go through the
@@ -1293,16 +1364,23 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
     mid_const = []
     for pi, p_ in enumerate(primes):
         a_, m_ = ams[pi]
-        ws1, asm1, comp1 = _weights_and_asm(b_s1, a_, m_, [4, 5], [])
+        ws1, asm1, comp1 = _weights_and_asm(
+            b_s1, a_, m_, *(([], []) if jfold else ([4, 5], [])))
         wsm, asmm, compm = _weights_and_asm(b_mid, a_, m_, [4, 5], [6])
-        wsi, asmi, compi = _weights_and_asm(b_inv, a_, m_, [4], [5, 6])
+        wsi, asmi, compi = _weights_and_asm(
+            b_inv, a_, m_, *(([], []) if jfold else ([4], [5, 6])))
         s1_asm.append(asm1)
         mid_asm.append(asmm)
         inv_asm.append(asmi)
         for k in range(n1):
-            c = (-((OFF - CENT3) * int(s1_sum[pi, k]) + comp1)) % p_
+            if jfold:
+                c = (128 * int(s1j_sum[pi, k])
+                     - OFF * int(s1w_sum[pi, k]) - comp1) % p_
+                ci = (128 * int(invj_sum[pi, k]) - compi) % p_
+            else:
+                c = (-((OFF - CENT3) * int(s1_sum[pi, k]) + comp1)) % p_
+                ci = (CENT4 * int(inv_sum[pi, k]) - compi) % p_
             corr1_np[pi, k, :] = c
-            ci = (CENT4 * int(inv_sum[pi, k]) - compi) % p_
             corri_np[pi, k, :] = ci
         mid_const.append((-compm) % p_)
 
@@ -1376,8 +1454,8 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
         # digit planes: transpose + offset + XOR + bitcast (per level)
         dxs = []
         for lev in range(levels):
-            if ablate == "dpl":   # skip the (R,128)->(128,R) transpose
-                dT = st_lo_s[:].reshape(n1, R) ^ digits[lev][:1, :1]
+            if ablate == "dpl":   # front-end ablation: rot+dec+planes all
+                dT = st_lo_s[:].reshape(n1, R)   # DCE'd via this scratch read
             else:
                 dT = jnp.transpose(digits[lev]) + U32(OFF)   # (128 i1, R)
             dxs.append(pltpu.bitcast(dT ^ XORC, jnp.int8))   # (4*128, R)
@@ -1389,16 +1467,15 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
             # ---- stage 1: byte dots + pair assembly ---------------------
             for lev in range(levels):
                 if ablate == "s1":
-                    diags = [dxs[lev][:n1].astype(jnp.int32)] * 6
+                    diags = [dxs[lev][:n1].astype(jnp.int32)] * nd_s1
                 else:
                     diags = [jax.lax.dot_general(
                         L1_ref[pi, d], dxs[lev], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32) for d in range(6)]
+                        preferred_element_type=jnp.int32)
+                        for d in range(nd_s1)]
                 if ablate == "s1a":   # skip pair assembly + st packing
-                    st_lo_s[:] = jnp.broadcast_to(
-                        diags[0][:, :1, None].astype(U32), (n1, kmid, tb))
-                    st_hi_s[:] = jnp.broadcast_to(
-                        diags[1][:, :1, None].astype(U32), (n1, kmid, tb))
+                    st_lo_s[:, 0, :] = diags[0][:, :tb].astype(U32)
+                    st_hi_s[:, 0, :] = diags[1][:, :tb].astype(U32)
                     continue
                 Xlo, Xhi, xb = s1_asm[pi](diags, c1_ref[pi][:, :1],
                                           primes[pi] - 1)
@@ -1450,10 +1527,8 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                 diags = [out[:, d * cmid:(d + 1) * cmid, :]
                          for d in range(7)]
             if ablate == "mida":   # skip mid pair assembly + vt packing
-                vt_lo_s[:] = jnp.broadcast_to(
-                    diags[0][:, :1, 0].astype(U32), (n1, cmid * tb))
-                vt_hi_s[:] = jnp.broadcast_to(
-                    diags[1][:, :1, 0].astype(U32), (n1, cmid * tb))
+                vt_lo_s[:, :tb] = diags[0][:, 0, :].astype(U32)
+                vt_hi_s[:, :tb] = diags[1][:, 0, :].astype(U32)
             else:
                 cmv = (cm_ref[0, pi] + U32(mid_const[pi]))[:, :, None]
                 Vlo, Vhi, vb = mid_asm[pi](diags, cmv, 2 * (primes[pi] - 1))
@@ -1467,21 +1542,18 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                 [pltpu.bitcast(vt_lo_s[:] ^ XORC, jnp.int8),
                  pltpu.bitcast(vt_hi_s[:] ^ XORC, jnp.int8)], axis=0)
             if ablate == "inv":
-                diags = [rv[:n1].astype(jnp.int32)] * 7
+                diags = [rv[:n1].astype(jnp.int32)] * nd_inv
             else:
-                # one M=7*n1 dot instead of 7 M=n1 dots (same issue-overhead
-                # argument as the mid stage; the table is static so the
-                # stacking is a free row-major reshape)
-                lhs_i = L1i_ref[pi].reshape(7 * n1, 8 * n1)
+                # one M=nd*n1 dot instead of nd M=n1 dots (same
+                # issue-overhead argument as the mid stage; the table is
+                # static so the stacking is a free row-major reshape)
+                lhs_i = L1i_ref[pi].reshape(nd_inv * n1, 8 * n1)
                 y_all = jax.lax.dot_general(
                     lhs_i, rv, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)   # (7*n1, cmid*tb)
-                diags = [y_all[d * n1:(d + 1) * n1] for d in range(7)]
+                    preferred_element_type=jnp.int32)   # (nd*n1, cmid*tb)
+                diags = [y_all[d * n1:(d + 1) * n1] for d in range(nd_inv)]
             if ablate == "inva":   # skip inv pair assembly + canonicalize
                 y = pltpu.bitcast(diags[0], U32)
-            elif ablate == "rtr":  # skip the (128,R)->(R,128) transpose
-                res_primes.append(acc_lo ^ diags[0][:1, :1].astype(U32))
-                continue
             else:
                 Y = inv_asm[pi](diags, ci_ref[pi][:, :1], primes[pi] - 1)
                 # pair -> canonical: lo + 2^4*eps*hi (2^32 = 2^4*2^28 mod p)
@@ -1524,9 +1596,9 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                          lambda t, s: (s,) + (z(t),) * 4, memory_space=vmem),
             pl.BlockSpec((1, num_primes, n1, cmid),
                          lambda t, s: (s,) + (z(t),) * 3, memory_space=vmem),
-            pl.BlockSpec((num_primes, 6, n1, 4 * n1),
+            pl.BlockSpec((num_primes, nd_s1, n1, 4 * n1),
                          lambda t, s: (z(t),) * 4, memory_space=vmem),
-            pl.BlockSpec((num_primes, 7, n1, 8 * n1),
+            pl.BlockSpec((num_primes, nd_inv, n1, 8 * n1),
                          lambda t, s: (z(t),) * 4, memory_space=vmem),
             pl.BlockSpec((num_primes, n1, LANES),
                          lambda t, s: (z(t),) * 3, memory_space=vmem),
@@ -1565,9 +1637,10 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
 def blind_rotate_pallas_v5(msed_mask, msed_body, lut, v32, corr_mid, plan,
                            base_log: int, levels: int, tb: int = 8,
                            interpret: bool = False,
-                           ablate: str | None = None):
+                           ablate: str | None = None, jfold: bool = False):
     """Blind rotation through the v5 byte-limb kernel; same semantics as
-    ops.mxu.blind_rotate_mxu.  v32/corr_mid from mxu.bsk_to_mxu_v5."""
+    ops.mxu.blind_rotate_mxu.  v32/corr_mid from mxu.bsk_to_mxu_v5.
+    jfold=True selects the v6 weight-folded stage tables."""
     from .server import monomial_div
 
     b, k1, n = lut.shape
@@ -1579,7 +1652,7 @@ def blind_rotate_pallas_v5(msed_mask, msed_body, lut, v32, corr_mid, plan,
     hi0 = to_v4_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n, tb)
     run = build_blind_rotate_v5(n, base_log, levels, k1, tb, n_in, interpret,
                                 ablate=ablate, num_primes=plan.num_primes,
-                                round_bits=plan.round_bits)
+                                round_bits=plan.round_bits, jfold=jfold)
     n2 = n // 128
     n_pad = -(-n_in // 128) * 128
     mi = msed_mask.astype(jnp.int32)
