@@ -149,26 +149,47 @@ class StringServerKey(SplitMixin):
     # ------------------------------------------------------------------
 
     def _window_match(self, a: FheString, pat, offset: int) -> BooleanBlock:
-        """All pattern chars match a[offset:]; pat is str or FheString."""
+        """All pattern chars match a[offset:]; pat is str or FheString.
+
+        A PADDED encrypted pattern has a hidden length: its nul positions
+        are past the content and must match anything (per-char flag =
+        pat[j] == 0 OR a[offset+j] == pat[j]); past the end of `a` only a
+        nul pattern char can match."""
         plen = len(pat) if isinstance(pat, str) else pat.max_len
+        enc_padded = not isinstance(pat, str) and pat.padded
         bools = []
         for j in range(plen):
             if offset + j >= a.max_len:
-                return self._false()
+                if not enc_padded:
+                    return self._false()
+                bools.append(self._char_eq_clear(pat.chars[j], 0))
+                continue
             if isinstance(pat, str):
                 bools.append(self._char_eq_clear(a.chars[offset + j], ord(pat[j])))
+            elif enc_padded:
+                eq = self._char_eq(a.chars[offset + j], pat.chars[j])
+                past = self._char_eq_clear(pat.chars[j], 0)
+                bools.append(self.sk.boolean_or(eq, past))
             else:
                 bools.append(self._char_eq(a.chars[offset + j], pat.chars[j]))
         if not bools:
             return self._true()
         return self.sk.boolean_and_many(bools)
 
+    def _pat_offsets(self, a: FheString, pat) -> range:
+        """Candidate match offsets: hidden-length (padded encrypted)
+        patterns can start anywhere in the text."""
+        plen = len(pat) if isinstance(pat, str) else pat.max_len
+        if not isinstance(pat, str) and pat.padded:
+            return range(max(a.max_len, 1))
+        return range(a.max_len - plen + 1)
+
     def contains(self, a: FheString, pat) -> BooleanBlock:
         plen = len(pat) if isinstance(pat, str) else pat.max_len
         if plen == 0:
             return self._true()
         matches = [self._window_match(a, pat, off)
-                   for off in range(a.max_len - plen + 1)]
+                   for off in self._pat_offsets(a, pat)]
         if not matches:
             return self._false()
         return self.sk.boolean_or_many(matches)
@@ -215,7 +236,7 @@ class StringServerKey(SplitMixin):
         """(found: BooleanBlock, index: RadixCiphertext) of first match."""
         plen = len(pat) if isinstance(pat, str) else pat.max_len
         nb = max(2, (max(a.max_len, 1).bit_length() + 1) // 2 + 1)
-        offsets = range(a.max_len - plen + 1)
+        offsets = self._pat_offsets(a, pat)
         matches = [self._window_match(a, pat, off) for off in offsets]
         if not matches:
             return self._false(), self.sk.create_trivial_radix(0, nb)
@@ -242,7 +263,7 @@ class StringServerKey(SplitMixin):
         """(found, index) of the LAST match (pattern/find.rs rfind)."""
         plen = len(pat) if isinstance(pat, str) else pat.max_len
         nb = max(2, (max(a.max_len, 1).bit_length() + 1) // 2 + 1)
-        offsets = range(a.max_len - plen + 1)
+        offsets = self._pat_offsets(a, pat)
         matches = [self._window_match(a, pat, off) for off in offsets]
         if not matches:
             return self._false(), self.sk.create_trivial_radix(0, nb)
@@ -265,6 +286,13 @@ class StringServerKey(SplitMixin):
     # ------------------------------------------------------------------
     # replace (pattern/replace.rs) — clear from/to of equal length
     # ------------------------------------------------------------------
+
+    def replace(self, a: FheString, from_pat, to_pat) -> FheString:
+        """Replace ALL non-overlapping matches; from/to may each be a clear
+        str or an encrypted FheString (pattern/replace.rs Enc support)."""
+        if isinstance(from_pat, str) and isinstance(to_pat, str):
+            return self.replace_clear(a, from_pat, to_pat)
+        return self.replacen(a, from_pat, to_pat, count=None)
 
     def replace_clear(self, a: FheString, from_pat: str, to_pat: str) -> FheString:
         """Replace non-overlapping left-to-right matches of `from_pat` with
@@ -385,8 +413,11 @@ class StringServerKey(SplitMixin):
     def trim(self, a: FheString) -> FheString:
         return self.trim_start(self.trim_end(a))
 
-    def strip_prefix(self, a: FheString, pat: str):
-        """(stripped, found) — remove `pat` from the start when present."""
+    def strip_prefix(self, a: FheString, pat):
+        """(stripped, found) — remove `pat` from the start when present.
+        `pat` may be a clear str or an encrypted FheString."""
+        if isinstance(pat, FheString):
+            return self.strip_prefix_enc(a, pat)
         if a.max_len == 0:
             return FheString([], padded=True), self._true() if not pat else self._false()
         found = self.starts_with(a, pat)
@@ -400,9 +431,11 @@ class StringServerKey(SplitMixin):
             out.append(self.sk.if_then_else_parallelized(found, shifted, a.chars[i]))
         return FheString(out, padded=True), found
 
-    def strip_suffix(self, a: FheString, pat: str):
+    def strip_suffix(self, a: FheString, pat):
         """(stripped, found) — removes `pat` from the hidden end if present
-        (pattern/strip.rs)."""
+        (pattern/strip.rs).  `pat` may be a clear str or FheString."""
+        if isinstance(pat, FheString):
+            return self.strip_suffix_enc(a, pat)
         found = self.ends_with(a, pat)
         plen = len(pat)
         nb = a.chars[0].num_blocks if a.chars else 1

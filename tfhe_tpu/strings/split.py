@@ -242,8 +242,12 @@ class SplitMixin:
     # the split family (pattern/split/)
     # ------------------------------------------------------------------
 
-    def split(self, a: FheString, pat: str):
-        """list of (piece, is_some) — strings/server_key/pattern/split."""
+    def split(self, a: FheString, pat):
+        """list of (piece, is_some) — strings/server_key/pattern/split.
+        `pat` is a clear str or an encrypted FheString
+        (GenericPatternRef::Enc, pattern/split/mod.rs:101)."""
+        if isinstance(pat, FheString):
+            return self.split_enc(a, pat)
         if not a.chars:
             return [(FheString([], padded=True), self._true())]
         if len(pat) == 0:
@@ -252,8 +256,10 @@ class SplitMixin:
         pieces, _, count = self._fields_from_matches(a, active, len(pat), False)
         return list(zip(pieces, self._is_some_upto_count(count, len(pieces))))
 
-    def rsplit(self, a: FheString, pat: str):
+    def rsplit(self, a: FheString, pat):
         """Fields in reverse order, matches chosen right-to-left."""
+        if isinstance(pat, FheString):
+            return self.rsplit_enc(a, pat)
         if not a.chars:
             return [(FheString([], padded=True), self._true())]
         if len(pat) == 0:
@@ -279,8 +285,10 @@ class SplitMixin:
                         self.sk.scalar_ge_parallelized(count, k)))
         return out
 
-    def splitn(self, a: FheString, limit: int, pat: str):
+    def splitn(self, a: FheString, limit: int, pat):
         """At most `limit` pieces; the last keeps the remaining separators."""
+        if isinstance(pat, FheString):
+            return self.splitn_enc(a, limit, pat)
         if not a.chars or limit <= 0:
             return [(FheString([c.copy() for c in a.chars], padded=True),
                      self._true() if limit > 0 else self._false())]
@@ -304,7 +312,7 @@ class SplitMixin:
         pieces, _, count = self._fields_from_matches(a, active, len(pat), False)
         return self._reverse_by_count(pieces, count)[:limit]
 
-    def split_once(self, a: FheString, pat: str):
+    def split_once(self, a: FheString, pat):
         """(lhs, rhs, found): text before/after the FIRST match."""
         parts = self.splitn(a, 2, pat)
         found = self.contains(a, pat)
@@ -313,7 +321,7 @@ class SplitMixin:
                else FheString([], padded=True))
         return lhs, rhs, found
 
-    def rsplit_once(self, a: FheString, pat: str):
+    def rsplit_once(self, a: FheString, pat):
         """(lhs, rhs, found): around the LAST match (rhs first in Rust's
         return order is (before, after) — we return before, after)."""
         parts = self.rsplitn(a, 2, pat)
@@ -370,8 +378,10 @@ class SplitMixin:
                 out.append((piece, some))
         return out
 
-    def split_inclusive(self, a: FheString, pat: str):
+    def split_inclusive(self, a: FheString, pat):
         """Fields keep their trailing separator; no trailing empty field."""
+        if isinstance(pat, FheString):
+            return self.split_inclusive_enc(a, pat)
         if not a.chars:
             return []
         assert len(pat) > 0, "split_inclusive needs a non-empty pattern"
@@ -439,3 +449,277 @@ class SplitMixin:
             out.append((FheString(aligned, padded=True),
                         self.sk.scalar_gt_parallelized(total, k)))
         return out
+
+    # ------------------------------------------------------------------
+    # encrypted-pattern (GenericPatternRef::Enc) support
+    # (pattern/replace.rs:89-98, pattern/split/mod.rs:101,177)
+    # ------------------------------------------------------------------
+    # The clear-pattern family above exploits the statically-known pattern
+    # width; with a hidden-length FheString pattern every advance becomes an
+    # encrypted quantity, so these methods use the reference's ITERATIVE
+    # structure instead: each round is one find + barrel-shift splice, with
+    # every round's result gated by "were there still matches".
+
+    def _enc_pat_len(self, pat: FheString, nbi: int) -> RadixCiphertext:
+        """Hidden length of an encrypted pattern as an nbi-block radix."""
+        if not pat.padded:
+            return self.sk.create_trivial_radix(pat.max_len, nbi)
+        return self.sk.cast_to_unsigned(self.len_(pat), nbi)
+
+    def _mask_prefix(self, chars: list, upto: RadixCiphertext,
+                     keep_all: BooleanBlock | None = None) -> list:
+        """chars[i] kept where i < upto (or keep_all), else nul."""
+        nb = chars[0].num_blocks if chars else 1
+        zero = self.sk.create_trivial_radix(0, nb)
+        out = []
+        for i, c in enumerate(chars):
+            keep = self.sk.scalar_gt_parallelized(upto, i)    # upto > i
+            if keep_all is not None:
+                keep = self.sk.boolean_or(keep, keep_all)
+            out.append(self.sk.if_then_else_parallelized(keep, c, zero))
+        return out
+
+    def replacen(self, a: FheString, from_pat, to_pat, count=None) -> FheString:
+        """Replace up to `count` (clear int, encrypted radix, or None = all)
+        non-overlapping left-to-right matches of `from_pat` (str or
+        FheString) with `to_pat` (str or FheString).
+
+        Mirrors pattern/replace.rs replace_n_times: per round, find the
+        next match past `skip`, splice [lhs, to, rhs] with barrel shifts,
+        keep the previous string once matches run out."""
+        n = a.max_len
+        nb = a.chars[0].num_blocks if a.chars else 1
+        if isinstance(to_pat, str):
+            to_pat = FheString(
+                [self.sk.create_trivial_radix(ord(c), nb) for c in to_pat],
+                padded=False)
+        t = to_pat.max_len
+        from_enc = not isinstance(from_pat, str)
+        p_max = from_pat.max_len if from_enc else len(from_pat)
+        # max possible matches: empty pattern matches n+1 boundaries
+        max_iters = n + 1 if (from_enc or len(from_pat) == 0) \
+            else (n // max(len(from_pat), 1) if len(from_pat) else n + 1)
+        if isinstance(count, int):
+            max_iters = min(max_iters, count)
+        if max_iters <= 0 or n == 0:
+            return FheString([c.copy() for c in a.chars], a.padded)
+
+        cap = n + max_iters * t            # provable content bound
+        nbi = self._idx_blocks(cap + p_max + 2)
+        if from_enc:
+            lp = self._enc_pat_len(from_pat, nbi)
+            from_empty = (self.sk.scalar_eq_parallelized(lp, 0)
+                          if from_pat.padded else
+                          (self._true() if from_pat.max_len == 0
+                           else self._false()))
+        else:
+            lp = self.sk.create_trivial_radix(len(from_pat), nbi)
+            from_empty = self._true() if not from_pat else self._false()
+        lt = (self.sk.cast_to_unsigned(self.len_(to_pat), nbi)
+              if to_pat.padded else self.sk.create_trivial_radix(t, nbi))
+        la = self.sk.cast_to_unsigned(self.len_(a), nbi)
+
+        result = [c.copy() for c in a.chars]
+        skip = self.sk.create_trivial_radix(0, nbi)
+        for i in range(max_iters):
+            cur_n = len(result)
+            prev = [c.copy() for c in result]
+            shifted = self._barrel_shift_left_chars(result, skip, cur_n)
+            found, idx = self.find(FheString(shifted, padded=True), from_pat)
+            idx = self.sk.cast_to_unsigned(idx, nbi)
+            index = self.sk.add_parallelized(idx, skip)
+            # lhs: right-shift by (cur_n - index) then append `to`, shift back
+            shift_r = self.sk.sub_parallelized(
+                self.sk.create_trivial_radix(cur_n, nbi), index)
+            lhs = self._barrel_shift_right_chars(result, shift_r, cur_n)
+            spliced = lhs + [c.copy() for c in to_pat.chars]
+            spliced = self._barrel_shift_left_chars(
+                spliced, shift_r, len(spliced))
+            # rhs: left-shift by index + len(from)
+            shift_l = self.sk.add_parallelized(index, lp)
+            rhs = self._barrel_shift_left_chars(result, shift_l, cur_n)
+            # concat spliced (content = index + len(to)) with rhs
+            insert_at = self.sk.add_parallelized(index, lt)
+            new_n = min(cur_n + t, cap)
+            zero = self.sk.create_trivial_radix(0, nb)
+            spliced = (spliced + [zero] * (new_n - len(spliced)))[:new_n]
+            rhs_ext = (rhs + [zero] * (new_n - len(rhs)))[:new_n]
+            rhs_sh = self._barrel_shift_right_chars(rhs_ext, insert_at, new_n)
+            merged = [self.sk.bitor_parallelized(x, y)
+                      for x, y in zip(spliced, rhs_sh)]
+            # no more matches: NOT found, or empty-from exhausted, or count
+            stop = self.sk.boolean_not(found)
+            if count is not None and not isinstance(count, int):
+                exceeded = self.sk.scalar_le_parallelized(
+                    self.sk.cast_to_unsigned(count, nbi), i)
+                stop = self.sk.boolean_or(stop, exceeded)
+            prev_ext = (prev + [zero] * (new_n - len(prev)))[:new_n]
+            result = [self.sk.if_then_else_parallelized(stop, pc, mc)
+                      for pc, mc in zip(prev_ext, merged)]
+            # skip past the replacement; +1 when `from` is empty so the next
+            # round advances to the next boundary (replace.rs:144-153)
+            new_skip = self.sk.add_parallelized(index, lt)
+            new_skip = self.sk.add_parallelized(
+                new_skip, self._bool_radix(from_empty, nbi))
+            skip = self.sk.if_then_else_parallelized(stop, skip, new_skip)
+        return FheString(result, padded=True)
+
+    def _split_iter_enc(self, a: FheString, pat: FheString, max_fields: int,
+                        inclusive: bool = False, limit: int | None = None):
+        """Iterative split with an encrypted pattern: successive find +
+        mask + shift rounds.  Returns list of (piece, is_some)."""
+        n = a.max_len
+        nbi = self._idx_blocks(n + pat.max_len + 2)
+        lp = self._enc_pat_len(pat, nbi)
+        lp1 = self.sk.if_then_else_parallelized(      # empty pat advances 1
+            self.sk.scalar_eq_parallelized(lp, 0),
+            self.sk.create_trivial_radix(1, nbi), lp)
+        remaining = [c.copy() for c in a.chars]
+        alive = self._true()
+        out = []
+        for k in range(max_fields):
+            is_last = (k == max_fields - 1) or (
+                limit is not None and k == limit - 1)
+            rem_s = FheString([c.copy() for c in remaining], padded=True)
+            found, idx = self.find(rem_s, pat)
+            idx = self.sk.cast_to_unsigned(idx, nbi)
+            if is_last:
+                piece = rem_s            # last field keeps the whole rest
+            else:
+                upto = (self.sk.add_parallelized(idx, lp) if inclusive
+                        else idx)
+                piece = FheString(
+                    self._mask_prefix(remaining, upto,
+                                      keep_all=self.sk.boolean_not(found)),
+                    padded=True)
+            out.append((piece, alive))
+            if is_last:
+                break
+            advance = self.sk.add_parallelized(idx, lp1)
+            remaining = self._barrel_shift_left_chars(remaining, advance, n)
+            # once no match remains, later fields are None
+            alive = self.sk.boolean_and(alive, found)
+        return out
+
+    def split_enc(self, a: FheString, pat: FheString):
+        """split with an encrypted pattern.  An encrypted-empty pattern is
+        handled by selecting between the boundary form and the iterative
+        form per field (Rust `split("")` semantics, hidden obliviously)."""
+        if not a.chars:
+            return [(FheString([], padded=True), self._true())]
+        n = a.max_len
+        max_fields = n + 2                  # "" split yields n+2 fields max
+        it = self._split_iter_enc(a, pat, max_fields)
+        if not pat.padded and pat.max_len > 0:
+            return it[:n + 1]
+        emp = self._split_empty_pattern(a)
+        nbi = self._idx_blocks(n + pat.max_len + 2)
+        is_empty = (self._true() if pat.max_len == 0 else
+                    self.sk.scalar_eq_parallelized(
+                        self._enc_pat_len(pat, nbi), 0))
+        out = []
+        nb = a.chars[0].num_blocks
+        for k in range(max_fields):
+            pe, se = emp[k] if k < len(emp) else (
+                FheString([], padded=True), self._false())
+            pi, si = it[k] if k < len(it) else (
+                FheString([], padded=True), self._false())
+            w = max(pe.max_len, pi.max_len)
+            zero = self.sk.create_trivial_radix(0, nb)
+            ce = pe.chars + [zero] * (w - pe.max_len)
+            ci = pi.chars + [zero] * (w - pi.max_len)
+            chars = [self.sk.if_then_else_parallelized(is_empty, x, y)
+                     for x, y in zip(ce, ci)]
+            some = BooleanBlock(self.sk.if_then_else_parallelized(
+                is_empty, self._bool_radix(se, 1),
+                self._bool_radix(si, 1)).blocks[0])
+            out.append((FheString(chars, padded=True), some))
+        return out
+
+    def splitn_enc(self, a: FheString, limit: int, pat: FheString):
+        if not a.chars or limit <= 0:
+            return [(FheString([c.copy() for c in a.chars], padded=True),
+                     self._true() if limit > 0 else self._false())]
+        return self._split_iter_enc(a, pat, min(a.max_len + 2, limit),
+                                    limit=limit)
+
+    def split_inclusive_enc(self, a: FheString, pat: FheString):
+        if not a.chars:
+            return []
+        out = self._split_iter_enc(a, pat, a.max_len + 1, inclusive=True)
+        # no trailing empty field: last piece present only when nonempty
+        trimmed = []
+        for k, (piece, some) in enumerate(out):
+            ne = self.sk.boolean_or_many(
+                [self.sk.scalar_ne_parallelized(c, 0) for c in piece.chars]
+            ) if piece.chars else self._false()
+            trimmed.append((piece, self.sk.boolean_and(some, ne)))
+        return trimmed
+
+    def rsplit_enc(self, a: FheString, pat: FheString):
+        """rsplit with an encrypted pattern: iterate from the right with
+        rfind; no barrel shifts needed (truncate-by-mask instead)."""
+        if not a.chars:
+            return [(FheString([], padded=True), self._true())]
+        n = a.max_len
+        max_fields = n + 2
+        nbi = self._idx_blocks(n + pat.max_len + 2)
+        lp = self._enc_pat_len(pat, nbi)
+        remaining = [c.copy() for c in a.chars]
+        alive = self._true()
+        out = []
+        for k in range(max_fields):
+            rem_s = FheString([c.copy() for c in remaining], padded=True)
+            found, idx = self.rfind(rem_s, pat)
+            idx = self.sk.cast_to_unsigned(idx, nbi)
+            if k == max_fields - 1:
+                out.append((rem_s, alive))
+                break
+            # piece = chars after the match: shift left by idx + lp
+            start = self.sk.add_parallelized(idx, lp)
+            tail = self._barrel_shift_left_chars(
+                [c.copy() for c in remaining], start, n)
+            nb = a.chars[0].num_blocks
+            zero = self.sk.create_trivial_radix(0, nb)
+            piece = [self.sk.if_then_else_parallelized(found, c, r)
+                     for c, r in zip(tail, remaining)]
+            out.append((FheString(piece, padded=True), alive))
+            # truncate remaining to [0, idx)
+            remaining = self._mask_prefix(remaining, idx)
+            alive = self.sk.boolean_and(alive, found)
+        return out
+
+    def strip_prefix_enc(self, a: FheString, pat: FheString):
+        """(stripped, found) with an encrypted pattern: barrel-shift left by
+        the hidden pattern length when it matches (pattern/strip.rs Enc)."""
+        found = self.starts_with(a, pat)
+        n = a.max_len
+        if n == 0:
+            return FheString([], padded=True), found
+        nbi = self._idx_blocks(n + pat.max_len + 2)
+        lp = self._enc_pat_len(pat, nbi)
+        shifted = self._barrel_shift_left_chars(
+            [c.copy() for c in a.chars], lp, n)
+        out = [self.sk.if_then_else_parallelized(found, s, c)
+               for s, c in zip(shifted, a.chars)]
+        return FheString(out, padded=True), found
+
+    def strip_suffix_enc(self, a: FheString, pat: FheString):
+        """(stripped, found) — removes the hidden-length suffix."""
+        found = self.ends_with(a, pat)
+        n = a.max_len
+        if n == 0:
+            return FheString([], padded=True), found
+        nb = a.chars[0].num_blocks
+        nbi = self._idx_blocks(n + pat.max_len + 2)
+        la = self.sk.cast_to_unsigned(self.len_(a), nbi)
+        lp = self._enc_pat_len(pat, nbi)
+        thresh = self.sk.sub_parallelized(la, lp)   # gated by `found` below
+        zero = self.sk.create_trivial_radix(0, nb)
+        out = []
+        for i in range(n):
+            past = self.sk.scalar_le_parallelized(thresh, i)
+            kill = self.sk.boolean_and(found, past)
+            out.append(self.sk.if_then_else_parallelized(kill, zero,
+                                                         a.chars[i]))
+        return FheString(out, padded=True), found
