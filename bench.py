@@ -7,7 +7,7 @@ Baseline: 10,000 PBS/s per chip (BASELINE.md north star; reference points:
 
 Env overrides: TFHE_TPU_BENCH_PIPELINE=v3|v2 (default v3 = MXU blind-rotate
 stack with the v5 byte-limb kernel, falls back to v2 on error),
-TFHE_TPU_BENCH_KERNEL=v5|v4|v3 (default v5, measured fastest),
+TFHE_TPU_BENCH_KERNEL=v6|v5|v4|v3 (default v6, measured fastest),
 TFHE_TPU_BENCH_PRIMES (default 3, rb=15), TFHE_TPU_BENCH_BATCH (default
 256), TFHE_TPU_BENCH_PARAMS=test|prod (default
 prod = v1_4 2_2 TUniform 2M128), TFHE_TPU_BENCH_TB / TFHE_TPU_BENCH_FOLD.
@@ -34,7 +34,7 @@ def main():
     params = (V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
               if which == "prod" else TEST_PARAM_MESSAGE_2_CARRY_2)
     pipeline = os.environ.get("TFHE_TPU_BENCH_PIPELINE", "v3")
-    batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH", "256"))
+    batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH", "512"))
 
     t0 = time.time()
     ck, sk = get_shortint_keys(params)
@@ -46,7 +46,7 @@ def main():
         except Exception as e:  # fall back to the always-green XLA+v2 path
             print(f"# v3 pipeline failed ({type(e).__name__}: {e}); "
                   "falling back to v2", file=sys.stderr)
-            batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH", "256"))
+            batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH", "512"))
 
     # three distinct input sets: the axon runtime dedups identical enqueued
     # executions, so timing the same batch repeatedly under-reads
@@ -94,7 +94,7 @@ def bench_v3(ck, sk, params, batch):
 
     p = params
     fold = os.environ.get("TFHE_TPU_BENCH_FOLD", "solinas")
-    kernel = os.environ.get("TFHE_TPU_BENCH_KERNEL", "v5")
+    kernel = os.environ.get("TFHE_TPU_BENCH_KERNEL", "v6")
     # 3-prime rb=15 is the measured-fastest config (v5 248.9 BR/s vs v3
     # 188.9 at tb=64; the keycache BSK is mask-floored so the rounding
     # noise is body-only ~0.6% of PBS output variance — see
@@ -108,7 +108,7 @@ def bench_v3(ck, sk, params, batch):
                               round_bits=rb)
     bhat, _ = mxu.bsk_eval_domain(bsk, mplan, mont=(fold == "redc"))
     corr_dev = None
-    if kernel == "v5":
+    if kernel in ("v5", "v6"):
         m_dev, corr_dev = mxu.middle_v5_from_eval_device(
             jax.device_put(bhat), mplan)
     else:
@@ -120,7 +120,7 @@ def bench_v3(ck, sk, params, batch):
           f"primes={nprimes} round_bits={rb} kernel={kernel}",
           file=sys.stderr)
 
-    tb = int(os.environ.get("TFHE_TPU_BENCH_TB", "128"))
+    tb = int(os.environ.get("TFHE_TPU_BENCH_TB", "256"))
     lut = sk.generate_lookup_table(lambda x: (x * 3 + 1) % 16)
     ct_sets = []
     for s in range(3):

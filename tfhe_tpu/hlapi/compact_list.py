@@ -33,8 +33,16 @@ class CompactCiphertextList:
     count: int
     message_modulus: int
     carry_modulus: int
+    # True when encrypted under dedicated PKE parameters
+    # (CompactCiphertextListExpansionKind::RequiresCasting): expansion MUST
+    # go through a CompactPkeCastingKey into the compute set
+    needs_casting: bool = False
 
-    def expand(self) -> list:
+    def expand(self, casting_key=None) -> list:
+        if self.needs_casting and casting_key is None:
+            raise ValueError(
+                "this list was encrypted under dedicated PKE parameters "
+                "(RequiresCasting): pass the CompactPkeCastingKey")
         out = []
         g = jnp.asarray(self.glwe)[None]
         for j in range(self.count):
@@ -42,12 +50,25 @@ class CompactCiphertextList:
             lwe = np.asarray(srv.sample_extract(rot))[0]
             out.append(Ciphertext(lwe, self.message_modulus - 1, NOMINAL_NOISE,
                                   self.message_modulus, self.carry_modulus))
+        if casting_key is not None:
+            out = casting_key.cast_batch(out)
         return out
 
 
 class CompactPublicKey:
+    """Compact public key — under the COMPUTE GLWE key (legacy flow, lists
+    expand directly) or under a CompactPrivateKey's dedicated PKE instance
+    (the reference default: lists carry needs_casting=True and expansion
+    casts into the compute set)."""
+
     def __init__(self, client_key, seed: int | None = None):
-        ck = client_key.integer_key.key if hasattr(client_key, "integer_key") else client_key
+        if isinstance(client_key, CompactPrivateKey):
+            ck = client_key
+            self._requires_casting = True
+        else:
+            ck = (client_key.integer_key.key
+                  if hasattr(client_key, "integer_key") else client_key)
+            self._requires_casting = False
         p = ck.params
         self.params = p
         if seed is None:
@@ -82,7 +103,9 @@ class CompactPublicKey:
         c2 = ntt.negacyclic_polymul_u64(self.b, r, self._plan, np) + e2 + m_poly
         glwe = np.concatenate([c1, c2[None, :]], axis=0)
         first_mod = p.message_modulus
-        return CompactCiphertextList(glwe, len(messages), first_mod, p.carry_modulus)
+        return CompactCiphertextList(glwe, len(messages), first_mod,
+                                     p.carry_modulus,
+                                     needs_casting=self._requires_casting)
 
     def build_with_proof(self, messages: list, crs, metadata: bytes = b"",
                          load=None):
@@ -91,3 +114,117 @@ class CompactPublicKey:
         from . import proven_compact_list as pcl
         kwargs = {} if load is None else {"load": load}
         return pcl.build_with_proof(self, messages, crs, metadata, **kwargs)
+
+
+class CompactPrivateKey:
+    """Dedicated compact-public-key encryption secret (the reference's
+    CompactPrivateKey): a GLWE secret under
+    CompactPublicKeyEncryptionParameters, separate from the compute keys.
+    Compact lists encrypted under it REQUIRE CASTING into the compute set
+    during expansion (expansion_kind = RequiresCasting,
+    v1_4/compact_public_key_only/p_fail_2_minus_128/ks_pbs.rs:8)."""
+
+    def __init__(self, pke_params, seed: int | None = None):
+        from ..core import keygen as kg
+        from ..core.entities import LweSecretKey
+
+        self.params = pke_params
+        if seed is None:
+            seed = secrets.randbits(128)
+        gen = SecretRandomGenerator(seed)
+        self.glwe_secret_key = kg.generate_binary_glwe_secret_key(
+            pke_params.glwe_dimension, pke_params.polynomial_size, gen)
+        # flattened LWE view (dim = k*N) for building the casting KSK
+        self.encryption_key = LweSecretKey(
+            np.asarray(self.glwe_secret_key.data).reshape(-1))
+
+    def decrypt_list(self, lst: "CompactCiphertextList") -> list:
+        """Debug/client-side decryption of a not-yet-cast list."""
+        from ..core.encrypt import decrypt_glwe
+        from ..core.entities import GlweCiphertext
+
+        p = self.params
+        pt = np.asarray(decrypt_glwe(self.glwe_secret_key,
+                                     GlweCiphertext(np.asarray(lst.glwe))))
+        out = []
+        for j in range(lst.count):
+            v = int(np.uint64(pt[j]))
+            out.append(int(round(v / p.delta)) % p.total_modulus)
+        return out
+
+
+class CompactPkeCastingKey:
+    """Keyswitching material from the dedicated PKE instance into the
+    compute parameter set (shortint/key_switching_key/ +
+    v1_4/key_switching/p_fail_2_minus_128/ks_pbs.rs).
+
+    destination "big": one keyswitch lands directly on the compute big key
+    (base 24 / level 1).  destination "small" (the reference default for
+    ZKV2): keyswitch to the small key (base 4 / level 4) and a PBS refresh
+    brings the value to the big key — `cast_batch` runs both stages.
+    """
+
+    def __init__(self, pke_private_key: CompactPrivateKey, client_key,
+                 casting_params, server_key=None, seed: int | None = None):
+        from ..core import keygen as kg
+        from ..core.params import DecompParams
+
+        ck = (client_key.integer_key.key
+              if hasattr(client_key, "integer_key") else client_key)
+        cp = ck.params
+        pp = pke_private_key.params
+        if (pp.message_modulus, pp.carry_modulus) != (
+                cp.message_modulus, cp.carry_modulus):
+            raise ValueError("mismatched message/carry moduli")
+        self.params = casting_params
+        self.dst_params = cp
+        self.server_key = server_key
+        if seed is None:
+            seed = secrets.randbits(128)
+        gen = EncryptionRandomGenerator(seed, DeterministicSeeder(seed ^ 0xCA5C))
+        if casting_params.destination_key == "big":
+            dst = ck.big_lwe_secret_key
+            noise = cp.glwe_noise
+        else:
+            dst = ck.lwe_secret_key
+            noise = cp.lwe_noise
+            if server_key is None:
+                raise ValueError(
+                    "destination 'small' needs the compute ServerKey for "
+                    "the PBS refresh to the big key")
+        from ..core.params import DecompParams as _DP
+
+        ksk = kg.generate_lwe_keyswitch_key(
+            pke_private_key.encryption_key, dst,
+            _DP(casting_params.ks_base_log, casting_params.ks_level),
+            noise, gen, cp.bits)
+        self.ksk = jnp.asarray(ksk.data)
+
+    def cast_batch(self, cts: list) -> list:
+        """Cast expanded PKE-domain LWEs into compute-domain ciphertexts
+        (ONE fused keyswitch; + one batched PBS refresh for dest=small)."""
+        from ..shortint.server_key import LookupTable
+
+        cp = self.dst_params
+        rows = jnp.asarray(np.stack([np.asarray(c.data) for c in cts]))
+        ks = srv.keyswitch(rows, self.ksk, self.params.ks_base_log,
+                           self.params.ks_level, cp.bits)
+        if self.params.destination_key == "big":
+            out = np.asarray(ks)
+            return [Ciphertext(out[i], cp.message_modulus - 1, NOMINAL_NOISE,
+                               cp.message_modulus, cp.carry_modulus)
+                    for i in range(len(cts))]
+        # dest small: MS + blind rotate (identity LUT) + extract = the PBS
+        # that lands the value on the big key
+        sk = self.server_key
+        log_mod = cp.polynomial_size.bit_length()
+        msed = srv.modulus_switch(ks, log_mod, cp.bits)
+        lut = sk.generate_lookup_table(lambda x: x)
+        lut_b = jnp.asarray(np.broadcast_to(
+            lut.acc, (len(cts),) + lut.acc.shape))
+        out = np.asarray(srv.pbs_from_switched_batch(
+            msed, lut_b, sk.bsk_mont, sk.plan, cp.pbs_base_log,
+            cp.pbs_level, cp.bits))
+        return [Ciphertext(out[i], cp.message_modulus - 1, NOMINAL_NOISE,
+                           cp.message_modulus, cp.carry_modulus)
+                for i in range(len(cts))]

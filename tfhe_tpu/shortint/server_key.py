@@ -321,14 +321,14 @@ class ServerKey:
                 # (1+kN/2)-amplified noise — use the exact 4-prime plan
                 nprimes, rb = 4, 0
             fold = os.environ.get("TFHE_TPU_MXU_FOLD", "solinas")
-            kernel = os.environ.get("TFHE_TPU_MXU_KERNEL", "v5")
+            kernel = os.environ.get("TFHE_TPU_MXU_KERNEL", "v6")
             mplan = mxu.make_mxu_plan(p.polynomial_size, num_primes=nprimes,
                                       round_bits=rb)
             bhat, _ = mxu.bsk_eval_domain(self._bsk_coeff, mplan,
                                           mont=(fold == "redc"))
             bhat_d = jax.device_put(bhat)
             self._mxu_corr = None
-            if kernel == "v5":
+            if kernel in ("v5", "v6"):
                 self._mxu_m, self._mxu_corr = mxu.middle_v5_from_eval_device(
                     bhat_d, mplan)
             elif kernel == "v4":
@@ -431,7 +431,7 @@ class ServerKey:
 
             m, mplan, fold, kernel, corr = self._ensure_mxu()
             # padded batch is a power of two >= 8: tb always divides it
-            tb = min(int(os.environ.get("TFHE_TPU_MXU_TB", "128")),
+            tb = min(int(os.environ.get("TFHE_TPU_MXU_TB", "256")),
                      batch.shape[0])
             out = srv.ks_pbs_batch_mxu(
                 jnp.asarray(batch), jnp.asarray(lut_b), self.ksk, m, mplan,
