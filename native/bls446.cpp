@@ -207,6 +207,9 @@ template <> struct FOps<Fp> {
     static void mul(Fp &r, const Fp &a, const Fp &b) { fp_mul(r, a, b); }
     static void sqr(Fp &r, const Fp &a) { fp_sqr(r, a); }
     static void inv(Fp &r, const Fp &a) { fp_inv(r, a); }
+    static void neg(Fp &r, const Fp &a) {
+        Fp z; memset(&z, 0, sizeof z); fp_sub(r, z, a);
+    }
     static bool is_zero(const Fp &a) { return fp_is_zero(a); }
     static bool eq(const Fp &a, const Fp &b) { return fp_eq(a, b); }
     static void set_one(Fp &r) { r = ONE_M; }
@@ -219,6 +222,9 @@ template <> struct FOps<Fp2> {
     static void mul(Fp2 &r, const Fp2 &a, const Fp2 &b) { fp2_mul(r, a, b); }
     static void sqr(Fp2 &r, const Fp2 &a) { fp2_sqr(r, a); }
     static void inv(Fp2 &r, const Fp2 &a) { fp2_inv(r, a); }
+    static void neg(Fp2 &r, const Fp2 &a) {
+        Fp2 z; memset(&z, 0, sizeof z); fp2_sub(r, z, a);
+    }
     static bool is_zero(const Fp2 &a) { return fp2_is_zero(a); }
     static bool eq(const Fp2 &a, const Fp2 &b) { return fp2_eq(a, b); }
     static void set_one(Fp2 &r) {
@@ -437,32 +443,59 @@ static void jac_scalar_mul(Jac<F> &r, const Jac<F> &p, const uint8_t *s) {
 // --------------------------------------------------------------------------
 
 template <class F>
+static void jac_neg(Jac<F> &r, const Jac<F> &p) {
+    r = p;
+    if (!jac_is_inf(p)) FOps<F>::neg(r.Y, p.Y);
+}
+
+template <class F>
 static void msm(uint8_t *out, const uint8_t *pts, const uint8_t *scalars, u64 n) {
     int psz = 2 * FOps<F>::NBYTES;
     std::vector<Jac<F>> points(n);
     for (u64 i = 0; i < n; i++) point_from_bytes<F>(points[i], pts + i * psz);
 
-    // window size minimizing ceil(320/c) * (n + 2^c): the classic
-    // Pippenger cost model (a plain c ~ log2(n) overshoots ~1.7x here)
+    // window size minimizing ceil(320/c) * (n + 2^(c-1)): signed-digit
+    // buckets (digits in [-2^(c-1), 2^(c-1)], negatives add the negated
+    // point) halve the bucket count vs plain Pippenger
     int c = 2;
     double best = 1e30;
-    for (int cc = 2; cc <= 16; cc++) {
+    for (int cc = 2; cc <= 17; cc++) {
         double cost = double((SC_BITS + cc - 1) / cc) *
-                      (double(n) + double(1u << cc));
+                      (double(n) + double(1u << (cc - 1)));
         if (cost < best) { best = cost; c = cc; }
     }
-    int nbuckets = (1 << c) - 1;
-    std::vector<Jac<F>> buckets(nbuckets);
+    int nbuckets = 1 << (c - 1);                 // buckets for |digit| 1..2^(c-1)
+    int nwin = (SC_BITS + c - 1) / c + 1;        // +1 for the carry spill
 
-    Jac<F> total;
-    memset(&total, 0, sizeof(total));
-    int nwin = (SC_BITS + c - 1) / c;
-    for (int w = nwin - 1; w >= 0; w--) {
-        for (int k = 0; k < c; k++) jac_dbl(total, total);
+    // signed digits with carry: d_w in [-2^(c-1), 2^(c-1)]
+    std::vector<int32_t> digits((size_t)n * nwin);
+    for (u64 i = 0; i < n; i++) {
+        int64_t carry = 0;
+        for (int w = 0; w < nwin; w++) {
+            int64_t d = (int64_t)scalar_window(scalars + i * SC_BYTES, w * c, c)
+                        + carry;
+            carry = 0;
+            if (d > (1 << (c - 1))) { d -= (1 << c); carry = 1; }
+            digits[(size_t)i * nwin + w] = (int32_t)d;
+        }
+    }
+
+    std::vector<Jac<F>> win_sums(nwin);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int w = 0; w < nwin; w++) {
+        std::vector<Jac<F>> buckets(nbuckets);
         for (int k = 0; k < nbuckets; k++) memset(&buckets[k], 0, sizeof(Jac<F>));
         for (u64 i = 0; i < n; i++) {
-            u64 idx = scalar_window(scalars + i * SC_BYTES, w * c, c);
-            if (idx) jac_add(buckets[idx - 1], buckets[idx - 1], points[i]);
+            int32_t d = digits[(size_t)i * nwin + w];
+            if (d > 0) {
+                jac_add(buckets[d - 1], buckets[d - 1], points[i]);
+            } else if (d < 0) {
+                Jac<F> np;
+                jac_neg(np, points[i]);
+                jac_add(buckets[-d - 1], buckets[-d - 1], np);
+            }
         }
         Jac<F> acc, sum;
         memset(&acc, 0, sizeof(acc));
@@ -471,7 +504,14 @@ static void msm(uint8_t *out, const uint8_t *pts, const uint8_t *scalars, u64 n)
             jac_add(acc, acc, buckets[k]);
             jac_add(sum, sum, acc);
         }
-        jac_add(total, total, sum);
+        win_sums[w] = sum;
+    }
+
+    Jac<F> total;
+    memset(&total, 0, sizeof(total));
+    for (int w = nwin - 1; w >= 0; w--) {
+        for (int k = 0; k < c; k++) jac_dbl(total, total);
+        jac_add(total, total, win_sums[w]);
     }
     point_to_bytes<F>(out, total);
 }
