@@ -1,9 +1,9 @@
 """Encrypted arrays (high_level_api/array/): n-dimensional containers of
 FheUint elements with elementwise ops.
 
-Elementwise add/sub coalesce EVERY internal PBS round across all array
-elements through the round scheduler (integer/scheduler.py); other ops
-batch per element pending their *_many variants."""
+Elementwise add/sub/mul and the bitwise ops coalesce EVERY internal PBS
+round across all array elements through the round scheduler
+(integer/scheduler.py)."""
 
 from __future__ import annotations
 
@@ -38,7 +38,11 @@ class FheUintArray:
         return np.asarray(flat, dtype=object).reshape(self.shape)
 
     _MANY = {"add_parallelized": "add_many_parallelized",
-             "sub_parallelized": "sub_many_parallelized"}
+             "sub_parallelized": "sub_many_parallelized",
+             "mul_parallelized": "mul_many_parallelized",
+             "bitand_parallelized": "bitand_many_parallelized",
+             "bitor_parallelized": "bitor_many_parallelized",
+             "bitxor_parallelized": "bitxor_many_parallelized"}
 
     def _zip_op(self, other: "FheUintArray", opname: str) -> "FheUintArray":
         assert self.shape == other.shape, (self.shape, other.shape)

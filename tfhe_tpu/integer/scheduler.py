@@ -238,3 +238,148 @@ def compare_exchange_kv_many(sk, pairs: list, directions: list) -> list:
         out.append((((klo, vlo), (khi, vhi))) if up
                    else (((khi, vhi), (klo, vlo))))
     return out
+
+
+def sum_ciphertexts_many(sk, lists: list, num_blocks: int) -> list:
+    """Carry-save multi-operand sums for MANY independent operand lists at
+    once: every (msg, carry) extraction round spans all items (the
+    mul-coalescing core, VERDICT r2 task 9)."""
+    if not lists:
+        return []
+    msg = sk.msg
+    m = len(lists)
+    cols = [[[] for _ in range(num_blocks)] for _ in range(m)]
+    for it, cts in enumerate(lists):
+        for ct in cts:
+            for i, blk in enumerate(ct.blocks[:num_blocks]):
+                if blk.degree > 0 or blk.noise_level > 0:
+                    cols[it][i].append(blk)
+
+    def greedy_group(c):
+        groups, acc = [], None
+        for blk in c:
+            if acc is None:
+                acc = blk
+            elif (acc.degree + blk.degree <= sk.key.max_degree
+                  and acc.noise_level + blk.noise_level
+                  <= sk.key.max_noise_level):
+                acc = sk.key.unchecked_add(acc, blk)
+            else:
+                groups.append(acc)
+                acc = blk
+        if acc is not None:
+            groups.append(acc)
+        return groups
+
+    done = [None] * m
+    while True:
+        live = [it for it in range(m) if done[it] is None]
+        # finalize items whose columns are single small blocks
+        for it in live:
+            if (max((len(c) for c in cols[it]), default=0) <= 1
+                    and all(b.degree <= 2 * msg - 1
+                            for c in cols[it] for b in c)):
+                done[it] = [c[0] if c else sk.key.create_trivial(0)
+                            for c in cols[it]]
+        live = [it for it in range(m) if done[it] is None]
+        if not live:
+            break
+        flat, meta = [], []
+        for it in live:
+            grouped = [greedy_group(c) for c in cols[it]]
+            if (all(len(c) <= 1 for c in grouped)
+                    and all(b.degree <= 2 * msg - 1
+                            for c in grouped for b in c)):
+                done[it] = [c[0] if c else sk.key.create_trivial(0)
+                            for c in grouped]
+                continue
+            for i, c in enumerate(grouped):
+                for b in c:
+                    flat.append(b)
+                    meta.append((it, i))
+        if not flat:
+            continue
+        msgs = sk._apply(flat, sk._lut("msg_extract", lambda x: x % msg))
+        carries = sk._apply(flat, sk._lut("carry_extract", lambda x: x // msg))
+        for it in live:
+            if done[it] is None:
+                cols[it] = [[] for _ in range(num_blocks)]
+        for (it, i), mblk, cblk in zip(meta, msgs, carries):
+            cols[it][i].append(mblk)
+            if i + 1 < num_blocks and cblk.degree > 0:
+                cols[it][i + 1].append(cblk)
+    return _propagate_carries_many(sk, done)
+
+
+def mul_many_parallelized(sk, pairs: list) -> list:
+    """[(a, b), ...] -> [a*b, ...]: ONE bivariate block-product round for
+    every partial product of every pair, then the coalesced carry-save sum
+    (the per-item structure of ServerKey.mul_parallelized,
+    radix_parallel/mul.rs, with the item axis folded into every batch)."""
+    if not pairs:
+        return []
+    pairs = [(sk._cleaned(a), sk._cleaned(b)) for a, b in pairs]
+    msg = sk.msg
+    lsb_lut = sk._biv_lut("mul_lsb", lambda x, y: (x * y) % msg)
+    msb_lut = sk._biv_lut("mul_msb", lambda x, y: (x * y) // msg)
+    packed, luts, meta = [], [], []
+    for it, (a, b) in enumerate(pairs):
+        n = a.num_blocks
+        for i in range(n):
+            for j in range(n):
+                if i + j < n:
+                    packed.append(sk._pack(a.blocks[i], b.blocks[j]))
+                    luts.append(lsb_lut)
+                    meta.append((it, i + j))
+                if i + j + 1 < n:
+                    packed.append(sk._pack(a.blocks[i], b.blocks[j]))
+                    luts.append(msb_lut)
+                    meta.append((it, i + j + 1))
+    prods = sk._apply(packed, luts)
+    lists = []
+    for it, (a, b) in enumerate(pairs):
+        n = a.num_blocks
+        rows_by_slot = [[] for _ in range(n)]
+        for (pit, s), blk in zip(meta, prods):
+            if pit == it:
+                rows_by_slot[s].append(blk)
+        max_terms = max(len(r) for r in rows_by_slot)
+        cts = []
+        for t in range(max_terms):
+            blocks = [rows_by_slot[i][t] if t < len(rows_by_slot[i])
+                      else sk.key.create_trivial(0) for i in range(n)]
+            cts.append(RadixCiphertext(blocks))
+        lists.append(cts)
+    n0 = pairs[0][0].num_blocks
+    assert all(a.num_blocks == n0 for a, _ in pairs), \
+        "coalesced items must share width"
+    outs = sum_ciphertexts_many(sk, lists, n0)
+    return [sk._result_like(a, b, o) for (a, b), o in zip(pairs, outs)]
+
+
+def _bitwise_many(sk, pairs: list, name: str, f) -> list:
+    if not pairs:
+        return []
+    pairs = [(sk._cleaned(a), sk._cleaned(b)) for a, b in pairs]
+    lut = sk._biv_lut(name, f)
+    packed = [sk._pack(x, y) for a, b in pairs
+              for x, y in zip(a.blocks, b.blocks)]
+    out = sk._apply(packed, lut)
+    res, pos = [], 0
+    for a, b in pairs:
+        n = a.num_blocks
+        res.append(sk._result_like(a, b, out[pos:pos + n]))
+        pos += n
+    return res
+
+
+def bitand_many_parallelized(sk, pairs):
+    return _bitwise_many(sk, pairs, "bitand", lambda x, y: x & y)
+
+
+def bitor_many_parallelized(sk, pairs):
+    return _bitwise_many(sk, pairs, "bitor", lambda x, y: x | y)
+
+
+def bitxor_many_parallelized(sk, pairs):
+    return _bitwise_many(sk, pairs, "bitxor", lambda x, y: x ^ y)
