@@ -176,3 +176,20 @@ class NoiseSimulationLwe:
 
 def variance_to_std_log2(variance: float) -> float:
     return 0.5 * math.log2(variance) if variance > 0 else float("-inf")
+
+
+def packing_keyswitch_additive_variance(n_in: int, base_log: int, levels: int,
+                                        var_pksk: float, lwe_to_pack: int,
+                                        bits: int = 64) -> float:
+    """Additive variance of packing LWEs into one GLWE (modular form of
+    noise_formulas/lwe_packing_keyswitch.rs:39-61 with the actual PKSK noise
+    in place of the minimal-security curve):
+
+        l * n_in * packed * (B^2+2)/12 * var_pksk
+        + n_in/2 * (1/6 + (q B^-l)^2 / 12)
+    """
+    b = 2.0 ** base_log
+    b2l = 2.0 ** (bits - base_log * levels)
+    key = levels * n_in * lwe_to_pack * (b * b + 2.0) / 12.0 * var_pksk
+    rounding = 0.5 * n_in * (1.0 / 6.0 + (b2l ** 2) / 12.0)
+    return key + rounding
