@@ -108,7 +108,7 @@ def bench_v3(ck, sk, params, batch):
                               round_bits=rb)
     bhat, _ = mxu.bsk_eval_domain(bsk, mplan, mont=(fold == "redc"))
     corr_dev = None
-    if kernel in ("v5", "v6"):
+    if kernel in ("v5", "v6", "v7"):
         m_dev, corr_dev = mxu.middle_v5_from_eval_device(
             jax.device_put(bhat), mplan)
     else:

@@ -738,3 +738,33 @@ def blind_rotate_mxu(msed_mask, msed_body, lut, m_limbs, plan: MxuPlan,
 
     acc, _ = jax.lax.scan(step, acc0, (msed_mask.T, m_limbs))
     return acc
+
+
+def blind_rotate_mxu_trunc(msed_mask, msed_body, lut, m_limbs, plan: MxuPlan,
+                           base_log: int, levels: int, bits: int = 64):
+    """Truncated-accumulator blind rotation (the kernel v7 semantics): the
+    accumulator keeps only its TOP 32 bits — each step's external-product
+    output is rounded to the 2^32 grid before accumulating.
+
+    Rationale: the low accumulator bits are far below the noise floor; the
+    per-step rounding adds n * 2^62/12 * (1+kN/2) ~ 2^78 to the output
+    variance at 2_2 — vs a 2^107.5 budget (validated by
+    tests/test_trunc_acc.py).  Halves the kernel's rotation/accumulator
+    work.  The LUT is delta-aligned (multiples of 2^59 at 2_2), so the
+    initial truncation is exact.
+    """
+    from .server import monomial_div, monomial_mul
+
+    hi_mask = np.uint64(0xFFFFFFFF00000000)
+    half = np.uint64(1 << 31)
+    acc0 = monomial_div(lut, msed_body[:, None, None]) & hi_mask
+
+    def step(acc, xs):
+        a_i, mstep = xs
+        ct1 = monomial_mul(acc, a_i[:, None, None]) - acc
+        prod = external_product_mxu(ct1, mstep, plan, base_log, levels, bits)
+        prod_r = (prod + half) & hi_mask        # round to the 2^32 grid
+        return acc + prod_r, None
+
+    acc, _ = jax.lax.scan(step, acc0, (msed_mask.T, m_limbs))
+    return acc

@@ -414,6 +414,8 @@ def _garner_acc(res_primes, acc_lo, acc_hi, primes, pinvs, inv_mont, pm_mont,
         out_hi = (out_hi << sh) | (out_lo >> ish)
         out_lo = out_lo << sh
 
+    if acc_lo is None:   # trunc_acc mode: caller rounds + accumulates hi
+        return out_lo, out_hi
     return add64(acc_lo, acc_hi, out_lo, out_hi)
 
 
@@ -1224,7 +1226,8 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                           tb: int, n_steps: int, interpret: bool = False,
                           ablate: str | None = None,
                           num_primes: int = mxu_mod.N_PRIMES_DEFAULT,
-                          round_bits: int = 0, jfold: bool = False):
+                          round_bits: int = 0, jfold: bool = False,
+                          trunc_acc: bool = False):
     """Byte-limb blind-rotate kernel (see section comment above).
 
     Caller layout identical to v4 (to_v4_layout rows (k1, i2, el), lanes
@@ -1237,6 +1240,14 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
     mixed-class ones — ~2/3 / ~4/7 of the dot work and a much shorter pair
     assembly.  The mid stage (per-step key tensors — folding there would 4x
     their memory) is unchanged.
+
+    trunc_acc=True is the "v7" variant: the accumulator keeps only its TOP
+    32 bits (each step's external product is rounded to the 2^32 grid
+    before accumulating) — the low bits sit far below the noise floor, the
+    per-step rounding adds ~2^78 to the output variance at 2_2 (budget
+    2^107.5; tests/test_trunc_acc.py), and rotation/accumulate run on ONE
+    u32 word instead of a pair.  Semantics = ops.mxu.blind_rotate_mxu_trunc
+    (bit-exact parity-tested); requires a delta-aligned LUT (low word 0).
     """
     assert base_log <= 23, "v5 digit bytes assume base_log <= 23"
     n1 = LANES
@@ -1404,15 +1415,16 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
 
         @pl.when(s == 0)
         def _():
-            acc_lo_s[:] = acc_lo_in[:]
+            if not trunc_acc:
+                acc_lo_s[:] = acc_lo_in[:]
             acc_hi_s[:] = acc_hi_in[:]
 
-        acc_lo = acc_lo_s[:]
+        acc_lo = None if trunc_acc else acc_lo_s[:]
         acc_hi = acc_hi_s[:]
 
-        # ---- rotation (identical to v4) ---------------------------------
+        # ---- rotation (identical to v4; hi word only under trunc_acc) ---
         if ablate == "rot":
-            rot_lo = pltpu.roll(acc_lo, np.int32(1), 1)
+            rot_lo = None if trunc_acc else pltpu.roll(acc_lo, np.int32(1), 1)
             rot_hi = pltpu.roll(acc_hi, np.int32(1), 1)
         else:
             lane2 = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
@@ -1443,14 +1455,25 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                     y = jnp.where((qm >> b) & 1 == 1, rr, y)
                 return y
 
-            z_lo = rolled(acc_lo)
             z_hi = rolled(acc_hi)
-            n_lo, n_hi = neg64(z_lo, z_hi)
-            rot_lo = jnp.where(flip, n_lo, z_lo).reshape(R, LANES)
-            rot_hi = jnp.where(flip, n_hi, z_hi).reshape(R, LANES)
+            if trunc_acc:
+                # value = hi * 2^32: negation is a plain u32 negate
+                rot_lo = None
+                rot_hi = jnp.where(flip, jnp.zeros_like(z_hi) - z_hi,
+                                   z_hi).reshape(R, LANES)
+            else:
+                z_lo = rolled(acc_lo)
+                n_lo, n_hi = neg64(z_lo, z_hi)
+                rot_lo = jnp.where(flip, n_lo, z_lo).reshape(R, LANES)
+                rot_hi = jnp.where(flip, n_hi, z_hi).reshape(R, LANES)
 
-        ct1_lo, ct1_hi = sub64(rot_lo, rot_hi, acc_lo, acc_hi)
-        digits = _decompose32(ct1_lo, ct1_hi, base_log, levels)
+        if trunc_acc:
+            ct1_hi = rot_hi - acc_hi
+            digits = _decompose32(jnp.zeros_like(ct1_hi), ct1_hi,
+                                  base_log, levels)
+        else:
+            ct1_lo, ct1_hi = sub64(rot_lo, rot_hi, acc_lo, acc_hi)
+            digits = _decompose32(ct1_lo, ct1_hi, base_log, levels)
         # digit planes: transpose + offset + XOR + bitcast (per level)
         dxs = []
         for lev in range(levels):
@@ -1565,16 +1588,29 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                 y = _sol_reduce_canonical(Z, a_, m_, primes[pi])
             res_primes.append(jnp.transpose(y))             # (R, 128)
 
-        new_lo, new_hi = _garner_acc(
-            res_primes, acc_lo, acc_hi, primes, pinvs, inv_mont, pm_mont,
-            prods64, half_digits, p_mod64, num_primes, round_bits, ablate)
-        acc_lo_s[:] = new_lo
-        acc_hi_s[:] = new_hi
+        if trunc_acc:
+            out_lo, out_hi = _garner_acc(
+                res_primes, None, None, primes, pinvs, inv_mont, pm_mont,
+                prods64, half_digits, p_mod64, num_primes, round_bits,
+                ablate)
+            # round the EP output to the 2^32 grid and accumulate the hi
+            new_hi = acc_hi + out_hi + (out_lo >> U32(31))
+            acc_hi_s[:] = new_hi
 
-        @pl.when(s == pl.num_programs(1) - 1)
-        def _():
-            out_lo_ref[:] = new_lo
-            out_hi_ref[:] = new_hi
+            @pl.when(s == pl.num_programs(1) - 1)
+            def _():
+                out_hi_ref[:] = new_hi
+        else:
+            new_lo, new_hi = _garner_acc(
+                res_primes, acc_lo, acc_hi, primes, pinvs, inv_mont, pm_mont,
+                prods64, half_digits, p_mod64, num_primes, round_bits, ablate)
+            acc_lo_s[:] = new_lo
+            acc_hi_s[:] = new_hi
+
+            @pl.when(s == pl.num_programs(1) - 1)
+            def _():
+                out_lo_ref[:] = new_lo
+                out_hi_ref[:] = new_hi
 
     n_steps_pad = -(-n_steps // LANES) * LANES
 
@@ -1637,22 +1673,28 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
 def blind_rotate_pallas_v5(msed_mask, msed_body, lut, v32, corr_mid, plan,
                            base_log: int, levels: int, tb: int = 8,
                            interpret: bool = False,
-                           ablate: str | None = None, jfold: bool = False):
+                           ablate: str | None = None, jfold: bool = False,
+                           trunc_acc: bool = False):
     """Blind rotation through the v5 byte-limb kernel; same semantics as
     ops.mxu.blind_rotate_mxu.  v32/corr_mid from mxu.bsk_to_mxu_v5.
-    jfold=True selects the v6 weight-folded stage tables."""
+    jfold=True selects the v6 weight-folded stage tables; trunc_acc=True
+    the v7 truncated accumulator (= ops.mxu.blind_rotate_mxu_trunc)."""
     from .server import monomial_div
 
     b, k1, n = lut.shape
     n_in = v32.shape[0]
     assert b % tb == 0, (b, tb)
     acc0 = monomial_div(lut, msed_body[:, None, None])
+    if trunc_acc:
+        # delta-aligned LUTs have zero low words; round defensively anyway
+        acc0 = (acc0 + np.uint64(1 << 31)) & np.uint64(0xFFFFFFFF00000000)
     lo0 = to_v4_layout((acc0 & np.uint64(0xFFFFFFFF)).astype(jnp.uint32),
                        k1, n, tb)
     hi0 = to_v4_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n, tb)
     run = build_blind_rotate_v5(n, base_log, levels, k1, tb, n_in, interpret,
                                 ablate=ablate, num_primes=plan.num_primes,
-                                round_bits=plan.round_bits, jfold=jfold)
+                                round_bits=plan.round_bits, jfold=jfold,
+                                trunc_acc=trunc_acc)
     n2 = n // 128
     n_pad = -(-n_in // 128) * 128
     mi = msed_mask.astype(jnp.int32)
@@ -1660,6 +1702,8 @@ def blind_rotate_pallas_v5(msed_mask, msed_body, lut, v32, corr_mid, plan,
     a_rows = a_rows.reshape(b * k1 * n2, n_in)
     a_rows = jnp.pad(a_rows, ((0, 0), (0, n_pad - n_in)))
     lo, hi = run(lo0, hi0, a_rows, v32, corr_mid)
-    lo = from_v4_layout(lo, b, k1, n, tb)
     hi = from_v4_layout(hi, b, k1, n, tb)
+    if trunc_acc:        # the lo output buffer is never written in v7 mode
+        return hi.astype(jnp.uint64) << np.uint64(32)
+    lo = from_v4_layout(lo, b, k1, n, tb)
     return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))

@@ -886,11 +886,12 @@ def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
         else:
             body = modulus_switch(ks[:, -1], log_mod, bits)
         msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
-    if kernel in ("v5", "v6"):
+    if kernel in ("v5", "v6", "v7"):
         acc = blind_rotate_pallas_v5(msed_mask, body, lut, m_limbs, corr_mid,
                                      mplan, pbs_base_log, pbs_levels, tb=tb,
                                      interpret=interpret,
-                                     jfold=(kernel == "v6"))
+                                     jfold=(kernel in ("v6", "v7")),
+                                     trunc_acc=(kernel == "v7"))
     else:
         br = blind_rotate_pallas_v4 if kernel == "v4" else blind_rotate_pallas_v3
         acc = br(msed_mask, body, lut, m_limbs, mplan,

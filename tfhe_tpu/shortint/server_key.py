@@ -328,7 +328,7 @@ class ServerKey:
                                           mont=(fold == "redc"))
             bhat_d = jax.device_put(bhat)
             self._mxu_corr = None
-            if kernel in ("v5", "v6"):
+            if kernel in ("v5", "v6", "v7"):
                 self._mxu_m, self._mxu_corr = mxu.middle_v5_from_eval_device(
                     bhat_d, mplan)
             elif kernel == "v4":
