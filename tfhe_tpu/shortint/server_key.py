@@ -301,6 +301,21 @@ class ServerKey:
             and p.pbs_level == 1
         )
 
+    def _ensure_poly_shard(self, mesh, axis_name: str = "poly"):
+        """Lazy poly-sharded eval-domain BSK for the latency mesh path
+        (parallel/poly_shard.prepare_bsk_poly_sharded), cached per mesh."""
+        key = (id(mesh), axis_name)
+        cache = getattr(self, "_poly_shard_cache", None)
+        if cache is None:
+            cache = self._poly_shard_cache = {}
+        if key not in cache:
+            from ..parallel import poly_shard as _ps
+
+            cache[key] = _ps.prepare_bsk_poly_sharded(
+                mesh, jnp.asarray(np.asarray(self._bsk_coeff.data)),
+                axis_name=axis_name)
+        return cache[key]
+
     def _ensure_mxu(self):
         """Lazy one-time build of the MXU engine's middle tensors on device
         (~1.4 GB at 3-prime 2_2; ~70 s first time).  Env knobs:
@@ -415,7 +430,25 @@ class ServerKey:
         else:
             lut_b = jnp.take(jnp.asarray(uniq_arr),
                              jnp.asarray(np.array(lut_idx, np.int32)), axis=0)
-        if getattr(self, "mb_bsk_mont", None) is not None:
+        from ..parallel import poly_shard as _ps
+
+        lmesh = _ps.latency_mesh()
+        if (lmesh is not None and n_real <= _ps.latency_threshold()
+                and getattr(self, "mb_bsk_mont", None) is None
+                and not getattr(p, "ks32", False)
+                and self.drift_zeros is None
+                and getattr(self, "_bsk_coeff", None) is not None):
+            # latency path: ONE PBS uses the whole mesh (poly-axis split of
+            # each CMux step; VERDICT r2 task 4)
+            mesh, axis = lmesh
+            out = _ps.sharded_ks_pbs_poly(
+                mesh, jnp.asarray(batch), jnp.asarray(lut_b), self.ksk,
+                self._ensure_poly_shard(mesh, axis),
+                p.ks_base_log, p.ks_level, p.pbs_base_log, p.pbs_level,
+                p.bits,
+                p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
+                axis_name=axis)
+        elif getattr(self, "mb_bsk_mont", None) is not None:
             out = srv.ks_pbs_batch_multibit(
                 jnp.asarray(batch), jnp.asarray(lut_b), self.ksk,
                 self.mb_bsk_mont, self.plan, p.ks_base_log, p.ks_level,
