@@ -701,6 +701,36 @@ def ks_ms_batch(ct, ksk, log_mod: int, ks_base_log: int, ks_levels: int,
     return jnp.concatenate([msed_mask, body[:, None]], axis=1)
 
 
+@partial(jax.jit, static_argnames=("ks_base_log", "ks_levels",
+                                   "pbs_base_log", "pbs_levels", "plan",
+                                   "bits", "centered_ms", "use_pallas"))
+def pbs_ks_batch(ct, lut, ksk, bsk_mont, plan, ks_base_log: int,
+                 ks_levels: int, pbs_base_log: int, pbs_levels: int,
+                 bits: int = 64, centered_ms: bool = False,
+                 use_pallas: bool = False):
+    """The PBS->KS atomic-pattern ordering (AtomicPatternKind::Standard
+    with PBSOrder::BootstrapKeyswitch, shortint/atomic_pattern/standard.rs;
+    EncryptionKeyChoice::Small parameter families): ciphertexts live under
+    the SMALL LWE key, so a LUT apply is MS -> blind rotate -> extract
+    (lands on the big key) -> keyswitch back down."""
+    n_poly = lut.shape[-1]
+    log_mod = n_poly.bit_length()
+    if centered_ms:
+        corr = centered_binary_ms_correction(ct, log_mod, bits)
+        body = modulus_switch(ct[:, -1] + corr, log_mod, bits)
+    else:
+        body = modulus_switch(ct[:, -1], log_mod, bits)
+    msed_mask = modulus_switch(ct[:, :-1], log_mod, bits)
+    if use_pallas:
+        acc = blind_rotate_pallas_v2(msed_mask, body, lut, bsk_mont, plan,
+                                     pbs_base_log, pbs_levels)
+    else:
+        acc = blind_rotate(msed_mask, body, lut, bsk_mont, plan,
+                           pbs_base_log, pbs_levels, bits)
+    big = sample_extract(acc)
+    return keyswitch(big, ksk, ks_base_log, ks_levels, bits)
+
+
 @partial(jax.jit, static_argnames=("pbs_base_log", "pbs_levels", "plan",
                                    "bits", "use_pallas"))
 def pbs_from_switched_batch(msed, lut, bsk_mont, plan, pbs_base_log: int,

@@ -451,3 +451,27 @@ V1_4_PARAM_KEYSWITCH_PKE_TO_SMALL_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = \
     V1_4_PARAM_KEYSWITCH_PKE_TO_SMALL_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128_ZKV2
 V1_4_PARAM_KEYSWITCH_PKE_TO_BIG_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = \
     V1_4_PARAM_KEYSWITCH_PKE_TO_BIG_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128_ZKV2
+
+
+# PBS->KS ordering family (PBSOrder::BootstrapKeyswitch — ciphertexts under
+# the SMALL key; v1_4/classic/gaussian/p_fail_2_minus_128/pbs_ks.rs:33-55)
+V1_4_PARAM_MESSAGE_2_CARRY_2_PBS_KS_GAUSSIAN_2M128 = ShortintParams(
+    lwe_dimension=978,
+    glwe_dimension=1,
+    polynomial_size=2048,
+    lwe_noise=Gaussian(2.962875621642539e-07 * 2.0 ** 64),
+    glwe_noise=Gaussian(2.845267479601915e-15 * 2.0 ** 64),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=3,
+    ks_level=6,
+    message_modulus=4,
+    carry_modulus=4,
+    max_noise_level=5,
+    log2_p_fail=-128.05,
+    encryption_key_choice=EncryptionKeyChoice.SMALL,
+)
+
+TEST_PARAM_MESSAGE_2_CARRY_2_PBS_KS = _dc.replace(
+    TEST_PARAM_MESSAGE_2_CARRY_2,
+    encryption_key_choice=EncryptionKeyChoice.SMALL)

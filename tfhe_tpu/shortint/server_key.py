@@ -27,7 +27,8 @@ from ..utils.csprng import DeterministicSeeder, EncryptionRandomGenerator
 from .ciphertext import (NOMINAL_NOISE, Ciphertext, DeviceLweBatch,
                          LazyLweData)
 from .client_key import ClientKey
-from .params import MsNoiseReduction, ShortintParams
+from .params import (EncryptionKeyChoice, MsNoiseReduction,
+                     ShortintParams)
 
 
 class CarryFullError(Exception):
@@ -148,9 +149,12 @@ def _mxu_family(p) -> bool:
     """Parameter families the MXU blind-rotate stack covers (static — must
     not depend on the runtime backend, so keys built on CPU and TPU are
     identical)."""
+    from .params import EncryptionKeyChoice as _EKC
+
     return (p.polynomial_size == 2048 and p.glwe_dimension == 1
             and p.pbs_level == 1 and p.pbs_base_log <= 23
-            and getattr(p, "grouping_factor", None) is None)
+            and getattr(p, "grouping_factor", None) is None
+            and getattr(p, "encryption_key_choice", _EKC.BIG) == _EKC.BIG)
 
 
 def _mxu_round_bits() -> int:
@@ -435,6 +439,7 @@ class ServerKey:
         lmesh = _ps.latency_mesh()
         if (lmesh is not None and n_real <= _ps.latency_threshold()
                 and getattr(self, "mb_bsk_mont", None) is None
+                and p.encryption_key_choice == EncryptionKeyChoice.BIG
                 and not getattr(p, "ks32", False)
                 and self.drift_zeros is None
                 and getattr(self, "_bsk_coeff", None) is not None):
@@ -448,6 +453,16 @@ class ServerKey:
                 p.bits,
                 p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
                 axis_name=axis)
+        elif p.encryption_key_choice == EncryptionKeyChoice.SMALL:
+            # PBS->KS ordering (PBSOrder::BootstrapKeyswitch): small-key
+            # ciphertexts bootstrap first, then keyswitch back down
+            out = srv.pbs_ks_batch(
+                jnp.asarray(batch), jnp.asarray(lut_b), self.ksk,
+                self.bsk_mont, self.plan, p.ks_base_log, p.ks_level,
+                p.pbs_base_log, p.pbs_level, p.bits,
+                p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
+                self.use_pallas,
+            )
         elif getattr(self, "mb_bsk_mont", None) is not None:
             out = srv.ks_pbs_batch_multibit(
                 jnp.asarray(batch), jnp.asarray(lut_b), self.ksk,
