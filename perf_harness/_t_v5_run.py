@@ -57,7 +57,8 @@ def main():
     run = jax.jit(functools.partial(
         pallas_mxu.blind_rotate_pallas_v5, plan=plan, base_log=P.pbs_base_log,
         levels=P.pbs_level, tb=tb, ablate=ablate,
-        jfold=os.environ.get("V5_JFOLD") == "1"))
+        jfold=os.environ.get("V5_JFOLD") == "1",
+        trunc_acc=os.environ.get("V5_TRUNC") == "1"))
 
     rng = np.random.default_rng(3)
 
@@ -65,6 +66,8 @@ def main():
         mask = rng.integers(0, 2 * n_poly, (bb, n_in), dtype=np.uint64)
         body = rng.integers(0, 2 * n_poly, (bb,), dtype=np.uint64)
         lut = rng.integers(0, 1 << 63, (bb, k + 1, n_poly), dtype=np.uint64)
+        if os.environ.get("V5_TRUNC") == "1":
+            lut &= np.uint64(0xFFFFFFFF00000000)
         return (jax.device_put(mask), jax.device_put(body),
                 jax.device_put(lut))
 
