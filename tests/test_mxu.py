@@ -310,3 +310,24 @@ def test_v6_jfold_kernel_parity_interpret(setup):
         jnp.asarray(m8_3), jnp.asarray(corr3), plan3, BASE_LOG, LEVELS,
         tb=2, interpret=True, jfold=True))
     assert (got3 == want3).all()
+
+
+def test_pbs_from_switched_mxu_parity(setup):
+    """The decompression fast path (pbs_from_switched_batch_mxu) equals the
+    XLA pbs_from_switched_batch, bit-exact in interpret mode."""
+    bsk_mont, plan_ref, m_limbs, plan_mxu = setup
+    bsk = _rebuild_bsk()
+    v32, corr, _ = mxu.bsk_to_mxu_v5(bsk, plan_mxu)
+    rng = np.random.default_rng(31)
+    b = 4
+    msed = rng.integers(0, 2 * N, (b, N_IN + 1), dtype=np.uint64)
+    lut = rng.integers(0, 1 << 64, (b, K_GLWE + 1, N), dtype=np.uint64)
+    want = np.asarray(srv.pbs_from_switched_batch(
+        jnp.asarray(msed), jnp.asarray(lut),
+        jnp.asarray(bsk_mont).astype(jnp.uint64), plan_ref,
+        BASE_LOG, LEVELS))
+    got = np.asarray(srv.pbs_from_switched_batch_mxu(
+        jnp.asarray(msed), jnp.asarray(lut), jnp.asarray(v32),
+        jnp.asarray(corr), plan_mxu, BASE_LOG, LEVELS, tb=2,
+        kernel="v6", interpret=True))
+    assert (got == want).all()

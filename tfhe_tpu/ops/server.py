@@ -928,3 +928,24 @@ def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
                  pbs_base_log, pbs_levels, tb=tb, fold_mode=fold_mode,
                  interpret=interpret)
     return sample_extract(acc)
+
+
+def pbs_from_switched_batch_mxu(msed, lut, v32, corr_mid, mplan,
+                                pbs_base_log: int, pbs_levels: int,
+                                bits: int = 64, tb: int = 64,
+                                kernel: str = "v6",
+                                interpret: bool = False):
+    """Blind rotate + extract from already modulus-switched values through
+    the MXU kernel stack (the fast decompression path: the decompression
+    BSK is 2_2-shaped, so CompressedModulusSwitchedCiphertext /
+    list-decompression reads ride the same v6/v7 kernels as the compute
+    key)."""
+    from .pallas_mxu import blind_rotate_pallas_v5
+
+    msed_mask, body = msed[:, :-1], msed[:, -1]
+    acc = blind_rotate_pallas_v5(msed_mask, body, lut, v32, corr_mid, mplan,
+                                 pbs_base_log, pbs_levels, tb=tb,
+                                 interpret=interpret,
+                                 jfold=(kernel in ("v6", "v7")),
+                                 trunc_acc=(kernel == "v7"))
+    return sample_extract(acc)

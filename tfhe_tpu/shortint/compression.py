@@ -106,11 +106,34 @@ class CompressionPrivateKeys:
 class DecompressionKey:
     """BSK from the storage key (as LWE) to the compute GLWE key."""
 
-    def __init__(self, bsk_mont, plan, br_base_log: int, br_level: int):
+    def __init__(self, bsk_mont, plan, br_base_log: int, br_level: int,
+                 bsk_coeff=None):
         self.bsk_mont = bsk_mont
         self.plan = plan
         self.br_base_log = br_base_log
         self.br_level = br_level
+        # coefficient BSK kept for the lazy MXU-stack build (fast path)
+        self._bsk_coeff = bsk_coeff
+        self._mxu = None
+
+    def ensure_mxu(self):
+        """Lazy v32/corr middle tensors for the decompression blind rotate
+        (~3.2 GB at the v1_4 compression family's 1024 steps).  The
+        decompression BSK is 2_2-shaped, so it rides the same v6/v7 kernel
+        as the compute key; the key is NOT mask-floored here, so the exact
+        4-prime plan is used (no rounding noise)."""
+        if self._mxu is None:
+            import jax
+
+            from ..ops import mxu as _mxu
+
+            n_poly = self._bsk_coeff.data.shape[-1]
+            mplan = _mxu.make_mxu_plan(n_poly, num_primes=4, round_bits=0)
+            bhat, _ = _mxu.bsk_eval_domain(self._bsk_coeff, mplan)
+            v32, corr = _mxu.middle_v5_from_eval_device(
+                jax.device_put(bhat), mplan)
+            self._mxu = (v32, corr, mplan)
+        return self._mxu
 
 
 class CompressionKey:
@@ -162,7 +185,8 @@ class CompressionKey:
             DecompParams(cp.br_base_log, cp.br_level), p.glwe_noise, gen2)
         bsk_mont, br_plan = kg.bootstrap_key_to_ntt(br_bsk)
         self.decompression = DecompressionKey(
-            jnp.asarray(bsk_mont), br_plan, cp.br_base_log, cp.br_level)
+            jnp.asarray(bsk_mont), br_plan, cp.br_base_log, cp.br_level,
+            bsk_coeff=br_bsk)
 
     def compress(self, cts: list) -> CompressedCiphertextList:
         p = self.params
@@ -230,18 +254,33 @@ def decompress(packed: CompressedCiphertextList, indices=None,
     msed = np.concatenate([a.reshape(b, -1), body[:, None]], axis=1)
     lut = srv.generate_lut(p.polynomial_size, p.glwe_dimension + 1,
                            p.total_modulus, p.delta, lambda x: x, p.bits)
-    use_pallas = (
-        jax.default_backend() not in ("cpu",)
-        and os.environ.get("TFHE_TPU_DISABLE_PALLAS") != "1"
-        and p.polynomial_size % 128 == 0
-        and key.br_base_log * key.br_level <= 31)
-    b_pad = ((b + 7) // 8) * 8 if use_pallas else b
+    on_tpu = (jax.default_backend() not in ("cpu",)
+              and os.environ.get("TFHE_TPU_DISABLE_PALLAS") != "1"
+              and p.polynomial_size % 128 == 0
+              and key.br_base_log * key.br_level <= 31)
+    use_mxu = (on_tpu and getattr(key, "_bsk_coeff", None) is not None
+               and p.polynomial_size == 2048 and p.glwe_dimension == 1
+               and key.br_level == 1 and key.br_base_log <= 23
+               and os.environ.get("TFHE_TPU_DISABLE_MXU") != "1")
+    if use_mxu:
+        tb = min(int(os.environ.get("TFHE_TPU_MXU_TB", "256")),
+                 max(8, 1 << (b - 1).bit_length()))
+        b_pad = -(-b // tb) * tb
+    else:
+        b_pad = ((b + 7) // 8) * 8 if on_tpu else b
     if b_pad != b:
         msed = np.concatenate([msed, np.repeat(msed[:1], b_pad - b, 0)], 0)
     lut_b = jnp.asarray(np.broadcast_to(lut, (b_pad,) + lut.shape))
-    out = np.asarray(srv.pbs_from_switched_batch(
-        jnp.asarray(msed), lut_b, key.bsk_mont, key.plan,
-        key.br_base_log, key.br_level, p.bits, use_pallas))[:b]
+    if use_mxu:
+        v32, corr, mplan = key.ensure_mxu()
+        out = np.asarray(srv.pbs_from_switched_batch_mxu(
+            jnp.asarray(msed), lut_b, v32, corr, mplan,
+            key.br_base_log, key.br_level, p.bits, tb=tb,
+            kernel=os.environ.get("TFHE_TPU_MXU_KERNEL", "v6")))[:b]
+    else:
+        out = np.asarray(srv.pbs_from_switched_batch(
+            jnp.asarray(msed), lut_b, key.bsk_mont, key.plan,
+            key.br_base_log, key.br_level, p.bits, on_tpu))[:b]
     return [Ciphertext(out[i], packed.degrees[idx], NOMINAL_NOISE,
                        packed.message_modulus, packed.carry_modulus)
             for i, idx in enumerate(indices)]
