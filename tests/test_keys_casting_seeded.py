@@ -85,3 +85,30 @@ def test_hlapi_compressed_server_key():
     a = t.FheUint8.encrypt(44, ck)
     b = t.FheUint8.encrypt(199, ck)
     assert (a + b).decrypt(ck) == 243
+
+
+def test_compressed_server_key_is_mask_floored():
+    """CompressedServerKey at MXU-family params decompresses to a
+    mask-floored BSK (so the fast 3-prime rounded plan stays sound) that
+    still evaluates correctly."""
+    import numpy as np
+
+    from tfhe_tpu import shortint
+    from tfhe_tpu.shortint.client_key import ClientKey
+    from tfhe_tpu.shortint.compressed_key import CompressedServerKey
+    from tfhe_tpu.utils.keycache import get_shortint_keys
+
+    P = shortint.V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+    ck, _ = get_shortint_keys(P)
+    csk = CompressedServerKey(ck, seed=0xC5)
+    assert csk.seeded_bsk.mask_floor_rb == 15
+    sk = csk.decompress()
+    assert sk._bsk_floored == 15
+    data = np.asarray(sk._bsk_coeff.data)
+    masks = data[..., :P.glwe_dimension, :]
+    assert (masks & np.uint64((1 << 15) - 1) == 0).all()
+    # and it still bootstraps correctly
+    ct = ck.encrypt(2)
+    lut = sk.generate_lookup_table(lambda x: (x + 5) % 16)
+    out = sk.apply_lookup_table_batch([ct], lut)[0]
+    assert ck.decrypt_raw(out) == 7

@@ -137,6 +137,10 @@ class SeededLweBootstrapKey:
     polynomial_size: int
     decomp: DecompParams
     bits: int = 64
+    # masks floored to multiples of 2^rb on decompression (the bodies were
+    # adjusted at generation time by ops/mxu.mask_floor_bsk semantics, so
+    # the regenerated key IS the floored key — see shortint/compressed_key)
+    mask_floor_rb: int = 0
 
     def decompress(self) -> np.ndarray:
         """(n_in, levels, k+1, k+1, N) u64 standard-domain BSK."""
@@ -152,6 +156,9 @@ class SeededLweBootstrapKey:
                 row_gens = lev_gens[j].fork(glwe_size, bpc_row)
                 for r in range(glwe_size):
                     mask = _mask_u64(row_gens[r], k * n_poly, self.bits)
+                    if self.mask_floor_rb:
+                        mask = mask & ~np.uint64(
+                            (1 << self.mask_floor_rb) - 1)
                     out[i, j, r, :k] = mask.reshape(k, n_poly)
                     out[i, j, r, k] = self.bodies[i, j, r]
         return out

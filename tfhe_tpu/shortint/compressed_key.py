@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import secrets
 
+import numpy as np
+
 from ..core import seeded as sd
 from ..utils.csprng import ByteStream, DeterministicSeeder
 from .ciphertext import NOMINAL_NOISE, Ciphertext
@@ -33,10 +35,41 @@ class CompressedServerKey:
         self.seeded_bsk = sd.seed_generate_lwe_bootstrap_key(
             client_key.lwe_secret_key, client_key.glwe_secret_key,
             core.pbs_decomp, p.glwe_noise, seeder, noise_stream, p.bits)
+        # mask-floor the seeded BSK for MXU-family params (same soundness
+        # rationale as ServerKey.__init__): adjust the stored bodies by the
+        # dropped-mask-bits convolution and record the floor, so the
+        # decompressed key IS the floored key and rides the fast 3-prime
+        # rounded plan instead of the 4-prime fallback.
+        from ..core import security as _sec
+        from .server_key import _mxu_family, _mxu_round_bits
+
+        rb = _mxu_round_bits()
+        if _mxu_family(p) and rb > 0:
+            kn = p.glwe_dimension * p.polynomial_size
+            ok_f, _ = _sec.check_lwe_noise_secure(p.glwe_noise, kn, p.bits,
+                                                  modulus_log2_shrink=rb)
+            ok_p, _ = _sec.check_lwe_noise_secure(p.glwe_noise, kn, p.bits)
+            if ok_f or not ok_p:
+                import dataclasses
+
+                from ..core.entities import LweBootstrapKey
+                from ..ops import mxu as _mxu
+
+                full = LweBootstrapKey(self.seeded_bsk.decompress(),
+                                       core.pbs_decomp, p.bits)
+                floored = _mxu.mask_floor_bsk(
+                    full, client_key.glwe_secret_key, rb)
+                self.seeded_bsk = dataclasses.replace(
+                    self.seeded_bsk,
+                    bodies=np.ascontiguousarray(
+                        floored.data[..., p.glwe_dimension, :]),
+                    mask_floor_rb=rb)
 
     def decompress(self) -> ServerKey:
         return ServerKey.from_raw_keys(
-            self.params, self.seeded_ksk.decompress(), self.seeded_bsk.decompress())
+            self.params, self.seeded_ksk.decompress(),
+            self.seeded_bsk.decompress(),
+            bsk_floored=getattr(self.seeded_bsk, "mask_floor_rb", 0))
 
 
 class CompressedCiphertext:

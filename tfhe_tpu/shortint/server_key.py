@@ -243,9 +243,13 @@ class ServerKey:
         self._init_from_raw(p, ksk.data, bsk.data)
 
     @classmethod
-    def from_raw_keys(cls, params: ShortintParams, ksk_data, bsk_data) -> "ServerKey":
-        """Build from standard-domain KSK/BSK arrays (decompression path)."""
+    def from_raw_keys(cls, params: ShortintParams, ksk_data, bsk_data,
+                      bsk_floored: int = 0) -> "ServerKey":
+        """Build from standard-domain KSK/BSK arrays (decompression path).
+        bsk_floored: rb the BSK masks are floored to (CompressedServerKey
+        sets it so the MXU fast plan stays available)."""
         obj = cls.__new__(cls)
+        obj._bsk_floored = bsk_floored
         obj._init_from_raw(params, ksk_data, bsk_data)
         return obj
 
