@@ -230,6 +230,14 @@ def bench_integer_throughput(which, batch):
     _emit(f"fheuint64_add_throughput_{which}", npairs / dt, "ops/s per chip",
           64, "8xH100 multi-bit 510 adds/s => ~64 per accelerator")
 
+    # coalesced mul (scheduler.mul_many_parallelized, VERDICT r2 task 9)
+    nmul = max(2, npairs // 4)
+    mul_sets = [(ps[:nmul],) for (ps,) in sets]
+    dtm = _time(lambda ps: scheduler.mul_many_parallelized(ik, ps), mul_sets,
+                _sync_blocks)
+    _emit(f"fheuint64_mul_throughput_{which}", nmul / dtm, "ops/s per chip",
+          6.65, "8xH100 multi-bit 53.2 muls/s => ~6.65 per accelerator")
+
 
 def bench_zk(which, batch):
     """pke_v2 prove/verify latency (reference: 146 ms prove / 31.2 ms verify

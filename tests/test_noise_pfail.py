@@ -200,3 +200,35 @@ def test_br_packing_ks_chain_production(prod_keys):
     got = ph.var()
     tol = 3.5 * math.sqrt(2.0 / n_s)
     assert (1 - tol - 0.15) * want < got < (1 + tol + 0.15) * want, (got, want)
+
+
+def test_rerand_chain_production(prod_keys):
+    """Re-randomization chain (noise_distribution/cpk_rerand_ks_ms.rs
+    analog): the added XOF-seeded compact-PK zero encryption contributes
+    var_e * (1 + (k+1)N/2) per coefficient — E (*) r + e2 - e1 (*) s with
+    binary r and s.  One slot per INDEPENDENT seed: slots of a single
+    re-randomization share one (E*r, e1*s) realization, whose quadratic
+    forms make the per-polynomial variance estimator far too loose."""
+    ck, sk = prod_keys
+    p = PROD
+    from tfhe_tpu.hlapi.compact_list import CompactPublicKey
+    from tfhe_tpu.shortint.re_randomization import ReRandomizationKey
+
+    pk = CompactPublicKey(ck, seed=0x2E2)
+    rrk = ReRandomizationKey(pk)
+    n_s = 160
+    ct = ck.encrypt(0)
+    big_sk = ck.big_lwe_secret_key.data.astype(np.uint64)
+    row_in = np.asarray(ct.data)[None]
+    ph_in = _phase(big_sk, row_in)[0]
+    dph = []
+    for i in range(n_s):
+        out = rrk.re_randomize(ct, i.to_bytes(4, "little"), b"chain")
+        dph.append(_phase(big_sk, np.asarray(out.data)[None])[0] - ph_in)
+    dph = np.asarray(dph)
+    var_e = nf.distribution_variance(p.glwe_noise, p.bits)
+    k, n_poly = p.glwe_dimension, p.polynomial_size
+    want = var_e * (1.0 + (k + 1) * n_poly / 2.0)
+    got = dph.var()
+    tol = 3.5 * math.sqrt(2.0 / n_s)
+    assert (1 - tol - 0.1) * want < got < (1 + tol + 0.1) * want, (got, want)
