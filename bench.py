@@ -94,7 +94,7 @@ def bench_v3(ck, sk, params, batch):
 
     p = params
     fold = os.environ.get("TFHE_TPU_BENCH_FOLD", "solinas")
-    kernel = os.environ.get("TFHE_TPU_BENCH_KERNEL", "v6")
+    kernel = os.environ.get("TFHE_TPU_BENCH_KERNEL", "v7")
     # 3-prime rb=15 is the measured-fastest config (v5 248.9 BR/s vs v3
     # 188.9 at tb=64; the keycache BSK is mask-floored so the rounding
     # noise is body-only ~0.6% of PBS output variance — see

@@ -344,7 +344,7 @@ class ServerKey:
                 # (1+kN/2)-amplified noise — use the exact 4-prime plan
                 nprimes, rb = 4, 0
             fold = os.environ.get("TFHE_TPU_MXU_FOLD", "solinas")
-            kernel = os.environ.get("TFHE_TPU_MXU_KERNEL", "v6")
+            kernel = os.environ.get("TFHE_TPU_MXU_KERNEL", "v7")
             mplan = mxu.make_mxu_plan(p.polynomial_size, num_primes=nprimes,
                                       round_bits=rb)
             bhat, _ = mxu.bsk_eval_domain(self._bsk_coeff, mplan,
