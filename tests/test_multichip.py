@@ -140,3 +140,25 @@ def test_sharded_mxu_v5_kernel_decrypts(keys, mesh):
     for i, v in enumerate(vals):
         got = _dec(ck, out[i])
         assert got == f(v), (i, v, got)
+
+
+def test_sharded_mxu_v7_kernel_decrypts(keys, mesh):
+    """The v7 (jfold + truncated-accumulator) production default under
+    shard_map across the 8-device mesh, interpret mode."""
+    from tfhe_tpu.ops import mxu
+
+    ck, sk = keys
+    p = PARAMS
+    mplan = mxu.make_mxu_plan(p.polynomial_size, num_primes=3, round_bits=15)
+    v32, corr, _ = mxu.bsk_to_mxu_v5(sk._bsk_coeff, mplan)
+    vals = [(2 * i + 1) % 4 for i in range(16)]
+    f = lambda x: (x * 3 + 2) % 16
+    cts, lut_b = _batch(ck, sk, vals, f)
+    out = pmesh.sharded_ks_pbs_mxu(
+        mesh, cts, lut_b, sk.ksk, jnp.asarray(v32), mplan,
+        p.ks_base_log, p.ks_level, p.pbs_base_log, p.pbs_level,
+        tb=2, kernel="v7", corr_mid=jnp.asarray(corr), interpret=True)
+    out = np.asarray(out)
+    for i, v in enumerate(vals):
+        got = _dec(ck, out[i])
+        assert got == f(v), (i, v, got)
