@@ -331,3 +331,71 @@ def test_pbs_from_switched_mxu_parity(setup):
         jnp.asarray(corr), plan_mxu, BASE_LOG, LEVELS, tb=2,
         kernel="v6", interpret=True))
     assert (got == want).all()
+
+
+def test_v8_kernel_parity_interpret(setup):
+    """The v8 macro-step kernel (deferred s1 assembly, REDC inverse,
+    ss-packed key blocks) vs the XLA reference path — bit-exact, non-trunc
+    and trunc modes, 4-prime and 3-prime rounded, ss covering a padded
+    tail (N_IN=4 with ss=4 and ss=2... ss must divide 128)."""
+    from tfhe_tpu.ops import pallas_mxu
+
+    bsk_mont, plan_ref, m_limbs, plan_mxu = setup
+    bsk = _rebuild_bsk()
+    rng = np.random.default_rng(17)
+    b = 4
+    mask = rng.integers(0, 2 * N, (b, N_IN), dtype=np.uint64)
+    body = rng.integers(0, 2 * N, (b,), dtype=np.uint64)
+    lut = rng.integers(0, 1 << 64, (b, K_GLWE + 1, N), dtype=np.uint64)
+
+    # 4-prime exact, non-trunc, ss=4 (N_IN=4: one full macro step)
+    want = np.asarray(srv.blind_rotate(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(bsk_mont).astype(jnp.uint64), plan_ref, BASE_LOG, LEVELS))
+    v32, corr, _ = mxu.bsk_to_mxu_v8(bsk, plan_mxu, BASE_LOG, ss=4)
+    got = np.asarray(pallas_mxu.blind_rotate_pallas_v8(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(v32), jnp.asarray(corr), plan_mxu, BASE_LOG, LEVELS,
+        tb=2, interpret=True, trunc_acc=False, ss=4))
+    assert (got == want).all()
+
+    # 3-prime rounded + trunc accumulator, ss=2 (two macro steps)
+    plan3 = mxu.make_mxu_plan(N, num_primes=3, round_bits=15)
+    v32_3, corr3, _ = mxu.bsk_to_mxu_v8(bsk, plan3, BASE_LOG, ss=2)
+    want3 = np.asarray(mxu.blind_rotate_mxu_trunc(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        mxu.bsk_to_mxu(bsk, plan3)[0], plan3, BASE_LOG, LEVELS))
+    got3 = np.asarray(pallas_mxu.blind_rotate_pallas_v8(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(v32_3), jnp.asarray(corr3), plan3, BASE_LOG, LEVELS,
+        tb=2, interpret=True, trunc_acc=True, ss=2))
+    assert (got3 == want3).all()
+
+
+def test_v8_padded_tail_noop(setup):
+    """A non-ss-divisible step count: the zero-padded tail sub-steps must be
+    exact no-ops (N_IN=4 data consumed through a 3-step prefix + v8 at
+    ss=4 padding one dummy step... emulate by slicing to 3 steps)."""
+    from tfhe_tpu.ops import pallas_mxu
+
+    bsk_mont, plan_ref, m_limbs, plan_mxu = setup
+    bsk = _rebuild_bsk()
+    from tfhe_tpu.core.entities import LweBootstrapKey
+    bsk3 = LweBootstrapKey(bsk.data[:3], bsk.decomp, bsk.bits)
+    rng = np.random.default_rng(19)
+    b = 2
+    mask = rng.integers(0, 2 * N, (b, 3), dtype=np.uint64)
+    body = rng.integers(0, 2 * N, (b,), dtype=np.uint64)
+    lut = rng.integers(0, 1 << 64, (b, K_GLWE + 1, N), dtype=np.uint64)
+    bsk_mont3, plan_ref3 = kg.bootstrap_key_to_ntt(bsk3)
+    want = np.asarray(srv.blind_rotate(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(bsk_mont3).astype(jnp.uint64), plan_ref3,
+        BASE_LOG, LEVELS))
+    v32, corr, _ = mxu.bsk_to_mxu_v8(bsk3, plan_mxu, BASE_LOG, ss=4)
+    assert v32.shape[0] == 1   # ceil(3/4): one macro step, one dummy tail
+    got = np.asarray(pallas_mxu.blind_rotate_pallas_v8(
+        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(v32), jnp.asarray(corr), plan_mxu, BASE_LOG, LEVELS,
+        tb=2, interpret=True, trunc_acc=False, ss=4))
+    assert (got == want).all()

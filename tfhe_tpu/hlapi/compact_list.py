@@ -215,10 +215,27 @@ class CompactPkeCastingKey:
                                cp.message_modulus, cp.carry_modulus)
                     for i in range(len(cts))]
         # dest small: MS + blind rotate (identity LUT) + extract = the PBS
-        # that lands the value on the big key
+        # that lands the value on the big key.  Honor the compute set's MS
+        # noise reduction (CENTERED_MEAN on all v1_4 production sets, DRIFT
+        # on legacy ones) exactly as ks_pbs_batch does — a plain modulus
+        # switch here would double the MS variance the 2^-128 p_fail budget
+        # was tuned for (modulus_switch_noise_reduction.rs:202 analog).
+        from ..shortint.params import MsNoiseReduction as _MsNR
+
         sk = self.server_key
         log_mod = cp.polynomial_size.bit_length()
-        msed = srv.modulus_switch(ks, log_mod, cp.bits)
+        if getattr(sk, "drift_zeros", None) is not None:
+            ks = srv.drift_ms_improve(
+                ks, sk.drift_zeros, log_mod, cp.drift_r_sigma,
+                cp.drift_ms_bound,
+                cp.drift_input_variance * (2.0 ** cp.bits) ** 2)
+        if cp.ms_noise_reduction == _MsNR.CENTERED_MEAN:
+            corr = srv.centered_binary_ms_correction(ks, log_mod, cp.bits)
+            body = srv.modulus_switch(ks[:, -1] + corr, log_mod, cp.bits)
+        else:
+            body = srv.modulus_switch(ks[:, -1], log_mod, cp.bits)
+        msed_mask = srv.modulus_switch(ks[:, :-1], log_mod, cp.bits)
+        msed = jnp.concatenate([msed_mask, body[:, None]], axis=-1)
         lut = sk.generate_lookup_table(lambda x: x)
         lut_b = jnp.asarray(np.broadcast_to(
             lut.acc, (len(cts),) + lut.acc.shape))

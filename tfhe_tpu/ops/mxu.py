@@ -514,6 +514,173 @@ def bsk_to_mxu_v5(bsk, plan: MxuPlan = None):
     return v32, corr, plan
 
 
+def _v8_consts(plan: MxuPlan, base_log: int):
+    """Static v8 constants per prime: the s1 correction c1(k1) folded into
+    the middle correction (the v8 kernel defers the s1 assembly to the mid
+    matmul's (M, 2^16*M) families), plus the deferred-word offset OFFS.
+
+    c1(k) = 128 * sum_e sum_i (2^(8e) W1'[k,i]) - OFF * sum_i W1'[k,i]
+    (the XOR-centering + digit-offset compensation of the jfold s1 stage);
+    gamma(k) = c1(k) - OFFS*(1 + 2^16): the per-value additive constant of
+    the deferred representation S_true = dgA + 2^16*dgB + gamma (mod p).
+    """
+    OFF = 1 << (base_log - 1)
+    b_s1 = 3 * plan.n1 * 128 * 128          # per-diag |bound| of the s1 dot
+    OFFS = 257 * b_s1                       # dg pair offset; < 2^31
+    assert 2 * OFFS < (1 << 32)
+
+    def vals(limbs):
+        return sum(limbs[:, e].astype(np.uint64) << np.uint64(LIMB_BITS * e)
+                   for e in range(N_LIMBS))
+
+    w1 = vals(plan.w1_limbs)                # (P, k, i)
+    gammas = []
+    for pi, p in enumerate(plan.primes):
+        s1j = np.zeros(plan.n1, dtype=object)
+        for e in range(3):
+            s1j += ((w1[pi].astype(object) << (8 * e)) % p).sum(axis=1)
+        s1w = w1[pi].astype(object).sum(axis=1)
+        c1 = (128 * s1j - OFF * s1w) % p
+        gamma = (c1 - OFFS * (1 + (1 << 16))) % p
+        gammas.append(gamma.astype(np.uint64))
+    return np.stack(gammas), OFFS           # (P, N1) u64, int
+
+
+def bsk_to_mxu_v8(bsk, plan: MxuPlan, base_log: int, ss: int = 4):
+    """Middle tensors for the v8 macro-step kernel (host build; the device
+    twin is middle_v8_from_eval_device).
+
+    Differences vs bsk_to_mxu_v5:
+      * families are (M, 2^16*M mod p) — the kernel defers the s1 stage's
+        pair assembly into the mid matmul (dgA + 2^16*dgB words);
+      * the s1 correction c1(k1) and the deferred-word offsets are folded
+        into corr (per-step static), so the kernel adds NO s1 constants;
+      * `ss` consecutive steps are packed on the lane axis: v32 u32
+        (ceil(n/ss), P, N1, 2K, ss*C) and corr (ceil(n/ss), P, N1, ss*C) —
+        minor dim ss*C = 128 at the 2_2 family, so the (8,128) HBM tiling
+        pads NOTHING (the v5 layout's C=32 minor wasted 4x HBM, which is
+        what OOM'd the round-3 decompression bench; VERDICT r3 weak #3).
+    Zero-padded tail steps are exact no-ops (zero M, zero corr, zero mask
+    degree).
+    """
+    assert base_log <= 23
+    data = _prep_bsk_data(bsk, plan)
+    n_in, lev, k1r, k1c, n = data.shape
+    n1, n2 = plan.n1, plan.n2
+    gammas, _ = _v8_consts(plan, base_log)
+    packed, corrs = [], []
+    for pi, p in enumerate(plan.primes):
+        xhat = _forward_eval(data, plan, pi)
+        h = (xhat[..., :, :, None] * plan.g_mid[pi][None, None, None, None]) % U64(p)
+        f = plan.f_mid[pi]
+        m = np.matmul(f[None, None, None, None], h) % U64(p)
+        m = m.transpose(0, 4, 1, 2, 5, 3, 6)
+        m = m.reshape(n_in, n1, lev * k1r * n2, k1c * n2)  # (n, N1, K, C)
+        m16 = (m << np.uint64(16)) % U64(p)
+        packed.append(np.concatenate(
+            [_pack_v5_bytes_np(byte_limbs_balanced(m)),
+             _pack_v5_bytes_np(byte_limbs_balanced(m16))], axis=-2))
+        s = (m.sum(axis=-2, dtype=np.uint64)
+             + m16.sum(axis=-2, dtype=np.uint64)) % U64(p)
+        sm = m.sum(axis=-2, dtype=np.uint64) % U64(p)
+        c = (s * U64(CENT % p) + sm * gammas[pi][None, :, None]) % U64(p)
+        corrs.append(c.astype(np.uint32))
+    v32 = np.stack(packed).transpose(1, 0, 2, 3, 4)       # (n, P, N1, 2K, C)
+    corr = np.stack(corrs).transpose(1, 0, 2, 3)          # (n, P, N1, C)
+    return (_group_ss(v32, ss), _group_ss(corr, ss), plan)
+
+
+def _group_ss(x, ss: int):
+    """(n, ..., C) -> (ceil(n/ss), ..., ss*C): `ss` steps' lane blocks packed
+    side by side (step-major on the lanes), zero-padded tail."""
+    xp = np if isinstance(x, np.ndarray) else jnp
+    n = x.shape[0]
+    n_g = -(-n // ss)
+    if n_g * ss != n:
+        pad = [(0, n_g * ss - n)] + [(0, 0)] * (x.ndim - 1)
+        x = xp.pad(x, pad)
+    y = x.reshape((n_g, ss) + x.shape[1:])
+    # (n_g, ss, ..., C) -> (n_g, ..., ss, C) -> (n_g, ..., ss*C)
+    perm = (0,) + tuple(range(2, y.ndim)) + (1,)
+    y = xp.moveaxis(y, 1, -2)
+    del perm
+    return y.reshape(y.shape[:-2] + (y.shape[-2] * y.shape[-1],))
+
+
+@lru_cache(maxsize=None)
+def _middle_v8_chunk_jit(plan: MxuPlan, base_log: int):
+    return jax.jit(lambda bh: _middle_v8_chunk(bh, plan, base_log))
+
+
+def middle_v8_from_eval_device(bhat, plan: MxuPlan, base_log: int,
+                               ss: int = 4, chunk: int = 48):
+    """Device-side v8 middle build from the eval-domain precursor
+    (bsk_eval_domain, mont=False): returns (v32, corr) as bsk_to_mxu_v8,
+    computed in jitted chunks sharing one executable."""
+    n_in = bhat.shape[0]
+    c = _pick_chunk(n_in, chunk)
+    fn = _middle_v8_chunk_jit(plan, base_log)
+    outs_m, outs_c = [], []
+    for s in range(0, n_in, c):
+        bh = bhat[s:s + c]
+        if bh.shape[0] < c:
+            pad = c - bh.shape[0]
+            bh = jnp.pad(bh, ((0, pad),) + ((0, 0),) * (bh.ndim - 1))
+            v32, corr = fn(bh)
+            v32, corr = v32[:n_in - s], corr[:n_in - s]
+        else:
+            v32, corr = fn(bh)
+        outs_m.append(v32)
+        outs_c.append(corr)
+    v32 = outs_m[0] if len(outs_m) == 1 else jnp.concatenate(outs_m, axis=0)
+    corr = outs_c[0] if len(outs_c) == 1 else jnp.concatenate(outs_c, axis=0)
+    return _group_ss(v32, ss), _group_ss(corr, ss)
+
+
+def _middle_v8_chunk(bhat, plan: MxuPlan, base_log: int):
+    n_in, lev, r_, c_, p_, n1, n2 = bhat.shape
+    r64 = 1 << 32
+    gammas, _ = _v8_consts(plan, base_log)
+    ms, cs = [], []
+    for pi, p in enumerate(plan.primes):
+        pinv = U64(((r64 - pow(p, -1, r64)) % r64))
+        pu = U64(p)
+        g_m = jnp.asarray((plan.g_mid[pi].astype(object) * r64 % p)
+                          .astype(np.uint64))
+        f_m = jnp.asarray((plan.f_mid[pi].astype(object) * r64 % p)
+                          .astype(np.uint64))
+        bh = bhat[..., pi, :, :].astype(jnp.uint64)
+        h = ntt.mont_mul(bh[..., :, None],
+                         g_m[None, None, None, None], pu, pinv, jnp)
+        acc = None
+        for k2 in range(n2):
+            term = ntt.mont_mul(h[..., k2, :][..., None, :],
+                                f_m[None, None, None, None, :, :, k2, None],
+                                pu, pinv, jnp)
+            acc = term if acc is None else acc + term
+        r2 = U64((r64 * r64) % p)
+        y = ntt.mont_mul(acc, U64(1), pu, pinv, jnp)
+        m = ntt.mont_mul(y, r2, pu, pinv, jnp)
+        m = m.transpose(0, 4, 1, 2, 5, 3, 6).reshape(
+            n_in, n1, lev * r_ * n2, c_ * n2)               # (n, N1, K, C)
+        mi = m.astype(jnp.int32)
+        # m16 = m * 2^16 mod p via Montgomery mul by (2^48 mod p):
+        # REDC(m * 2^48) = m * 2^16 mod p
+        c48 = U64(pow(2, 48, p))
+        m16 = ntt.mont_mul(m, c48, pu, pinv, jnp).astype(jnp.int32)
+        ms.append(jnp.concatenate(
+            [_pack_v5_bytes_device(mi), _pack_v5_bytes_device(m16)],
+            axis=-2))                                       # (n, N1, 2K, C)
+        ssum = (mi.astype(jnp.uint64) + m16.astype(jnp.uint64)).sum(
+            axis=-2, dtype=jnp.uint64) % pu                 # (n, N1, C)
+        smm = mi.astype(jnp.uint64).sum(axis=-2, dtype=jnp.uint64) % pu
+        g = jnp.asarray(gammas[pi])[None, :, None]
+        cs.append(((ssum * U64(CENT % p) + smm * g) % pu).astype(jnp.uint32))
+    v32 = jnp.transpose(jnp.stack(ms), (1, 0, 2, 3, 4))     # (n, P, N1, 2K, C)
+    corr = jnp.transpose(jnp.stack(cs), (1, 0, 2, 3))
+    return v32, corr
+
+
 def transpose_middle(m_limbs):
     """(n, P, L, N1, K, C) middle limb tensors -> (n, P, L, N1, C, K) for the
     v4 aligned-layout kernel, whose mid dot is lhs=M^T (out-cols as rows):
@@ -757,7 +924,10 @@ def blind_rotate_mxu_trunc(msed_mask, msed_body, lut, m_limbs, plan: MxuPlan,
 
     hi_mask = np.uint64(0xFFFFFFFF00000000)
     half = np.uint64(1 << 31)
-    acc0 = monomial_div(lut, msed_body[:, None, None]) & hi_mask
+    # round (not truncate) the initial accumulator — identical to the v7
+    # kernel (pallas_mxu.blind_rotate_pallas_v5 trunc_acc), so the two
+    # paths stay bit-exact even for non-delta-aligned LUTs
+    acc0 = (monomial_div(lut, msed_body[:, None, None]) + half) & hi_mask
 
     def step(acc, xs):
         a_i, mstep = xs

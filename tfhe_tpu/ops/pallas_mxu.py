@@ -1221,6 +1221,70 @@ def _kernel_tables_v6(n: int, num_primes: int, base_log: int):
     return L1j, L1ij, s1w_sum, s1j_sum, invj_sum, plan
 
 
+def _weights_and_asm(bounds, a_, m_, hi_ds, eps_ds):
+    """Returns (weights list, assemble fn).  d in hi_ds go through the
+    u32 hi-word chain (exact weight 2^(8d)); d in eps_ds go through
+    eps-folding (exact weight eps * 2^(8d-28)).
+
+    Adjacent same-class diagonals (d, d+1) whose combined bound fits
+    int31 are pre-combined in ONE int32 value dg_d + 256*dg_{d+1}
+    (their weight ratio is exactly 256 within a class), halving the
+    offset-adds and pair-chain links of the assembly; the offset
+    b_d + 256*b_{d+1} at weight w_d contributes w_d*b_d + w_{d+1}*
+    b_{d+1}, so the compensation constant is unchanged."""
+    eps = a_ * (1 << m_) - 1
+    n_d = len(bounds)
+    ws = [(eps << (8 * d - 28)) if d in eps_ds else (1 << (8 * d))
+          for d in range(n_d)]
+
+    def cls(d):
+        return 2 if d in eps_ds else 1 if d in hi_ds else 0
+
+    groups = []                       # (d, paired) — static plan
+    d = 0
+    while d < n_d:
+        if (d + 1 < n_d and cls(d) == cls(d + 1)
+                and bounds[d] + 256 * bounds[d + 1] < (1 << 31)):
+            groups.append((d, True))
+            d += 2
+        else:
+            groups.append((d, False))
+            d += 1
+
+    def asm(diags, corr_vec, corr_bound):
+        X = None
+        XH = None
+        for d, paired in groups:
+            if paired:
+                dg = diags[d] + (diags[d + 1] << np.int32(8))
+                bd = bounds[d] + 256 * bounds[d + 1]
+            else:
+                dg = diags[d]
+                bd = bounds[d]
+            u = ((dg + np.int32(bd)).astype(U32), None, 2 * bd)
+            c = cls(d)
+            if c == 2:
+                t = _sol_shl(_sol_eps_mul(u, a_, m_), 8 * d - 28)
+                X = t if X is None else _sol_add(X, t)
+            elif c == 1:
+                t = u if d == hi_ds[0] else _sol_shl(
+                    u, 8 * (d - hi_ds[0]))
+                XH = t if XH is None else _sol_add(XH, t)
+            else:
+                t = u if d == 0 else _sol_shl(u, 8 * d)
+                X = t if X is None else _sol_add(X, t)
+        X = _sol_add(X, (corr_vec, None, corr_bound))
+        if X[1] is None:
+            X = (X[0], jnp.zeros_like(X[0]), X[2])
+        if XH is not None:
+            assert XH[1] is None
+            X = _pair_add_hi(X, XH)
+        return X
+
+    comp = sum(w * b for w, b in zip(ws, bounds))
+    return ws, asm, comp
+
+
 @lru_cache(maxsize=None)
 def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
                           tb: int, n_steps: int, interpret: bool = False,
@@ -1305,68 +1369,7 @@ def build_blind_rotate_v5(n: int, base_log: int, levels: int, k1: int,
               for d in range(7)]
     b_mid = [2 * lv * kmid * 128 * 128 for lv in live_m]
 
-    def _weights_and_asm(bounds, a_, m_, hi_ds, eps_ds):
-        """Returns (weights list, assemble fn).  d in hi_ds go through the
-        u32 hi-word chain (exact weight 2^(8d)); d in eps_ds go through
-        eps-folding (exact weight eps * 2^(8d-28)).
-
-        Adjacent same-class diagonals (d, d+1) whose combined bound fits
-        int31 are pre-combined in ONE int32 value dg_d + 256*dg_{d+1}
-        (their weight ratio is exactly 256 within a class), halving the
-        offset-adds and pair-chain links of the assembly; the offset
-        b_d + 256*b_{d+1} at weight w_d contributes w_d*b_d + w_{d+1}*
-        b_{d+1}, so the compensation constant is unchanged."""
-        eps = a_ * (1 << m_) - 1
-        n_d = len(bounds)
-        ws = [(eps << (8 * d - 28)) if d in eps_ds else (1 << (8 * d))
-              for d in range(n_d)]
-
-        def cls(d):
-            return 2 if d in eps_ds else 1 if d in hi_ds else 0
-
-        groups = []                       # (d, paired) — static plan
-        d = 0
-        while d < n_d:
-            if (d + 1 < n_d and cls(d) == cls(d + 1)
-                    and bounds[d] + 256 * bounds[d + 1] < (1 << 31)):
-                groups.append((d, True))
-                d += 2
-            else:
-                groups.append((d, False))
-                d += 1
-
-        def asm(diags, corr_vec, corr_bound):
-            X = None
-            XH = None
-            for d, paired in groups:
-                if paired:
-                    dg = diags[d] + (diags[d + 1] << np.int32(8))
-                    bd = bounds[d] + 256 * bounds[d + 1]
-                else:
-                    dg = diags[d]
-                    bd = bounds[d]
-                u = ((dg + np.int32(bd)).astype(U32), None, 2 * bd)
-                c = cls(d)
-                if c == 2:
-                    t = _sol_shl(_sol_eps_mul(u, a_, m_), 8 * d - 28)
-                    X = t if X is None else _sol_add(X, t)
-                elif c == 1:
-                    t = u if d == hi_ds[0] else _sol_shl(
-                        u, 8 * (d - hi_ds[0]))
-                    XH = t if XH is None else _sol_add(XH, t)
-                else:
-                    t = u if d == 0 else _sol_shl(u, 8 * d)
-                    X = t if X is None else _sol_add(X, t)
-            X = _sol_add(X, (corr_vec, None, corr_bound))
-            if X[1] is None:
-                X = (X[0], jnp.zeros_like(X[0]), X[2])
-            if XH is not None:
-                assert XH[1] is None
-                X = _pair_add_hi(X, XH)
-            return X
-
-        comp = sum(w * b for w, b in zip(ws, bounds))
-        return ws, asm, comp
+    # (pair-assembly planner hoisted to module level: _weights_and_asm)
 
     # static per-prime assembly plans + correction constants
     s1_asm, mid_asm, inv_asm = [], [], []
@@ -1704,6 +1707,435 @@ def blind_rotate_pallas_v5(msed_mask, msed_body, lut, v32, corr_mid, plan,
     lo, hi = run(lo0, hi0, a_rows, v32, corr_mid)
     hi = from_v4_layout(hi, b, k1, n, tb)
     if trunc_acc:        # the lo output buffer is never written in v7 mode
+        return hi.astype(jnp.uint64) << np.uint64(32)
+    lo = from_v4_layout(lo, b, k1, n, tb)
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))
+
+
+# ---------------------------------------------------------------------------
+# v8: macro-step kernel — deferred s1 assembly, REDC inverse, ss-step blocks
+# ---------------------------------------------------------------------------
+# Three changes over v7 (all bit-exact vs ops.mxu.blind_rotate_mxu[_trunc]):
+#   * DEFERRED S1 ASSEMBLY: the jfold s1 stage's four uniform diagonals are
+#     combined into just TWO offset words dgA = d0 + 2^8 d1 + OFFS and
+#     dgB = d2 + 2^8 d3 + OFFS (4 VPU ops) instead of a full pair chain with
+#     corrections; the mid matmul's second family becomes 2^16*M (was
+#     2^32*M), and the s1 correction c1(k1) + offset compensation ride the
+#     per-step corr tensor (mxu._v8_consts) — the s1 epilogue, ~20% of the
+#     v6 step budget, all but disappears.
+#   * REDC INVERSE: the inverse stage's static tables are pre-scaled by
+#     2^32; ONE 32-bit REDC replaces the eps-fold canonicalization chain of
+#     the assembled pair (~half the inv epilogue).
+#   * MACRO-STEPS: `ss` consecutive blind-rotate steps run per grid
+#     iteration, and their key blocks are packed on the lane axis
+#     (mxu.bsk_to_mxu_v8): minor dim ss*C = 128, so the HBM (8,128) tiling
+#     pads NOTHING — the v5 layout's C=32 minor wasted 4x HBM capacity and
+#     DMA bandwidth (the round-3 decompression OOM, VERDICT r3 weak #3) —
+#     and the per-grid-step pipeline overhead is paid ss times less often.
+
+
+@lru_cache(maxsize=None)
+def _kernel_tables_v8(n: int, num_primes: int, base_log: int):
+    """v8 static tables: jfold s1 tables (identical to v6's L1j) and inverse
+    tables whose two families are pre-scaled by 2^32 (REDC finishing):
+    L1ij32 (P, 4, 128, 8*128) with families (2^32*W1i, 2^64*W1i) mod p, plus
+    the inverse centering sums for the correction constants."""
+    plan = mxu_mod.make_mxu_plan(n, num_primes=num_primes)
+    P = num_primes
+    n1 = LANES
+
+    def vals(limbs):
+        return sum(limbs[:, e].astype(np.uint64) << np.uint64(LB * e)
+                   for e in range(NL))
+
+    w1 = vals(plan.w1_limbs)
+    w1i = vals(plan.w1i_limbs)
+    ps = np.array(plan.primes, dtype=np.uint64)[:, None, None]
+    r32 = np.array([(1 << 32) % p for p in plan.primes],
+                   dtype=np.uint64)[:, None, None]
+    r64 = np.array([pow(2, 64, int(p)) for p in plan.primes],
+                   dtype=np.uint64)[:, None, None]
+    w1i32 = (w1i * r32) % ps
+    w1i64 = (w1i32 * r32) % ps
+    assert ((w1i.astype(object) * (1 << 64)) % ps.astype(object)
+            == w1i64.astype(object)).all()
+    del r64
+    L1j = np.zeros((P, 4, n1, 4 * n1), np.int8)
+    for e in range(3):
+        we = (w1 << np.uint64(8 * e)) % ps
+        ble = mxu_mod.byte_limbs_balanced(we)
+        for j in range(4):
+            L1j[:, j, :, e::4] = ble[j]
+    L1ij32 = np.zeros((P, 4, n1, 8 * n1), np.int8)
+    invj_sum = np.zeros((P, n1), dtype=object)
+    for e in range(4):
+        for fam, w in enumerate((w1i32, w1i64)):
+            we = (w << np.uint64(8 * e)) % ps
+            ble = mxu_mod.byte_limbs_balanced(we)
+            for j in range(4):
+                L1ij32[:, j, :, fam * 4 * n1 + e:(fam + 1) * 4 * n1:4] = ble[j]
+            invj_sum += we.sum(axis=2).astype(object)
+    return L1j, L1ij32, invj_sum, plan
+
+
+@lru_cache(maxsize=None)
+def build_blind_rotate_v8(n: int, base_log: int, levels: int, k1: int,
+                          tb: int, n_steps: int, interpret: bool = False,
+                          ablate: str | None = None,
+                          num_primes: int = mxu_mod.N_PRIMES_DEFAULT,
+                          round_bits: int = 0, trunc_acc: bool = True,
+                          ss: int = 4):
+    """Macro-step blind-rotate kernel (see section comment above).
+
+    Caller layout: acc via to_v4_layout; a_rows as v5; (v32, corr) from
+    mxu.bsk_to_mxu_v8 / middle_v8_from_eval_device with the same `ss`.
+    n_steps is the REAL step count; the grid runs ceil(n_steps/ss) macro
+    steps and the zero-padded tail sub-steps are exact no-ops.
+    """
+    assert base_log <= 23 and 128 % ss == 0
+    n1 = LANES
+    n2 = n // n1
+    L1_np, L1i_np, invj_sum, plan = _kernel_tables_v8(n, num_primes, base_log)
+    primes = [int(p) for p in plan.primes]
+    pinvs = [int(ntt_mod.make_plan(n, num_primes, primes=plan.primes)
+               .plans[i].p_inv_neg32) for i in range(num_primes)]
+    gplan = plan.garner
+    gc = ntt_mod._garner_consts(gplan.primes)
+    inv_mont = [int(gc[f"inv_mont_{j}"]) for j in range(1, num_primes)]
+    pm_mont = {k: int(v) for k, v in gc["pm_mont"].items()}
+    prods64 = [int(v) for v in gc["prods64"]]
+    half_digits = [int(v) for v in gc["half_digits"]]
+    p_mod64 = int(gc["P_mod64"])
+
+    R = tb * k1 * n2
+    kmid = levels * k1 * n2
+    cmid = k1 * n2
+
+    ams = []
+    for p_ in primes:
+        e1 = (1 << 28) + 1 - p_
+        m_ = (e1 & -e1).bit_length() - 1
+        ams.append((e1 >> m_, m_))
+
+    OFF = 1 << (base_log - 1)
+    XORC = np.uint32(0x80808080)
+    _, OFFS = mxu_mod._v8_consts(plan, base_log)
+
+    # bounds: s1 diags (jfold, 3 live data bytes), mid (2 fams x 4 bytes),
+    # inv (2 fams x 4 bytes, uniform jfold diagonals)
+    b_inv = [8 * n1 * 128 * 128] * 4
+    live_m = [len([1 for e in range(4) for f in range(4) if e + f == d])
+              for d in range(7)]
+    b_mid = [2 * lv * kmid * 128 * 128 for lv in live_m]
+
+    mid_asm, inv_asm = [], []
+    corri_np = np.zeros((num_primes, n1, LANES), np.uint32)
+    mid_const = []
+    for pi, p_ in enumerate(primes):
+        a_, m_ = ams[pi]
+        wsm, asmm, compm = _weights_and_asm(b_mid, a_, m_, [4, 5], [6])
+        wsi, asmi, compi = _weights_and_asm(b_inv, a_, m_, [], [])
+        mid_asm.append(asmm)
+        inv_asm.append(asmi)
+        for k in range(n1):
+            corri_np[pi, k, :] = (128 * int(invj_sum[pi, k]) - compi) % p_
+        mid_const.append((-compm) % p_)
+
+    _blk = np.arange(8 * cmid) // cmid
+    SHD_NP = (8 * np.maximum(3 - _blk, 0)).astype(np.uint32)[None, None, :]
+    SHU_NP = (8 * np.maximum(_blk - 3, 0)).astype(np.uint32)[None, None, :]
+
+    n_macro = -(-n_steps // ss)
+    sub_per_block = LANES // ss   # macro steps per 128-wide a-row block
+
+    def kernel(arow_ref, acc_lo_in, acc_hi_in, m_ref, cm_ref, L1_ref,
+               L1i_ref, ci_ref, shd_ref, shu_ref,
+               out_lo_ref, out_hi_ref,
+               acc_lo_s, acc_hi_s, st_lo_s, st_hi_s, vt_lo_s, vt_hi_s):
+        t = pl.program_id(0)
+        sM = pl.program_id(1)
+
+        @pl.when(sM == 0)
+        def _():
+            if not trunc_acc:
+                acc_lo_s[:] = acc_lo_in[:]
+            acc_hi_s[:] = acc_hi_in[:]
+
+        for j in range(ss):
+            _substep(j, t, sM, arow_ref, m_ref, cm_ref, L1_ref, L1i_ref,
+                     ci_ref, shd_ref, shu_ref, acc_lo_s, acc_hi_s,
+                     st_lo_s, st_hi_s, vt_lo_s, vt_hi_s)
+
+        @pl.when(sM == pl.num_programs(1) - 1)
+        def _():
+            if not trunc_acc:
+                out_lo_ref[:] = acc_lo_s[:]
+            out_hi_ref[:] = acc_hi_s[:]
+
+    def _substep(j, t, sM, arow_ref, m_ref, cm_ref, L1_ref, L1i_ref, ci_ref,
+                 shd_ref, shu_ref, acc_lo_s, acc_hi_s, st_lo_s, st_hi_s,
+                 vt_lo_s, vt_hi_s):
+        acc_lo = None if trunc_acc else acc_lo_s[:]
+        acc_hi = acc_hi_s[:]
+
+        # ---- rotation (v5's binary-ladder one-hot) ----------------------
+        if ablate == "rot":
+            rot_lo = None if trunc_acc else pltpu.roll(acc_lo, np.int32(1), 1)
+            rot_hi = pltpu.roll(acc_hi, np.int32(1), 1)
+        else:
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+            col = jax.lax.rem(sM, np.int32(sub_per_block)) * np.int32(ss) \
+                + np.int32(j)
+            masked = jnp.where(lane2 == col, arow_ref[:], np.int32(0))
+            for sh in (64, 32, 16, 8, 4, 2, 1):
+                masked = masked + pltpu.roll(masked, np.int32(sh), 1)
+            a4 = masked[:, 0:1].reshape(k1, n2, tb, 1)
+            a1v = jax.lax.div(a4, np.int32(n2))
+            a2v = jax.lax.rem(a4, np.int32(n2))
+            i2r = jax.lax.broadcasted_iota(jnp.int32, (k1, n2, tb, 1), 1)
+            q = a1v + (i2r < a2v).astype(jnp.int32)
+            qm = jax.lax.rem(q, np.int32(LANES))
+            qd = jax.lax.div(q, np.int32(LANES))
+            lane4 = jax.lax.broadcasted_iota(jnp.int32, (k1, n2, tb, LANES), 3)
+            flip = (((lane4 < qm).astype(jnp.int32) + qd) & 1) == 1
+
+            def rolled(src):
+                y = src.reshape(k1, n2, tb, LANES)
+                for b in range(n2.bit_length() - 1):
+                    rr = pltpu.roll(y, np.int32(1 << b), 1)
+                    y = jnp.where((a2v >> b) & 1 == 1, rr, y)
+                for b in range(7):
+                    rr = pltpu.roll(y, np.int32(1 << b), 3)
+                    y = jnp.where((qm >> b) & 1 == 1, rr, y)
+                return y
+
+            z_hi = rolled(acc_hi)
+            if trunc_acc:
+                rot_lo = None
+                rot_hi = jnp.where(flip, jnp.zeros_like(z_hi) - z_hi,
+                                   z_hi).reshape(R, LANES)
+            else:
+                z_lo = rolled(acc_lo)
+                n_lo, n_hi = neg64(z_lo, z_hi)
+                rot_lo = jnp.where(flip, n_lo, z_lo).reshape(R, LANES)
+                rot_hi = jnp.where(flip, n_hi, z_hi).reshape(R, LANES)
+
+        if trunc_acc:
+            ct1_hi = rot_hi - acc_hi
+            digits = _decompose32(jnp.zeros_like(ct1_hi), ct1_hi,
+                                  base_log, levels)
+        else:
+            ct1_lo, ct1_hi = sub64(rot_lo, rot_hi, acc_lo, acc_hi)
+            digits = _decompose32(ct1_lo, ct1_hi, base_log, levels)
+        dxs = []
+        for lev in range(levels):
+            if ablate == "dpl":
+                dT = st_lo_s[:].reshape(n1, R)
+            else:
+                dT = jnp.transpose(digits[lev]) + U32(OFF)
+            dxs.append(pltpu.bitcast(dT ^ XORC, jnp.int8))
+
+        res_primes = []
+        for pi in range(num_primes):
+            # ---- stage 1: byte dots + DEFERRED assembly -----------------
+            for lev in range(levels):
+                if ablate == "s1":
+                    diags = [dxs[lev][:n1].astype(jnp.int32)] * 4
+                else:
+                    diags = [jax.lax.dot_general(
+                        L1_ref[pi, d], dxs[lev], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                        for d in range(4)]
+                if ablate == "s1a":
+                    st_lo_s[:, 0, :] = diags[0][:, :tb].astype(U32)
+                    st_hi_s[:, 0, :] = diags[1][:, :tb].astype(U32)
+                    continue
+                dgA = pltpu.bitcast(diags[0] + (diags[1] << np.int32(8)),
+                                    U32) + U32(OFFS)
+                dgB = pltpu.bitcast(diags[2] + (diags[3] << np.int32(8)),
+                                    U32) + U32(OFFS)
+                base = lev * k1 * n2
+                for kk in range(k1 * n2):
+                    st_lo_s[:, base + kk, :] = dgA[:, kk * tb:(kk + 1) * tb]
+                    st_hi_s[:, base + kk, :] = dgB[:, kk * tb:(kk + 1) * tb]
+
+            # ---- middle: two-family byte dot (fam1 = 2^16*M) ------------
+            r_lo = pltpu.bitcast(st_lo_s[:] ^ XORC, jnp.int8)
+            r_hi = pltpu.bitcast(st_hi_s[:] ^ XORC, jnp.int8)
+            rhs = jnp.concatenate([r_lo, r_hi], axis=1)     # (128, 8kmid, tb)
+            if ablate == "mid":
+                diags = [rhs[:, :cmid, :].astype(jnp.int32)] * 7
+            else:
+                v_pack = m_ref[0, pi][:, :, j * cmid:(j + 1) * cmid]
+                if ablate == "mlb":
+                    w_all = jnp.broadcast_to(v_pack[:, :, :1],
+                                             (n1, 2 * kmid, 8 * cmid))
+                else:
+                    tiled = pltpu.repeat(v_pack, 8, 2)      # (128,2kmid,8cmid)
+                    w_all = (tiled >> shd_ref[:]) << shu_ref[:]
+                lhs = pltpu.bitcast(w_all, jnp.int8)        # (128,8kmid,8cmid)
+                out = jax.lax.dot_general(
+                    lhs, rhs,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32)       # (128,8cmid,tb)
+                diags = [out[:, d * cmid:(d + 1) * cmid, :]
+                         for d in range(7)]
+            if ablate == "mida":
+                vt_lo_s[:, :tb] = diags[0][:, 0, :].astype(U32)
+                vt_hi_s[:, :tb] = diags[1][:, 0, :].astype(U32)
+            else:
+                cmv = (cm_ref[0, pi][:, j * cmid:(j + 1) * cmid]
+                       + U32(mid_const[pi]))[:, :, None]
+                Vlo, Vhi, vb = mid_asm[pi](diags, cmv, 2 * (primes[pi] - 1))
+                assert (vb >> 32) < (1 << 31)
+                for cc in range(cmid):
+                    vt_lo_s[:, cc * tb:(cc + 1) * tb] = Vlo[:, cc, :]
+                    vt_hi_s[:, cc * tb:(cc + 1) * tb] = Vhi[:, cc, :]
+
+            # ---- inverse stage: 2^32-scaled tables + ONE REDC -----------
+            rv = jnp.concatenate(
+                [pltpu.bitcast(vt_lo_s[:] ^ XORC, jnp.int8),
+                 pltpu.bitcast(vt_hi_s[:] ^ XORC, jnp.int8)], axis=0)
+            if ablate == "inv":
+                diags = [rv[:n1].astype(jnp.int32)] * 4
+            else:
+                lhs_i = L1i_ref[pi].reshape(4 * n1, 8 * n1)
+                y_all = jax.lax.dot_general(
+                    lhs_i, rv, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                diags = [y_all[d * n1:(d + 1) * n1] for d in range(4)]
+            if ablate == "inva":
+                y = pltpu.bitcast(diags[0], U32)
+            else:
+                ylo, yhi, yb = inv_asm[pi](diags, ci_ref[pi][:, :1],
+                                           primes[pi] - 1)
+                p_int = primes[pi]
+                assert yb < (p_int << 32), hex(yb)
+                # REDC32: Y = 2^32 * y_true (mod p) by table pre-scaling
+                mm = ylo * _u32(pinvs[pi])
+                mp_lo, mp_hi = mulwide(mm, U32(p_int))
+                carry = (ylo != U32(0)).astype(U32)
+                res = mp_hi + carry
+                if yhi is not None:
+                    res = res + yhi
+                rbnd = p_int + (yb >> 32) + 1
+                while rbnd >= p_int:
+                    res = jnp.where(res >= U32(p_int), res - U32(p_int), res)
+                    rbnd = max(p_int - 1, rbnd - p_int)
+                y = res
+            res_primes.append(jnp.transpose(y))             # (R, 128)
+
+        if trunc_acc:
+            out_lo, out_hi = _garner_acc(
+                res_primes, None, None, primes, pinvs, inv_mont, pm_mont,
+                prods64, half_digits, p_mod64, num_primes, round_bits,
+                ablate)
+            acc_hi_s[:] = acc_hi_s[:] + out_hi + (out_lo >> U32(31))
+        else:
+            new_lo, new_hi = _garner_acc(
+                res_primes, acc_lo_s[:], acc_hi_s[:], primes, pinvs,
+                inv_mont, pm_mont, prods64, half_digits, p_mod64,
+                num_primes, round_bits, ablate)
+            acc_lo_s[:] = new_lo
+            acc_hi_s[:] = new_hi
+
+    n_steps_pad = -(-n_steps // LANES) * LANES
+
+    def run(acc_lo, acc_hi, a_rows, v32, corr_mid):
+        batch_rows = acc_lo.shape[0]
+        assert acc_lo.shape == (batch_rows, LANES)
+        assert batch_rows % R == 0
+        assert a_rows.shape == (batch_rows, n_steps_pad), a_rows.shape
+        assert v32.shape == (n_macro, num_primes, n1, 2 * kmid, ss * cmid), \
+            v32.shape
+        assert corr_mid.shape == (n_macro, num_primes, n1, ss * cmid)
+        n_tiles = batch_rows // R
+        vmem = pltpu.VMEM
+        z = lambda t: t * 0
+        in_specs = [
+            pl.BlockSpec(
+                (R, LANES),
+                lambda t, s: (t, jax.lax.div(s, np.int32(sub_per_block))),
+                memory_space=vmem),
+            pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
+            pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
+            pl.BlockSpec((1, num_primes, n1, 2 * kmid, ss * cmid),
+                         lambda t, s: (s,) + (z(t),) * 4, memory_space=vmem),
+            pl.BlockSpec((1, num_primes, n1, ss * cmid),
+                         lambda t, s: (s,) + (z(t),) * 3, memory_space=vmem),
+            pl.BlockSpec((num_primes, 4, n1, 4 * n1),
+                         lambda t, s: (z(t),) * 4, memory_space=vmem),
+            pl.BlockSpec((num_primes, 4, n1, 8 * n1),
+                         lambda t, s: (z(t),) * 4, memory_space=vmem),
+            pl.BlockSpec((num_primes, n1, LANES),
+                         lambda t, s: (z(t),) * 3, memory_space=vmem),
+            pl.BlockSpec((1, 1, 8 * cmid),
+                         lambda t, s: (z(t),) * 3, memory_space=vmem),
+            pl.BlockSpec((1, 1, 8 * cmid),
+                         lambda t, s: (z(t),) * 3, memory_space=vmem),
+        ]
+        out_specs = [pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)),
+                                  memory_space=vmem)] * 2
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, n_macro),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[jax.ShapeDtypeStruct((batch_rows, LANES), U32)] * 2,
+            scratch_shapes=[pltpu.VMEM((R, LANES), U32)] * 2 +
+                           [pltpu.VMEM((n1, kmid, tb), U32)] * 2 +
+                           [pltpu.VMEM((n1, cmid * tb), U32)] * 2,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=126 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+        )
+        return call(a_rows, acc_lo, acc_hi, v32, corr_mid,
+                    jnp.asarray(L1_np), jnp.asarray(L1i_np),
+                    jnp.asarray(corri_np), jnp.asarray(SHD_NP),
+                    jnp.asarray(SHU_NP))
+
+    return run
+
+
+def blind_rotate_pallas_v8(msed_mask, msed_body, lut, v32, corr_mid, plan,
+                           base_log: int, levels: int, tb: int = 8,
+                           interpret: bool = False,
+                           ablate: str | None = None,
+                           trunc_acc: bool = True, ss: int = 4):
+    """Blind rotation through the v8 macro-step kernel; same semantics as
+    ops.mxu.blind_rotate_mxu (trunc_acc=False) / blind_rotate_mxu_trunc
+    (trunc_acc=True).  (v32, corr_mid) from mxu.bsk_to_mxu_v8 or
+    mxu.middle_v8_from_eval_device with the same `ss`."""
+    from .server import monomial_div
+
+    b, k1, n = lut.shape
+    ss_c = v32.shape[-1]
+    cmid = k1 * (n // 128)
+    assert ss_c == ss * cmid, (ss_c, ss, cmid)
+    n_in = msed_mask.shape[1]
+    assert v32.shape[0] == -(-n_in // ss), (v32.shape, n_in, ss)
+    assert b % tb == 0, (b, tb)
+    acc0 = monomial_div(lut, msed_body[:, None, None])
+    if trunc_acc:
+        acc0 = (acc0 + np.uint64(1 << 31)) & np.uint64(0xFFFFFFFF00000000)
+    lo0 = to_v4_layout((acc0 & np.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                       k1, n, tb)
+    hi0 = to_v4_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n, tb)
+    run = build_blind_rotate_v8(n, base_log, levels, k1, tb, n_in, interpret,
+                                ablate=ablate, num_primes=plan.num_primes,
+                                round_bits=plan.round_bits,
+                                trunc_acc=trunc_acc, ss=ss)
+    n2 = n // 128
+    n_pad = -(-n_in // 128) * 128
+    mi = msed_mask.astype(jnp.int32)
+    a_rows = jnp.tile(mi.reshape(b // tb, 1, tb, n_in), (1, k1 * n2, 1, 1))
+    a_rows = a_rows.reshape(b * k1 * n2, n_in)
+    a_rows = jnp.pad(a_rows, ((0, 0), (0, n_pad - n_in)))
+    lo, hi = run(lo0, hi0, a_rows, v32, corr_mid)
+    hi = from_v4_layout(hi, b, k1, n, tb)
+    if trunc_acc:
         return hi.astype(jnp.uint64) << np.uint64(32)
     lo = from_v4_layout(lo, b, k1, n, tb)
     return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))

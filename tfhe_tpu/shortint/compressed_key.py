@@ -46,9 +46,16 @@ class CompressedServerKey:
         rb = _mxu_round_bits()
         if _mxu_family(p) and rb > 0:
             kn = p.glwe_dimension * p.polynomial_size
-            ok_f, _ = _sec.check_lwe_noise_secure(p.glwe_noise, kn, p.bits,
-                                                  modulus_log2_shrink=rb)
+            ok_f, detail = _sec.check_lwe_noise_secure(
+                p.glwe_noise, kn, p.bits, modulus_log2_shrink=rb)
             ok_p, _ = _sec.check_lwe_noise_secure(p.glwe_noise, kn, p.bits)
+            if not ok_f and ok_p:
+                # same policy as ServerKey.__init__: refuse to degrade a
+                # secure set below the estimator curve by flooring
+                raise ValueError(
+                    f"BSK mask flooring at rb={rb} would degrade a secure "
+                    f"parameter set below the estimator curve: {detail}; "
+                    "lower TFHE_TPU_MXU_ROUND_BITS or use 4 primes")
             if ok_f or not ok_p:
                 import dataclasses
 

@@ -517,7 +517,6 @@ class SplitMixin:
             from_empty = self._true() if not from_pat else self._false()
         lt = (self.sk.cast_to_unsigned(self.len_(to_pat), nbi)
               if to_pat.padded else self.sk.create_trivial_radix(t, nbi))
-        la = self.sk.cast_to_unsigned(self.len_(a), nbi)
 
         result = [c.copy() for c in a.chars]
         skip = self.sk.create_trivial_radix(0, nbi)
