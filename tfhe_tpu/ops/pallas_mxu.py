@@ -2139,3 +2139,397 @@ def blind_rotate_pallas_v8(msed_mask, msed_body, lut, v32, corr_mid, plan,
         return hi.astype(jnp.uint64) << np.uint64(32)
     lo = from_v4_layout(lo, b, k1, n, tb)
     return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))
+
+# ---------------------------------------------------------------------------
+# v9: multi-bit fused kernel — Mobius subset keys, rotation-of-digits form
+# ---------------------------------------------------------------------------
+# One grid sub-step processes a whole GROUP of g secret bits (n/g groups
+# instead of n steps).  Per group, the accumulator update is
+#     acc <- sum_T contract(F_T_middle, NTT(X^{a_T} * acc))
+# with F_T the Mobius-transformed subset keys (ops/mxu.py "Multi-bit fusion"
+# section) and a_T = sum_{i in T} a_i the 2^g subset prefix rotations:
+#   * the 2^g subset middles ride ONE mid matmul, concatenated on the
+#     contraction axis (2^g x wider K — MXU work, which is abundant);
+#   * the per-element cost is 2^g - 1 accumulator rolls + decompositions
+#     per group (vs g rolls for g classic steps) feeding 2^g s1 stages;
+#   * everything after the mid dot (mid assembly, inverse stage, REDC,
+#     Garner, accumulate) runs ONCE per group — 1/g of the classic
+#     per-step epilogue.
+# The update REPLACES the accumulator (GGSW_eff encrypts the monomial
+# X^{sum a_i s_i}); there is no "+ acc" term.  Reference semantics:
+# core/multibit.py == lwe_multi_bit_programmable_bootstrapping.rs:329-451;
+# exact XLA twin: ops.mxu.blind_rotate_mxu_multibit.
+
+
+@lru_cache(maxsize=None)
+def build_blind_rotate_v9(n: int, base_log: int, levels: int, k1: int,
+                          tb: int, n_groups: int, grouping: int,
+                          interpret: bool = False,
+                          ablate: str | None = None,
+                          num_primes: int = mxu_mod.N_PRIMES_DEFAULT,
+                          round_bits: int = 0, trunc_acc: bool = True,
+                          ss: int = 2):
+    """Fused multi-bit blind-rotate kernel (see section comment above).
+
+    n_groups = lwe_dimension / grouping.  Caller layout: acc via
+    to_v4_layout; a_rows (B*k1*N2, pad128(n_groups*g)) i32 per-row RAW mask
+    degrees (group-major, g consecutive per group); (v32, corr) from
+    mxu.middle_v9_from_eval_device with the same ss.
+    """
+    assert base_log <= 23 and 128 % (ss * grouping) == 0
+    n1 = LANES
+    n2 = n // n1
+    nsub = 1 << grouping
+    L1_np, L1i_np, invj_sum, plan = _kernel_tables_v8(n, num_primes, base_log)
+    primes = [int(p) for p in plan.primes]
+    pinvs = [int(ntt_mod.make_plan(n, num_primes, primes=plan.primes)
+               .plans[i].p_inv_neg32) for i in range(num_primes)]
+    gplan = plan.garner
+    gc = ntt_mod._garner_consts(gplan.primes)
+    inv_mont = [int(gc[f"inv_mont_{j}"]) for j in range(1, num_primes)]
+    pm_mont = {k: int(v) for k, v in gc["pm_mont"].items()}
+    prods64 = [int(v) for v in gc["prods64"]]
+    half_digits = [int(v) for v in gc["half_digits"]]
+    p_mod64 = int(gc["P_mod64"])
+
+    R = tb * k1 * n2
+    kmid = levels * k1 * n2          # per-subset contraction rows (words)
+    kmid_g = nsub * kmid             # subset-expanded
+    cmid = k1 * n2
+
+    ams = []
+    for p_ in primes:
+        e1 = (1 << 28) + 1 - p_
+        m_ = (e1 & -e1).bit_length() - 1
+        ams.append((e1 >> m_, m_))
+
+    OFF = 1 << (base_log - 1)
+    XORC = np.uint32(0x80808080)
+    _, OFFS = mxu_mod._v8_consts(plan, base_log)
+
+    b_inv = [8 * n1 * 128 * 128] * 4
+    live_m = [len([1 for e in range(4) for f in range(4) if e + f == d])
+              for d in range(7)]
+    b_mid = [2 * lv * kmid_g * 128 * 128 for lv in live_m]
+
+    mid_asm, inv_asm = [], []
+    corri_np = np.zeros((num_primes, n1, LANES), np.uint32)
+    mid_const = []
+    for pi, p_ in enumerate(primes):
+        a_, m_ = ams[pi]
+        wsm, asmm, compm = _weights_and_asm(b_mid, a_, m_, [4, 5], [6])
+        wsi, asmi, compi = _weights_and_asm(b_inv, a_, m_, [], [])
+        mid_asm.append(asmm)
+        inv_asm.append(asmi)
+        for k in range(n1):
+            corri_np[pi, k, :] = (128 * int(invj_sum[pi, k]) - compi) % p_
+        mid_const.append((-compm) % p_)
+
+    _blk = np.arange(8 * cmid) // cmid
+    SHD_NP = (8 * np.maximum(3 - _blk, 0)).astype(np.uint32)[None, None, :]
+    SHU_NP = (8 * np.maximum(_blk - 3, 0)).astype(np.uint32)[None, None, :]
+
+    n_macro = -(-n_groups // ss)
+    amounts_per_block = LANES // (ss * grouping)  # macro steps per a-block
+    two_n_mask = np.int32(2 * n - 1)
+    assert (2 * n) & (2 * n - 1) == 0, "2N must be a power of two"
+
+    def kernel(arow_ref, acc_lo_in, acc_hi_in, m_ref, cm_ref, L1_ref,
+               L1i_ref, ci_ref, shd_ref, shu_ref,
+               out_lo_ref, out_hi_ref,
+               acc_lo_s, acc_hi_s, st_lo_s, st_hi_s, vt_lo_s, vt_hi_s):
+        t = pl.program_id(0)
+        sM = pl.program_id(1)
+
+        @pl.when(sM == 0)
+        def _():
+            if not trunc_acc:
+                acc_lo_s[:] = acc_lo_in[:]
+            acc_hi_s[:] = acc_hi_in[:]
+
+        for j in range(ss):
+            _group_step(j, sM, arow_ref, m_ref, cm_ref, L1_ref, L1i_ref,
+                        ci_ref, shd_ref, shu_ref, acc_lo_s, acc_hi_s,
+                        st_lo_s, st_hi_s, vt_lo_s, vt_hi_s)
+
+        @pl.when(sM == pl.num_programs(1) - 1)
+        def _():
+            if not trunc_acc:
+                out_lo_ref[:] = acc_lo_s[:]
+            out_hi_ref[:] = acc_hi_s[:]
+
+    def _group_step(j, sM, arow_ref, m_ref, cm_ref, L1_ref, L1i_ref,
+                    ci_ref, shd_ref, shu_ref, acc_lo_s, acc_hi_s,
+                    st_lo_s, st_hi_s, vt_lo_s, vt_hi_s):
+        acc_lo = None if trunc_acc else acc_lo_s[:]
+        acc_hi = acc_hi_s[:]
+
+        # ---- extract the group's g raw degrees, build subset prefixes ---
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        col0 = jax.lax.rem(sM, np.int32(amounts_per_block)) \
+            * np.int32(ss * grouping) + np.int32(j * grouping)
+        a_i = []                                 # g x (k1, n2, tb, 1) i32
+        for i in range(grouping):
+            masked = jnp.where(lane2 == col0 + np.int32(i), arow_ref[:],
+                               np.int32(0))
+            for sh in (64, 32, 16, 8, 4, 2, 1):
+                masked = masked + pltpu.roll(masked, np.int32(sh), 1)
+            a_i.append(masked[:, 0:1].reshape(k1, n2, tb, 1))
+        a_t = [None] * nsub                      # subset prefix amounts
+        a_t[0] = jnp.zeros_like(a_i[0])
+        for T in range(1, nsub):
+            i_hi = T.bit_length() - 1
+            a_t[T] = (a_t[T & ~(1 << i_hi)] + a_i[i_hi]) & two_n_mask
+
+        # ---- per subset: rotate acc + decompose + digit byte planes -----
+        i2r = jax.lax.broadcasted_iota(jnp.int32, (k1, n2, tb, 1), 1)
+        lane4 = jax.lax.broadcasted_iota(jnp.int32, (k1, n2, tb, LANES), 3)
+
+        def rotated(a4):
+            """X^{a4} * acc, (R, LANES) pair (trunc: hi only)."""
+            a1v = jax.lax.div(a4, np.int32(n2))
+            a2v = jax.lax.rem(a4, np.int32(n2))
+            q = a1v + (i2r < a2v).astype(jnp.int32)
+            qm = jax.lax.rem(q, np.int32(LANES))
+            qd = jax.lax.div(q, np.int32(LANES))
+            flip = (((lane4 < qm).astype(jnp.int32) + qd) & 1) == 1
+
+            def rolled(src):
+                y = src.reshape(k1, n2, tb, LANES)
+                for b in range(n2.bit_length() - 1):
+                    rr = pltpu.roll(y, np.int32(1 << b), 1)
+                    y = jnp.where((a2v >> b) & 1 == 1, rr, y)
+                for b in range(7):
+                    rr = pltpu.roll(y, np.int32(1 << b), 3)
+                    y = jnp.where((qm >> b) & 1 == 1, rr, y)
+                return y
+
+            z_hi = rolled(acc_hi)
+            if trunc_acc:
+                rh = jnp.where(flip, jnp.zeros_like(z_hi) - z_hi, z_hi)
+                return None, rh.reshape(R, LANES)
+            z_lo = rolled(acc_lo)
+            n_lo, n_hi = neg64(z_lo, z_hi)
+            return (jnp.where(flip, n_lo, z_lo).reshape(R, LANES),
+                    jnp.where(flip, n_hi, z_hi).reshape(R, LANES))
+
+        dxs = []                     # nsub x levels x (4*128, R) int8 planes
+        for T in range(nsub):
+            if ablate == "rot":
+                rot_lo = None if trunc_acc else pltpu.roll(
+                    acc_lo, np.int32(1), 1)
+                rot_hi = pltpu.roll(acc_hi, np.int32(T % 7 + 1), 1)
+            elif T == 0:
+                rot_lo, rot_hi = acc_lo, acc_hi
+            else:
+                rot_lo, rot_hi = rotated(a_t[T])
+            if trunc_acc:
+                digits = _decompose32(jnp.zeros_like(rot_hi), rot_hi,
+                                      base_log, levels)
+            else:
+                digits = _decompose32(rot_lo, rot_hi, base_log, levels)
+            planes = []
+            for lev in range(levels):
+                dT = jnp.transpose(digits[lev]) + U32(OFF)
+                planes.append(pltpu.bitcast(dT ^ XORC, jnp.int8))
+            dxs.append(planes)
+
+        res_primes = []
+        for pi in range(num_primes):
+            # ---- stage 1 per subset: byte dots + DEFERRED assembly ------
+            for T in range(nsub):
+                for lev in range(levels):
+                    if ablate == "s1":
+                        diags = [dxs[T][lev][:n1].astype(jnp.int32)] * 4
+                    else:
+                        diags = [jax.lax.dot_general(
+                            L1_ref[pi, d], dxs[T][lev],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                            for d in range(4)]
+                    dgA = pltpu.bitcast(diags[0] + (diags[1] << np.int32(8)),
+                                        U32) + U32(OFFS)
+                    dgB = pltpu.bitcast(diags[2] + (diags[3] << np.int32(8)),
+                                        U32) + U32(OFFS)
+                    base = (T * levels + lev) * k1 * n2
+                    for kk in range(k1 * n2):
+                        st_lo_s[:, base + kk, :] = \
+                            dgA[:, kk * tb:(kk + 1) * tb]
+                        st_hi_s[:, base + kk, :] = \
+                            dgB[:, kk * tb:(kk + 1) * tb]
+
+            # ---- middle: two-family byte dot over the expanded K --------
+            r_lo = pltpu.bitcast(st_lo_s[:] ^ XORC, jnp.int8)
+            r_hi = pltpu.bitcast(st_hi_s[:] ^ XORC, jnp.int8)
+            rhs = jnp.concatenate([r_lo, r_hi], axis=1)  # (128, 8kmid_g, tb)
+            if ablate == "mid":
+                diags = [rhs[:, :cmid, :].astype(jnp.int32)] * 7
+            else:
+                v_pack = m_ref[0, pi][:, :, j * cmid:(j + 1) * cmid]
+                tiled = pltpu.repeat(v_pack, 8, 2)   # (128, 2kmid_g, 8cmid)
+                w_all = (tiled >> shd_ref[:]) << shu_ref[:]
+                lhs = pltpu.bitcast(w_all, jnp.int8)  # (128,8kmid_g,8cmid)
+                out = jax.lax.dot_general(
+                    lhs, rhs,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32)  # (128, 8cmid, tb)
+                diags = [out[:, d * cmid:(d + 1) * cmid, :]
+                         for d in range(7)]
+            if ablate == "mida":
+                vt_lo_s[:, :tb] = diags[0][:, 0, :].astype(U32)
+                vt_hi_s[:, :tb] = diags[1][:, 0, :].astype(U32)
+            else:
+                cmv = (cm_ref[0, pi][:, j * cmid:(j + 1) * cmid]
+                       + U32(mid_const[pi]))[:, :, None]
+                Vlo, Vhi, vb = mid_asm[pi](diags, cmv, 2 * (primes[pi] - 1))
+                assert (vb >> 32) < (1 << 31)
+                for cc in range(cmid):
+                    vt_lo_s[:, cc * tb:(cc + 1) * tb] = Vlo[:, cc, :]
+                    vt_hi_s[:, cc * tb:(cc + 1) * tb] = Vhi[:, cc, :]
+
+            # ---- inverse stage: 2^32-scaled tables + ONE REDC -----------
+            rv = jnp.concatenate(
+                [pltpu.bitcast(vt_lo_s[:] ^ XORC, jnp.int8),
+                 pltpu.bitcast(vt_hi_s[:] ^ XORC, jnp.int8)], axis=0)
+            if ablate == "inv":
+                diags = [rv[:n1].astype(jnp.int32)] * 4
+            else:
+                lhs_i = L1i_ref[pi].reshape(4 * n1, 8 * n1)
+                y_all = jax.lax.dot_general(
+                    lhs_i, rv, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                diags = [y_all[d * n1:(d + 1) * n1] for d in range(4)]
+            if ablate == "inva":
+                y = pltpu.bitcast(diags[0], U32)
+            else:
+                ylo, yhi, yb = inv_asm[pi](diags, ci_ref[pi][:, :1],
+                                           primes[pi] - 1)
+                p_int = primes[pi]
+                assert yb < (p_int << 32), hex(yb)
+                mm = ylo * _u32(pinvs[pi])
+                mp_lo, mp_hi = mulwide(mm, U32(p_int))
+                carry = (ylo != U32(0)).astype(U32)
+                res = mp_hi + carry
+                if yhi is not None:
+                    res = res + yhi
+                rbnd = p_int + (yb >> 32) + 1
+                while rbnd >= p_int:
+                    res = jnp.where(res >= U32(p_int), res - U32(p_int), res)
+                    rbnd = max(p_int - 1, rbnd - p_int)
+                y = res
+            res_primes.append(jnp.transpose(y))             # (R, 128)
+
+        # ---- Garner once per group; REPLACE the accumulator -------------
+        out_lo, out_hi = _garner_acc(
+            res_primes, None, None, primes, pinvs, inv_mont, pm_mont,
+            prods64, half_digits, p_mod64, num_primes, round_bits, ablate)
+        if trunc_acc:
+            acc_hi_s[:] = out_hi + (out_lo >> U32(31))
+        else:
+            acc_lo_s[:] = out_lo
+            acc_hi_s[:] = out_hi
+
+    n_amounts = n_groups * grouping
+    n_steps_pad = -(-n_amounts // LANES) * LANES
+
+    def run(acc_lo, acc_hi, a_rows, v32, corr_mid):
+        batch_rows = acc_lo.shape[0]
+        assert acc_lo.shape == (batch_rows, LANES)
+        assert batch_rows % R == 0
+        assert a_rows.shape == (batch_rows, n_steps_pad), a_rows.shape
+        assert v32.shape == (n_macro, num_primes, n1, 2 * kmid_g,
+                             ss * cmid), v32.shape
+        assert corr_mid.shape == (n_macro, num_primes, n1, ss * cmid)
+        n_tiles = batch_rows // R
+        vmem = pltpu.VMEM
+        z = lambda t: t * 0
+        in_specs = [
+            pl.BlockSpec(
+                (R, LANES),
+                lambda t, s: (t, jax.lax.div(s, np.int32(amounts_per_block))),
+                memory_space=vmem),
+            pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
+            pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)), memory_space=vmem),
+            pl.BlockSpec((1, num_primes, n1, 2 * kmid_g, ss * cmid),
+                         lambda t, s: (s,) + (z(t),) * 4, memory_space=vmem),
+            pl.BlockSpec((1, num_primes, n1, ss * cmid),
+                         lambda t, s: (s,) + (z(t),) * 3, memory_space=vmem),
+            pl.BlockSpec((num_primes, 4, n1, 4 * n1),
+                         lambda t, s: (z(t),) * 4, memory_space=vmem),
+            pl.BlockSpec((num_primes, 4, n1, 8 * n1),
+                         lambda t, s: (z(t),) * 4, memory_space=vmem),
+            pl.BlockSpec((num_primes, n1, LANES),
+                         lambda t, s: (z(t),) * 3, memory_space=vmem),
+            pl.BlockSpec((1, 1, 8 * cmid),
+                         lambda t, s: (z(t),) * 3, memory_space=vmem),
+            pl.BlockSpec((1, 1, 8 * cmid),
+                         lambda t, s: (z(t),) * 3, memory_space=vmem),
+        ]
+        out_specs = [pl.BlockSpec((R, LANES), lambda t, s: (t, z(t)),
+                                  memory_space=vmem)] * 2
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, n_macro),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[jax.ShapeDtypeStruct((batch_rows, LANES), U32)] * 2,
+            scratch_shapes=[pltpu.VMEM((R, LANES), U32)] * 2 +
+                           [pltpu.VMEM((n1, kmid_g, tb), U32)] * 2 +
+                           [pltpu.VMEM((n1, cmid * tb), U32)] * 2,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=126 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+        )
+        return call(a_rows, acc_lo, acc_hi, v32, corr_mid,
+                    jnp.asarray(L1_np), jnp.asarray(L1i_np),
+                    jnp.asarray(corri_np), jnp.asarray(SHD_NP),
+                    jnp.asarray(SHU_NP))
+
+    return run
+
+
+def blind_rotate_pallas_v9(msed_mask, msed_body, lut, v32, corr_mid, plan,
+                           base_log: int, levels: int, grouping: int,
+                           tb: int = 8, interpret: bool = False,
+                           ablate: str | None = None,
+                           trunc_acc: bool = True, ss: int = 2):
+    """Multi-bit blind rotation through the v9 fused kernel; same semantics
+    as ops.mxu.blind_rotate_mxu_multibit (trunc flag matching).  (v32,
+    corr_mid) from mxu.middle_v9_from_eval_device with the same ss/g.
+    msed_mask: (B, n_in) RAW switched degrees (not prefix sums)."""
+    from .server import monomial_div
+
+    b, k1, n = lut.shape
+    nsub = 1 << grouping
+    cmid = k1 * (n // 128)
+    n_in = msed_mask.shape[1]
+    assert n_in % grouping == 0
+    n_groups = n_in // grouping
+    assert v32.shape[0] == -(-n_groups // ss), (v32.shape, n_groups, ss)
+    assert v32.shape[-2] == 2 * nsub * levels * cmid
+    assert b % tb == 0, (b, tb)
+    acc0 = monomial_div(lut, msed_body[:, None, None])
+    if trunc_acc:
+        acc0 = (acc0 + np.uint64(1 << 31)) & np.uint64(0xFFFFFFFF00000000)
+    lo0 = to_v4_layout((acc0 & np.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                       k1, n, tb)
+    hi0 = to_v4_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n, tb)
+    run = build_blind_rotate_v9(n, base_log, levels, k1, tb, n_groups,
+                                grouping, interpret, ablate=ablate,
+                                num_primes=plan.num_primes,
+                                round_bits=plan.round_bits,
+                                trunc_acc=trunc_acc, ss=ss)
+    n2 = n // 128
+    n_pad = -(-n_in // 128) * 128
+    mi = msed_mask.astype(jnp.int32)
+    a_rows = jnp.tile(mi.reshape(b // tb, 1, tb, n_in), (1, k1 * n2, 1, 1))
+    a_rows = a_rows.reshape(b * k1 * n2, n_in)
+    a_rows = jnp.pad(a_rows, ((0, 0), (0, n_pad - n_in)))
+    lo, hi = run(lo0, hi0, a_rows, v32, corr_mid)
+    hi = from_v4_layout(hi, b, k1, n, tb)
+    if trunc_acc:
+        return hi.astype(jnp.uint64) << np.uint64(32)
+    lo = from_v4_layout(lo, b, k1, n, tb)
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))
