@@ -41,11 +41,13 @@ def test_multibit_pbs(grouping):
                           p.ks_decomp.base_log, p.ks_decomp.level_count)
     log_mod = p.polynomial_size.bit_length()
     msed = server.modulus_switch(ks, log_mod)
+    degrees = server.multibit_switched_degrees(ks[:, :-1], grouping, log_mod,
+                                               raw=True)
     delta = 1 << (64 - MSG_BITS - 1)
     f = lambda x: (x * 5 + 3) % 16
     lut = server.generate_lut(p.polynomial_size, 2, 16, delta, f)
     lut_b = jnp.broadcast_to(jnp.asarray(lut)[None], (len(msgs), 2, p.polynomial_size))
-    acc = server.blind_rotate_multibit(msed[:, :-1], msed[:, -1], lut_b,
+    acc = server.blind_rotate_multibit(degrees, msed[:, -1], lut_b,
                                        jnp.asarray(mbsk_mont), plan,
                                        p.pbs_decomp.base_log,
                                        p.pbs_decomp.level_count, grouping)

@@ -12,10 +12,10 @@ from tfhe_tpu.utils.csprng import TUniform
 
 
 def _production_sets():
-    """All exported production (V1_4_*) shortint/multibit parameter sets."""
+    """All exported production (V1_4_* + TPU_*) shortint/multibit sets."""
     out = []
     for name in dir(sp):
-        if not name.startswith("V1_4_"):
+        if not (name.startswith("V1_4_") or name.startswith("TPU_PARAM_")):
             continue
         v = getattr(sp, name)
         if hasattr(v, "lwe_dimension") and hasattr(v, "glwe_noise"):

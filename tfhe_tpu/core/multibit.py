@@ -1,18 +1,28 @@
 """Multi-bit programmable bootstrapping.
 
-Math (lwe_multi_bit_programmable_bootstrapping.rs): for a group of g secret
-bits, X^{sum a_i s_i} = prod_i (1 + (X^{a_i}-1) s_i) = sum over subsets S of
-prod_{i in S} (X^{a_i}-1) * prod_{i in S} s_i.  The multi-bit BSK stores one
-GGSW per subset (2^g per group, encrypting the product of the subset's key
-bits); at rotation time the *public* polynomials prod(X^{a_i}-1) are combined
-with the subset GGSWs in the NTT domain into one effective GGSW, and a single
-external product advances the accumulator — n/g scan steps instead of n.
+Math (lwe_multi_bit_programmable_bootstrapping.rs:30-65 +
+lwe_multi_bit_bootstrap_key_generation.rs:504-530 combine_key_bits): for a
+group of g secret bits, the BSK stores one GGSW per INDICATOR pattern u —
+GGSW(prod_i (s_i if bit_i(u) else 1-s_i)), exactly one of which encrypts 1
+(the one matching the secret pattern).  At rotation time the effective GGSW
+is sum_u X^{d_u} E_u with pure MONOMIAL weights, d_u = modulus_switch(sum of
+the u-selected RAW mask elements) — ONE modulus-switch rounding per subset
+(selection bits are big-endian: the group's first mask element maps to the
+most significant bit of u, matching the reference).  A single external
+product advances the accumulator — n/g steps instead of n.
 
-TPU mapping: subset-polynomial evaluation is a table gather
-(NTT(X^a)[t] = psi^{(2 br(t)+1) a}), subset products are pointwise Montgomery
-multiplies, and the per-group combination is a batched weighted sum — all
-VPU-friendly; the reference's ThreadCount worker pool (P3 in SURVEY §2.13)
-is absorbed by the batch dimension.
+The indicator convention matters for noise: monomial weights contribute
+2^g * var_bsk per group (the reference's multi-bit noise formula), whereas
+the subset-PRODUCT convention with prod(X^{a_i}-1) weights would pay
+sum_V 2^|V| = 3^g (measured and rejected; see
+tests/test_multibit_fused.py noise chain).
+
+TPU mapping: monomial evaluation is a table gather
+(NTT(X^d)[t] = psi^{(2 br(t)+1) d}) and the per-group combination a batched
+weighted sum — all VPU-friendly; the reference's ThreadCount worker pool
+(P3 in SURVEY §2.13) is absorbed by the batch dimension.  The fused MXU
+kernel (ops/pallas_mxu.build_blind_rotate_v9) instead moves each monomial
+onto the data side: acc <- sum_u contract(E_u, decompose(X^{d_u} * acc)).
 """
 
 from __future__ import annotations
@@ -40,8 +50,12 @@ def generate_multibit_bootstrap_key(
 ) -> np.ndarray:
     """Returns (n/g, 2^g, l, k+1, k+1, N) standard-domain multi-bit BSK.
 
-    Subset index u is a bitmask over the group's key bits; GGSW_u encrypts
-    prod_{i in u} s_{g*j+i} (u = 0 encrypts the constant 1).
+    Pattern index u selects, big-endian over the group's key bits (the
+    group's first bit is u's MSB — combine_key_bits,
+    lwe_multi_bit_bootstrap_key_generation.rs:504), the indicator plaintext
+    prod_i (s_i if selected else 1 - s_i): u = 0 encrypts
+    prod_i (1 - s_i), u = 2^g - 1 encrypts prod_i s_i, and exactly one
+    pattern per group encrypts 1.
     """
     g = grouping_factor
     n_in = input_sk.dimension
@@ -56,8 +70,8 @@ def generate_multibit_bootstrap_key(
         for u in range(1 << g):
             cleartext = 1
             for i in range(g):
-                if (u >> i) & 1:
-                    cleartext *= bits_g[i]
+                sel = (u >> (g - 1 - i)) & 1
+                cleartext *= bits_g[i] if sel else 1 - bits_g[i]
             ggsw_gens = gen.fork(levels, k1 * k * n_poly, k1 * n_poly,
                                  noise_distribution, bits)
             for lev_idx in range(levels):

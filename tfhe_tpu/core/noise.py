@@ -105,6 +105,49 @@ def pbs_output_variance(n_in: int, glwe_dim: int, poly_size: int,
     return out
 
 
+def multibit_pbs_output_variance(n_in: int, grouping: int, glwe_dim: int,
+                                 poly_size: int, base_log: int, levels: int,
+                                 var_bsk: float, bits: int = 64,
+                                 bsk_round_bits: int = 0,
+                                 bsk_mask_floored: bool = True) -> float:
+    """Variance after a fresh multi-bit PBS (grouping factor g) on the exact
+    NTT backend — reference counterpart (a fitted curve tied to their FFT
+    backend): noise_formulas/lwe_multi_bit_programmable_bootstrap.rs.
+
+    Per group of g bits the effective GGSW is sum_u X^{d_u} E_u with the
+    E_u encrypting indicator patterns (core/multibit.py, the reference's
+    combine_key_bits convention) and monomial weights:
+      * key noise: sum_u ||X^{d_u}||^2 = 2^g per group, so the classic
+        per-step key term picks up 2^g per group -> n * 2^g/g total (the
+        subset-PRODUCT convention with prod(X^{a_i}-1) weights would pay
+        sum_V 2^|V| = 3^g — measured and rejected, see
+        tests/test_multibit_fused.py);
+      * decomposition terms: exactly ONE pattern carries a non-zero gadget
+        plaintext per group, so the closest-representable rounding and
+        small terms appear once per GROUP — 1/g of the classic count;
+      * BSK rounding (rb > 0): the 2^g pattern tensors are rounded
+        independently -> 2^g per group (mask-floored: body-only).
+    """
+    k = glwe_dim
+    n_poly = poly_size
+    b = 2.0 ** base_log
+    b2l = 2.0 ** (2 * base_log * levels)
+    q2 = 2.0 ** (2 * bits)
+    groups = n_in / grouping
+    term_key = (2.0 ** grouping) * levels * (k + 1) * n_poly \
+        * (b * b + 2.0) / 12.0 * var_bsk
+    term_round = (q2 / b2l - 1.0) / 24.0 * (1.0 + k * n_poly / 2.0)
+    term_small = k * n_poly / 32.0 \
+        + 1.0 / 16.0 * (1.0 - k * n_poly / 2.0) ** 2 / b2l
+    out = groups * (term_key + term_round + term_small)
+    if bsk_round_bits:
+        var_rnd = 2.0 ** (2 * bsk_round_bits) / 12.0
+        amp = 1.0 if bsk_mask_floored else (1.0 + k * n_poly / 2.0)
+        out += groups * (2.0 ** grouping) * levels * (k + 1) * n_poly \
+            * (b * b + 2.0) / 12.0 * var_rnd * amp
+    return out
+
+
 def bsk_rounding_additive_variance(n_in: int, glwe_dim: int, poly_size: int,
                                    base_log: int, levels: int,
                                    round_bits: int,

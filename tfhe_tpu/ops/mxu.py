@@ -941,58 +941,43 @@ def blind_rotate_mxu_trunc(msed_mask, msed_body, lut, m_limbs, plan: MxuPlan,
 
 
 # ---------------------------------------------------------------------------
-# Multi-bit fusion (v9): Mobius subset keys + rotation-of-digits form
+# Multi-bit fusion (v9): indicator pattern keys + rotation-of-digits form
 # ---------------------------------------------------------------------------
-# The multi-bit BSK (core/multibit.py) stores, per group j of g secret bits,
-# 2^g GGSWs E_V encrypting prod_{i in V} s_i.  The reference evaluates
-# GGSW_eff = sum_V prod_{i in V}(X^{a_i}-1) * E_V per ciphertext per group
-# (lwe_multi_bit_programmable_bootstrapping.rs:329-451) — a per-element key
+# The multi-bit BSK (core/multibit.py, matching the reference's
+# combine_key_bits convention) stores, per group j of g secret bits, 2^g
+# INDICATOR GGSWs E_u encrypting prod_i (s_i if bit_i(u) else 1 - s_i) —
+# exactly one of which encrypts 1.  The reference evaluates
+# GGSW_eff = sum_u X^{d_u} E_u per ciphertext per group
+# (prepare_multi_bit_ggsw_mem_optimized,
+# lwe_multi_bit_programmable_bootstrapping.rs:116-160) — a per-element key
 # recombination that would destroy the batch-shared middle tensors the MXU
-# kernel depends on.  The TPU-native form used here MOBIUS-TRANSFORMS the
-# key instead:
+# kernel depends on.  The TPU-native form moves each monomial onto the
+# (per-element) data side of the external product instead:
 #
-#     F_T = sum_{V >= T} (-1)^{|V|-|T|} E_V      (precomputed, public linear)
+#     acc' = EP(GGSW_eff, acc) = sum_u contract(E_u_middle,
+#                                               decompose(X^{d_u} * acc))
 #
-# so that  GGSW_eff = sum_T X^{a_T} F_T  with  a_T = sum_{i in T} a_i  pure
-# MONOMIAL weights.  Then, moving each monomial onto the (per-element) data
-# side of the external product:
-#
-#     acc' = EP(GGSW_eff, acc) = sum_T contract(F_T_middle,
-#                                               decompose(X^{a_T} * acc))
-#
-# — the F_T middle tensors stay batch-shared (they pack into the mid-matmul
-# contraction axis, 2^g x wider), and the per-element work is 2^g-1 extra
+# — the E_u middle tensors stay batch-shared (they pack into the mid-matmul
+# contraction axis, 2^g x wider), and the per-element work is 2^g - 1
 # negacyclic rolls of the accumulator per group (vs g rolls for g classic
-# steps).  F_T's plaintext is the indicator prod_{i in T} s_i *
-# prod_{i not in T} (1 - s_i), so exactly one subset carries the payload and
-# the decomposition-approximation noise matches a single classic step.
-# Soundness: each per-subset Garner reconstruction is bounded by the classic
-# per-step CRT bound; the fused kernel reconstructs the SUM over subsets, so
-# its bound carries an extra 2^g factor (multibit_assert_crt_bound) — at the
-# g=2 / base_log<=22 / round_bits=16 production config this fits the 3-prime
-# product exactly like the classic base 23 / rb=15 config does.
-
-
-def mobius_multibit_bsk(mb_data: np.ndarray) -> np.ndarray:
-    """(n_g, 2^g, l, k+1, k+1, N) u64 subset GGSWs E_V ->  F_T tensors of the
-    same shape: F_T = sum_{V superset of T} (-1)^{|V|-|T|} E_V (mod 2^64).
-
-    Mask-flooring (mask_floor_bsk) commutes with this transform: floored
-    masks (multiples of 2^rb mod 2^64) stay floored under +/- sums."""
-    g = int(mb_data.shape[1]).bit_length() - 1
-    assert mb_data.shape[1] == 1 << g
-    f = mb_data.astype(np.uint64).copy()
-    for i in range(g):
-        lo = (np.arange(1 << g) >> i) & 1 == 0
-        f[:, lo] = f[:, lo] - f[:, ~lo]          # wrapping mod 2^64
-    return f
+# steps).  E_u's plaintexts are indicators, so exactly one pattern carries
+# the payload: the decomposition-approximation noise matches ONE classic
+# step per group, and the key noise term is 2^g var_bsk per group
+# (core/noise.multibit_pbs_output_variance, = the reference's multi-bit
+# noise formula structure).
+# Soundness: each per-pattern Garner reconstruction is bounded by the
+# classic per-step CRT bound; the fused kernel reconstructs the SUM over
+# patterns, so its bound carries an extra 2^g factor
+# (multibit_assert_crt_bound) — at the g=2 / base_log<=22 / round_bits=16
+# production config this fits the 3-prime product exactly like the classic
+# base 23 / rb=15 config does.
 
 
 def multibit_assert_crt_bound(decomp, glwe_size: int, n_poly: int,
                               plan: MxuPlan, grouping: int,
                               round_bits: int = 0):
     """CRT bound for the fused multi-bit kernel: the mid matmul sums 2^g
-    subset convolutions before ONE Garner, so the exact-integer bound gains
+    pattern convolutions before ONE Garner, so the exact-integer bound gains
     a 2^g factor over assert_crt_bound."""
     import math
 
@@ -1008,15 +993,15 @@ def multibit_assert_crt_bound(decomp, glwe_size: int, n_poly: int,
 
 def _prep_multibit_data(mb_data: np.ndarray, decomp, plan: MxuPlan,
                         grouping: int):
-    """Mobius + round/scale (like _prep_bsk_data) for the fused kernel.
-    mb_data: (n_g, 2^g, l, k+1, k+1, N) u64 (mask-floored when rb > 0).
-    Returns flattened (n_g * 2^g, l, k+1, k+1, N) signed quotients/u64."""
+    """Round/scale (like _prep_bsk_data) for the fused kernel.
+    mb_data: (n_g, 2^g, l, k+1, k+1, N) u64 indicator GGSWs (mask-floored
+    when rb > 0).  Returns flattened (n_g * 2^g, l, k+1, k+1, N) signed
+    quotients/u64."""
     from ..core.entities import LweBootstrapKey
 
     n_g, nsub, lev, k1r, k1c, n = mb_data.shape
     assert nsub == 1 << grouping
-    f = mobius_multibit_bsk(mb_data)
-    flat = f.reshape(n_g * nsub, lev, k1r, k1c, n)
+    flat = mb_data.reshape(n_g * nsub, lev, k1r, k1c, n)
     multibit_assert_crt_bound(decomp, k1c, n, plan, grouping,
                               plan.round_bits)
     bsk = LweBootstrapKey(flat, decomp, 64)
@@ -1031,9 +1016,9 @@ def _prep_multibit_data(mb_data: np.ndarray, decomp, plan: MxuPlan,
 
 def multibit_eval_domain(mb_data: np.ndarray, decomp, plan: MxuPlan,
                          grouping: int):
-    """Host half of the fused multi-bit key conversion: Mobius subset keys
-    -> NTT evaluations (n_g * 2^g, l, k+1, k+1, P, N1, N2) u32 (the small
-    precursor; the heavy middle assembly runs on device)."""
+    """Host half of the fused multi-bit key conversion: indicator pattern
+    keys -> NTT evaluations (n_g * 2^g, l, k+1, k+1, P, N1, N2) u32 (the
+    small precursor; the heavy middle assembly runs on device)."""
     data = _prep_multibit_data(mb_data, decomp, plan, grouping)
     outs = []
     for pi in range(plan.num_primes):
@@ -1046,9 +1031,9 @@ def middle_v9_from_eval_device(bhat, plan: MxuPlan, base_log: int,
     """Device-side fused-multibit middle build.
 
     bhat: (n_g * 2^g, l, k+1, k+1, P, N1, N2) u32 from multibit_eval_domain
-    (subset index minor within each group).  Returns (v32, corr) shaped
+    (pattern index minor within each group).  Returns (v32, corr) shaped
     (ceil(n_g/ss), P, N1, 2 * 2^g * K, ss*C) / (..., ss*C): per GROUP, the
-    2^g subset middles concatenated along the contraction axis within each
+    2^g pattern middles concatenated along the contraction axis within each
     of the two deferred-word families, then `ss` groups packed on the lane
     axis (v8 layout rules; zero-padded tail groups are exact no-ops)."""
     nsub = 1 << grouping
@@ -1073,14 +1058,14 @@ def middle_v9_from_eval_device(bhat, plan: MxuPlan, base_log: int,
         outs_c.append(corr)
     v32 = outs_m[0] if len(outs_m) == 1 else jnp.concatenate(outs_m, axis=0)
     corr = outs_c[0] if len(outs_c) == 1 else jnp.concatenate(outs_c, axis=0)
-    # (n_g*2^g, P, N1, 2K, C): fold subsets into the contraction axis,
-    # fam-major over the subset-expanded K: [M_T0..M_T3 | M16_T0..M16_T3]
+    # (n_g*2^g, P, N1, 2K, C): fold patterns into the contraction axis,
+    # fam-major over the pattern-expanded K: [M_u0..M_u3 | M16_u0..M16_u3]
     _, p_, n1, twok, c_ = v32.shape
     k = twok // 2
     v32 = v32.reshape(n_g, nsub, p_, n1, 2, k, c_)
     v32 = jnp.transpose(v32, (0, 2, 3, 4, 1, 5, 6)).reshape(
         n_g, p_, n1, 2 * nsub * k, c_)
-    # corr is linear in the st rows: sum the per-subset corrections mod p
+    # corr is linear in the st rows: sum the per-pattern corrections mod p
     corr = corr.reshape(n_g, nsub, p_, n1, c_).astype(jnp.uint64)
     corr = corr.sum(axis=1)
     ps = jnp.asarray(np.array(plan.primes, np.uint64))[None, :, None, None]
@@ -1088,49 +1073,57 @@ def middle_v9_from_eval_device(bhat, plan: MxuPlan, base_log: int,
     return _group_ss(v32, ss), _group_ss(corr, ss)
 
 
-def blind_rotate_mxu_multibit(msed_mask, msed_body, lut, m_limbs_f,
+def blind_rotate_mxu_multibit(degrees, msed_body, lut, m_limbs,
                               plan: MxuPlan, base_log: int, levels: int,
                               grouping: int, trunc: bool = False,
                               bits: int = 64):
     """XLA twin of the fused multi-bit kernel (exact; used for parity tests
     and CPU runs).
 
-    msed_mask: (B, n_in) u64 in [0, 2N); m_limbs_f: (n_g * 2^g, P, L, N1,
-    K, C) int8 from bsk_to_mxu over the MOBIUS'd flattened key
-    (_prep_multibit_data semantics).  Per group: acc <- sum_T EP(F_T,
-    X^{a_T} * acc) with a_T the subset prefix rotations.  trunc=True keeps
-    the accumulator on the 2^32 grid (v7/v8 semantics)."""
+    degrees: (B, n_g, 2^g) u64 in [0, 2N) from
+    server.multibit_switched_degrees; m_limbs: (n_g * 2^g, P, L, N1, K, C)
+    int8 from bsk_to_mxu over the flattened indicator key
+    (_prep_multibit_data semantics).  Per group: acc <- sum_u EP(E_u,
+    X^{d_u} * acc).  trunc=True keeps the accumulator on the 2^32 grid
+    (v7/v8 semantics)."""
     from .server import monomial_div, monomial_mul
 
-    b, n_in = msed_mask.shape
-    nsub = 1 << grouping
-    n_g = n_in // grouping
-    assert m_limbs_f.shape[0] == n_g * nsub
+    b, n_g, nsub = degrees.shape
+    assert nsub == 1 << grouping
+    assert m_limbs.shape[0] == n_g * nsub
     hi_mask = np.uint64(0xFFFFFFFF00000000)
     half = np.uint64(1 << 31)
     acc0 = monomial_div(lut, msed_body[:, None, None])
     if trunc:
         acc0 = (acc0 + half) & hi_mask
-    two_n = np.uint64(2 * lut.shape[-1])
-    # subset prefix amounts a_T = sum_{i in T} a_i mod 2N: (B, n_g, 2^g)
-    amounts = msed_mask.reshape(b, n_g, grouping)
-    a_t = jnp.zeros((b, n_g, 1), jnp.uint64)
-    for i in range(grouping):
-        with_i = (a_t + amounts[:, :, i:i + 1]) % two_n
-        a_t = jnp.concatenate([a_t, with_i], axis=-1)
-    m_g = m_limbs_f.reshape((n_g, nsub) + m_limbs_f.shape[1:])
+    m_g = m_limbs.reshape((n_g, nsub) + m_limbs.shape[1:])
 
     def step(acc, xs):
-        a_ts, msub = xs                       # (B, 2^g), (2^g, P, L, N1, K, C)
+        d_us, msub = xs                       # (B, 2^g), (2^g, P, L, N1, K, C)
         out = None
-        for t in range(nsub):
-            rot = monomial_mul(acc, a_ts[:, t][:, None, None])
-            prod = external_product_mxu(rot, msub[t], plan, base_log,
+        for u in range(nsub):
+            rot = monomial_mul(acc, d_us[:, u][:, None, None])
+            prod = external_product_mxu(rot, msub[u], plan, base_log,
                                         levels, bits)
             out = prod if out is None else out + prod
         if trunc:
             out = (out + half) & hi_mask      # round to the 2^32 grid
         return out, None
 
-    acc, _ = jax.lax.scan(step, acc0, (jnp.transpose(a_t, (1, 0, 2)), m_g))
+    acc, _ = jax.lax.scan(step, acc0,
+                          (jnp.transpose(degrees, (1, 0, 2)), m_g))
     return acc
+
+
+def multibit_bsk_to_mxu(mb_data: np.ndarray, decomp, plan: MxuPlan,
+                        grouping: int):
+    """Host twin of the fused multi-bit key build for tests: round + middle
+    collapse via bsk_to_mxu on the flattened indicator key.  Returns m_limbs
+    (n_g * 2^g, P, L, N1, K, C) int8 for blind_rotate_mxu_multibit."""
+    from ..core.entities import LweBootstrapKey
+
+    flat = mb_data.reshape((-1,) + mb_data.shape[2:])
+    multibit_assert_crt_bound(decomp, mb_data.shape[3], mb_data.shape[-1],
+                              plan, grouping, plan.round_bits)
+    m_limbs, _ = bsk_to_mxu(LweBootstrapKey(flat, decomp, 64), plan)
+    return m_limbs

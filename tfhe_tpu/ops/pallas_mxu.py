@@ -2141,14 +2141,15 @@ def blind_rotate_pallas_v8(msed_mask, msed_body, lut, v32, corr_mid, plan,
     return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))
 
 # ---------------------------------------------------------------------------
-# v9: multi-bit fused kernel — Mobius subset keys, rotation-of-digits form
+# v9: multi-bit fused kernel — indicator pattern keys, rotation-of-digits
 # ---------------------------------------------------------------------------
 # One grid sub-step processes a whole GROUP of g secret bits (n/g groups
 # instead of n steps).  Per group, the accumulator update is
-#     acc <- sum_T contract(F_T_middle, NTT(X^{a_T} * acc))
-# with F_T the Mobius-transformed subset keys (ops/mxu.py "Multi-bit fusion"
-# section) and a_T = sum_{i in T} a_i the 2^g subset prefix rotations:
-#   * the 2^g subset middles ride ONE mid matmul, concatenated on the
+#     acc <- sum_u contract(E_u_middle, NTT(X^{d_u} * acc))
+# with E_u the indicator pattern GGSWs (core/multibit.py, the reference's
+# combine_key_bits convention) and d_u the per-pattern switched degrees
+# (server.multibit_switched_degrees, precomputed outside the kernel):
+#   * the 2^g pattern middles ride ONE mid matmul, concatenated on the
 #     contraction axis (2^g x wider K — MXU work, which is abundant);
 #   * the per-element cost is 2^g - 1 accumulator rolls + decompositions
 #     per group (vs g rolls for g classic steps) feeding 2^g s1 stages;
@@ -2157,7 +2158,7 @@ def blind_rotate_pallas_v8(msed_mask, msed_body, lut, v32, corr_mid, plan,
 #     per-step epilogue.
 # The update REPLACES the accumulator (GGSW_eff encrypts the monomial
 # X^{sum a_i s_i}); there is no "+ acc" term.  Reference semantics:
-# core/multibit.py == lwe_multi_bit_programmable_bootstrapping.rs:329-451;
+# core/multibit.py == lwe_multi_bit_programmable_bootstrapping.rs:319-556;
 # exact XLA twin: ops.mxu.blind_rotate_mxu_multibit.
 
 
@@ -2172,11 +2173,13 @@ def build_blind_rotate_v9(n: int, base_log: int, levels: int, k1: int,
     """Fused multi-bit blind-rotate kernel (see section comment above).
 
     n_groups = lwe_dimension / grouping.  Caller layout: acc via
-    to_v4_layout; a_rows (B*k1*N2, pad128(n_groups*g)) i32 per-row RAW mask
-    degrees (group-major, g consecutive per group); (v32, corr) from
+    to_v4_layout; a_rows (B*k1*N2, pad128(n_groups*2^g)) i32 per-row pattern
+    DEGREES in [0, 2N) (group-major, 2^g consecutive per group — pattern 0's
+    column is 0 by construction and is not read); (v32, corr) from
     mxu.middle_v9_from_eval_device with the same ss.
     """
-    assert base_log <= 23 and 128 % (ss * grouping) == 0
+    nsub_a = 1 << grouping
+    assert base_log <= 23 and 128 % (ss * nsub_a) == 0
     n1 = LANES
     n2 = n // n1
     nsub = 1 << grouping
@@ -2217,7 +2220,25 @@ def build_blind_rotate_v9(n: int, base_log: int, levels: int, k1: int,
     mid_const = []
     for pi, p_ in enumerate(primes):
         a_, m_ = ams[pi]
-        wsm, asmm, compm = _weights_and_asm(b_mid, a_, m_, [4, 5], [6])
+        # The subset-expanded contraction inflates the mid diag bounds by
+        # 2^g; the v8 class split (d=4,5 on the pair's hi word at weights
+        # 2^32/2^40) then overflows u64.  Pick the cheapest split whose
+        # assembled-value bound keeps (vb >> 32) < 2^31: eps-folding a
+        # diagonal replaces its 2^(8d) weight by 2^(8d-28)*eps (exact mod
+        # p), shrinking the bound at ~2 extra pair-ops each.
+        eps_p = a_ * (1 << m_) - 1
+        asmm = compm = None
+        for hi_ds, eps_ds in (([4, 5], [6]), ([4], [5, 6]), ([], [4, 5, 6])):
+            ws_try = [(eps_p << (8 * d - 28)) if d in eps_ds
+                      else (1 << (8 * d)) for d in range(7)]
+            bound = sum(w * 2 * b for w, b in zip(ws_try, b_mid)) + p_
+            hi_ok = all((2 * b_mid[d]) << (8 * (d - hi_ds[0])) < (1 << 32)
+                        for d in hi_ds)
+            if bound < (1 << 63) and hi_ok:
+                wsm, asmm, compm = _weights_and_asm(b_mid, a_, m_,
+                                                    hi_ds, eps_ds)
+                break
+        assert asmm is not None, "no mid assembly split fits u64"
         wsi, asmi, compi = _weights_and_asm(b_inv, a_, m_, [], [])
         mid_asm.append(asmm)
         inv_asm.append(asmi)
@@ -2230,8 +2251,7 @@ def build_blind_rotate_v9(n: int, base_log: int, levels: int, k1: int,
     SHU_NP = (8 * np.maximum(_blk - 3, 0)).astype(np.uint32)[None, None, :]
 
     n_macro = -(-n_groups // ss)
-    amounts_per_block = LANES // (ss * grouping)  # macro steps per a-block
-    two_n_mask = np.int32(2 * n - 1)
+    amounts_per_block = LANES // (ss * nsub)     # macro steps per a-block
     assert (2 * n) & (2 * n - 1) == 0, "2N must be a power of two"
 
     def kernel(arow_ref, acc_lo_in, acc_hi_in, m_ref, cm_ref, L1_ref,
@@ -2264,22 +2284,17 @@ def build_blind_rotate_v9(n: int, base_log: int, levels: int, k1: int,
         acc_lo = None if trunc_acc else acc_lo_s[:]
         acc_hi = acc_hi_s[:]
 
-        # ---- extract the group's g raw degrees, build subset prefixes ---
+        # ---- extract the group's 2^g pattern degrees (pattern 0 is 0) --
         lane2 = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         col0 = jax.lax.rem(sM, np.int32(amounts_per_block)) \
-            * np.int32(ss * grouping) + np.int32(j * grouping)
-        a_i = []                                 # g x (k1, n2, tb, 1) i32
-        for i in range(grouping):
-            masked = jnp.where(lane2 == col0 + np.int32(i), arow_ref[:],
+            * np.int32(ss * nsub) + np.int32(j * nsub)
+        a_t = [None] * nsub                      # pattern degrees
+        for u in range(1, nsub):
+            masked = jnp.where(lane2 == col0 + np.int32(u), arow_ref[:],
                                np.int32(0))
             for sh in (64, 32, 16, 8, 4, 2, 1):
                 masked = masked + pltpu.roll(masked, np.int32(sh), 1)
-            a_i.append(masked[:, 0:1].reshape(k1, n2, tb, 1))
-        a_t = [None] * nsub                      # subset prefix amounts
-        a_t[0] = jnp.zeros_like(a_i[0])
-        for T in range(1, nsub):
-            i_hi = T.bit_length() - 1
-            a_t[T] = (a_t[T & ~(1 << i_hi)] + a_i[i_hi]) & two_n_mask
+            a_t[u] = masked[:, 0:1].reshape(k1, n2, tb, 1)
 
         # ---- per subset: rotate acc + decompose + digit byte planes -----
         i2r = jax.lax.broadcasted_iota(jnp.int32, (k1, n2, tb, 1), 1)
@@ -2429,7 +2444,7 @@ def build_blind_rotate_v9(n: int, base_log: int, levels: int, k1: int,
             acc_lo_s[:] = out_lo
             acc_hi_s[:] = out_hi
 
-    n_amounts = n_groups * grouping
+    n_amounts = n_groups * nsub
     n_steps_pad = -(-n_amounts // LANES) * LANES
 
     def run(acc_lo, acc_hi, a_rows, v32, corr_mid):
@@ -2490,7 +2505,7 @@ def build_blind_rotate_v9(n: int, base_log: int, levels: int, k1: int,
     return run
 
 
-def blind_rotate_pallas_v9(msed_mask, msed_body, lut, v32, corr_mid, plan,
+def blind_rotate_pallas_v9(degrees, msed_body, lut, v32, corr_mid, plan,
                            base_log: int, levels: int, grouping: int,
                            tb: int = 8, interpret: bool = False,
                            ablate: str | None = None,
@@ -2498,15 +2513,15 @@ def blind_rotate_pallas_v9(msed_mask, msed_body, lut, v32, corr_mid, plan,
     """Multi-bit blind rotation through the v9 fused kernel; same semantics
     as ops.mxu.blind_rotate_mxu_multibit (trunc flag matching).  (v32,
     corr_mid) from mxu.middle_v9_from_eval_device with the same ss/g.
-    msed_mask: (B, n_in) RAW switched degrees (not prefix sums)."""
+    degrees: (B, n_g, 2^g) u64 pattern degrees in [0, 2N) from
+    server.multibit_switched_degrees."""
     from .server import monomial_div
 
     b, k1, n = lut.shape
     nsub = 1 << grouping
     cmid = k1 * (n // 128)
-    n_in = msed_mask.shape[1]
-    assert n_in % grouping == 0
-    n_groups = n_in // grouping
+    b_d, n_groups, nsub_d = degrees.shape
+    assert (b_d, nsub_d) == (b, nsub)
     assert v32.shape[0] == -(-n_groups // ss), (v32.shape, n_groups, ss)
     assert v32.shape[-2] == 2 * nsub * levels * cmid
     assert b % tb == 0, (b, tb)
@@ -2522,11 +2537,13 @@ def blind_rotate_pallas_v9(msed_mask, msed_body, lut, v32, corr_mid, plan,
                                 round_bits=plan.round_bits,
                                 trunc_acc=trunc_acc, ss=ss)
     n2 = n // 128
-    n_pad = -(-n_in // 128) * 128
-    mi = msed_mask.astype(jnp.int32)
-    a_rows = jnp.tile(mi.reshape(b // tb, 1, tb, n_in), (1, k1 * n2, 1, 1))
-    a_rows = a_rows.reshape(b * k1 * n2, n_in)
-    a_rows = jnp.pad(a_rows, ((0, 0), (0, n_pad - n_in)))
+    n_amounts = n_groups * nsub
+    n_pad = -(-n_amounts // 128) * 128
+    di = degrees.reshape(b, n_amounts).astype(jnp.int32)
+    a_rows = jnp.tile(di.reshape(b // tb, 1, tb, n_amounts),
+                      (1, k1 * n2, 1, 1))
+    a_rows = a_rows.reshape(b * k1 * n2, n_amounts)
+    a_rows = jnp.pad(a_rows, ((0, 0), (0, n_pad - n_amounts)))
     lo, hi = run(lo0, hi0, a_rows, v32, corr_mid)
     hi = from_v4_layout(hi, b, k1, n, tb)
     if trunc_acc:

@@ -385,14 +385,45 @@ def blind_rotate(msed_mask, msed_body, lut, bsk_mont, plan, base_log: int,
     return acc
 
 
-def blind_rotate_multibit(msed_mask, msed_body, lut, mb_bsk_mont, plan,
+def multibit_switched_degrees(mask, grouping: int, log_mod: int,
+                              bits: int = 64, raw: bool = True):
+    """Per-group pattern degrees d_u for the multi-bit blind rotation.
+
+    mask: (B, n) — RAW u64 mask elements (raw=True, the reference path:
+    d_u = modulus_switch(sum of the u-selected elements), ONE rounding per
+    pattern — modulus_switch_multi_bit,
+    lwe_multi_bit_programmable_bootstrapping.rs:30-51) or already-switched
+    values in [0, 2N) (raw=False, used by the compressed-modulus-switched
+    format which only stores switched values; d_u = sum mod 2N, paying up
+    to g rounding errors — still no worse than the classic per-element
+    MS).  Selection bits are BIG-ENDIAN: the group's first element maps to
+    u's most significant bit.  Returns (B, n/g, 2^g) u64 in [0, 2N).
+    """
+    b, n = mask.shape
+    g = grouping
+    grouped = mask.reshape(b, n // g, g)
+    sums = [jnp.zeros((b, n // g), dtype=U64)]
+    for u in range(1, 1 << g):
+        low = u & (-u)
+        i = g - low.bit_length()          # big-endian bit -> element index
+        rest = u ^ low
+        sums.append(sums[rest] + grouped[:, :, i])
+    stacked = jnp.stack(sums, axis=-1)    # (B, n/g, 2^g)
+    if raw:
+        return modulus_switch(stacked, log_mod, bits)
+    return stacked & np.uint64((1 << log_mod) - 1)
+
+
+def blind_rotate_multibit(degrees, msed_body, lut, mb_bsk_mont, plan,
                           base_log: int, levels: int, grouping_factor: int,
                           bits: int = 64):
     """Multi-bit blind rotation (core/multibit.py math), batched.
 
-    msed_mask: (B, n) u64 in [0, 2N); mb_bsk_mont: (n/g, 2^g, l, k+1, k+1,
-    P, N) u32.  Per group, the effective GGSW is assembled in the NTT domain
-    from subset GGSWs weighted by prod(X^{a_i}-1) and one full external
+    degrees: (B, n/g, 2^g) u64 in [0, 2N) from multibit_switched_degrees;
+    mb_bsk_mont: (n/g, 2^g, l, k+1, k+1, P, N) u32 indicator GGSWs.  Per
+    group, the effective GGSW sum_u X^{d_u} E_u is assembled in the NTT
+    domain from monomial-weighted pattern GGSWs
+    (prepare_multi_bit_ggsw_mem_optimized analog) and one full external
     product advances the accumulator.
     """
     from ..core.multibit import monomial_ntt_tables
@@ -402,7 +433,6 @@ def blind_rotate_multibit(msed_mask, msed_body, lut, mb_bsk_mont, plan,
     tables, br = monomial_ntt_tables(n_poly, plan.num_primes)
     tables_j = jnp.asarray(tables)        # (P, 4N) Montgomery
     br_j = jnp.asarray(br)                # (N,)
-    r_mont = jnp.asarray(plan.rs)         # (P, 1) = 1 in Montgomery form
 
     acc = monomial_div(lut, msed_body[:, None, None])
 
@@ -414,25 +444,14 @@ def blind_rotate_multibit(msed_mask, msed_body, lut, mb_bsk_mont, plan,
         return jnp.transpose(out, (1, 0, 2))
 
     def step(acc, xs):
-        a_group, ggsws = xs  # (g, B), (2^g, l, k1, k1, P, N) u32
+        d_group, ggsws = xs  # (2^g, B), (2^g, l, k1, k1, P, N) u32
         key = ggsws.astype(U64)
-        diffs = [
-            _sub_mod_stacked(w_of(a_group[i]), r_mont, plan)
-            for i in range(g)
-        ]  # each (B, P, N) Montgomery (X^{a_i} - 1)
-        # subset products via DP over bitmasks
-        w = {0: None}
-        for u in range(1, 1 << g):
-            low = u & (-u)
-            rest = u ^ low
-            d = diffs[low.bit_length() - 1]
-            w[u] = d if rest == 0 else ntt.pointwise_mul_mont_stacked(
-                w[rest], d, plan, jnp)
-        # effective GGSW: (B, l, k1, k1, P, N)
+        # effective GGSW: E_0 (degree 0 by construction) + monomial terms
         eff = jnp.broadcast_to(key[0][None], (b,) + key.shape[1:])
         for u in range(1, 1 << g):
+            w_u = w_of(d_group[u])        # (B, P, N) NTT(X^{d_u}), Mont
             term = ntt.pointwise_mul_mont_stacked(
-                w[u][:, None, None, None, :, :], key[u][None], plan, jnp)
+                w_u[:, None, None, None, :, :], key[u][None], plan, jnp)
             eff = ntt.add_mod_stacked(eff, term, plan, jnp)
         # full external product: acc <- EP(eff, acc)
         digits = signed_decompose(acc, base_log, levels, bits)  # (l, B, k1, N)
@@ -447,8 +466,8 @@ def blind_rotate_multibit(msed_mask, msed_body, lut, mb_bsk_mont, plan,
         coeffs = ntt.ntt_inverse_stacked(col, plan, jnp)
         return ntt.garner_to_u64(coeffs, plan, jnp), None
 
-    groups = msed_mask.T.reshape(-1, g, b)  # (n/g, g, B)
-    acc, _ = jax.lax.scan(step, acc, (groups, mb_bsk_mont))
+    dgs = jnp.transpose(degrees, (1, 2, 0))  # (n/g, 2^g, B)
+    acc, _ = jax.lax.scan(step, acc, (dgs, mb_bsk_mont))
     return acc
 
 
@@ -642,7 +661,9 @@ def ks_pbs_batch_multibit(ct, lut, ksk, mb_bsk_mont, plan, ks_base_log: int,
     if ks32:
         ks = keyswitch32(ct, ksk, ks_base_log, ks_levels)
         body = modulus_switch(ks[:, -1], log_mod, 32).astype(U64)
-        msed_mask = modulus_switch(ks[:, :-1], log_mod, 32).astype(U64)
+        degrees = multibit_switched_degrees(
+            ks[:, :-1].astype(U64) << np.uint64(32), grouping_factor,
+            log_mod, bits, raw=True)
     else:
         ks = keyswitch(ct, ksk, ks_base_log, ks_levels, bits)
         if drift_zeros is not None:
@@ -653,8 +674,9 @@ def ks_pbs_batch_multibit(ct, lut, ksk, mb_bsk_mont, plan, ks_base_log: int,
             body = modulus_switch(ks[:, -1] + corr, log_mod, bits)
         else:
             body = modulus_switch(ks[:, -1], log_mod, bits)
-        msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
-    acc = blind_rotate_multibit(msed_mask, body, lut, mb_bsk_mont, plan,
+        degrees = multibit_switched_degrees(ks[:, :-1], grouping_factor,
+                                            log_mod, bits, raw=True)
+    acc = blind_rotate_multibit(degrees, body, lut, mb_bsk_mont, plan,
                                 pbs_base_log, pbs_levels, grouping_factor,
                                 bits)
     return sample_extract(acc)
@@ -665,9 +687,13 @@ def ks_pbs_batch_multibit(ct, lut, ksk, mb_bsk_mont, plan, ks_base_log: int,
 def pbs_from_switched_batch_multibit(msed, lut, mb_bsk_mont, plan,
                                      pbs_base_log: int, pbs_levels: int,
                                      grouping_factor: int, bits: int = 64):
-    """Multi-bit decompression path (modulus-switched input)."""
+    """Multi-bit decompression path (modulus-switched input: degrees are
+    sums of stored switched values, multibit_switched_degrees raw=False)."""
+    n_poly = lut.shape[-1]
     msed_mask, body = msed[:, :-1], msed[:, -1]
-    acc = blind_rotate_multibit(msed_mask, body, lut, mb_bsk_mont, plan,
+    degrees = multibit_switched_degrees(msed_mask, grouping_factor,
+                                        n_poly.bit_length(), bits, raw=False)
+    acc = blind_rotate_multibit(degrees, body, lut, mb_bsk_mont, plan,
                                 pbs_base_log, pbs_levels, grouping_factor,
                                 bits)
     return sample_extract(acc)
@@ -862,8 +888,11 @@ def pbs_many_from_switched_multibit(msed, lut, mb_bsk_mont, plan,
                                     extract_offsets: tuple, bits: int = 64):
     """Many-LUT tail for the multi-bit AP: one multi-bit blind rotation,
     one sample extraction per packed function."""
+    n_poly = lut.shape[-1]
     msed_mask, body = msed[:, :-1], msed[:, -1]
-    acc = blind_rotate_multibit(msed_mask, body, lut, mb_bsk_mont, plan,
+    degrees = multibit_switched_degrees(msed_mask, grouping_factor,
+                                        n_poly.bit_length(), bits, raw=False)
+    acc = blind_rotate_multibit(degrees, body, lut, mb_bsk_mont, plan,
                                 pbs_base_log, pbs_levels, grouping_factor,
                                 bits)
     outs = []
@@ -897,7 +926,7 @@ def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
     mxu.make_mxu_plan(N).
     """
     from .pallas_mxu import (blind_rotate_pallas_v3, blind_rotate_pallas_v4,
-                             blind_rotate_pallas_v5)
+                             blind_rotate_pallas_v5, blind_rotate_pallas_v8)
 
     n_poly = lut.shape[-1]
     log_mod = n_poly.bit_length()
@@ -916,7 +945,14 @@ def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
         else:
             body = modulus_switch(ks[:, -1], log_mod, bits)
         msed_mask = modulus_switch(ks[:, :-1], log_mod, bits)
-    if kernel in ("v5", "v6", "v7"):
+    if kernel == "v8":
+        k1 = lut.shape[1]
+        ss = m_limbs.shape[-1] // (k1 * (n_poly // 128))
+        acc = blind_rotate_pallas_v8(msed_mask, body, lut, m_limbs, corr_mid,
+                                     mplan, pbs_base_log, pbs_levels, tb=tb,
+                                     interpret=interpret, trunc_acc=True,
+                                     ss=ss)
+    elif kernel in ("v5", "v6", "v7"):
         acc = blind_rotate_pallas_v5(msed_mask, body, lut, m_limbs, corr_mid,
                                      mplan, pbs_base_log, pbs_levels, tb=tb,
                                      interpret=interpret,
@@ -927,6 +963,42 @@ def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
         acc = br(msed_mask, body, lut, m_limbs, mplan,
                  pbs_base_log, pbs_levels, tb=tb, fold_mode=fold_mode,
                  interpret=interpret)
+    return sample_extract(acc)
+
+
+def ks_pbs_batch_mxu_multibit(ct, lut, ksk, v32, corr_mid, mplan,
+                              ks_base_log: int, ks_levels: int,
+                              pbs_base_log: int, pbs_levels: int,
+                              grouping: int, bits: int = 64,
+                              centered_ms: bool = False, tb: int = 64,
+                              ks32: bool = False, interpret: bool = False,
+                              ss: int = 2):
+    """Multi-bit atomic pattern over the fused v9 MXU kernel: keyswitch
+    matmul, modulus switch, Mobius-subset fused blind rotate, sample
+    extract.  (v32, corr_mid) from mxu.middle_v9_from_eval_device with the
+    same ss."""
+    from .pallas_mxu import blind_rotate_pallas_v9
+
+    n_poly = lut.shape[-1]
+    log_mod = n_poly.bit_length()
+    if ks32:
+        ks = keyswitch32(ct, ksk, ks_base_log, ks_levels)
+        body = modulus_switch(ks[:, -1], log_mod, 32).astype(U64)
+        degrees = multibit_switched_degrees(
+            ks[:, :-1].astype(U64) << np.uint64(32), grouping, log_mod,
+            bits, raw=True)
+    else:
+        ks = keyswitch(ct, ksk, ks_base_log, ks_levels, bits)
+        if centered_ms:
+            corr = centered_binary_ms_correction(ks, log_mod, bits)
+            body = modulus_switch(ks[:, -1] + corr, log_mod, bits)
+        else:
+            body = modulus_switch(ks[:, -1], log_mod, bits)
+        degrees = multibit_switched_degrees(ks[:, :-1], grouping, log_mod,
+                                            bits, raw=True)
+    acc = blind_rotate_pallas_v9(degrees, body, lut, v32, corr_mid, mplan,
+                                 pbs_base_log, pbs_levels, grouping, tb=tb,
+                                 interpret=interpret, trunc_acc=True, ss=ss)
     return sample_extract(acc)
 
 

@@ -12,6 +12,7 @@ from .params import (
     TEST_PARAM_MESSAGE_2_CARRY_2,
     TEST_PARAM_MESSAGE_2_CARRY_2_KS32,
     TEST_PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2,
+    TPU_PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
     V1_4_PARAM_GPU_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
     V1_4_PARAM_GPU_MULTI_BIT_GROUP_3_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
     V1_4_PARAM_GPU_MULTI_BIT_GROUP_4_MESSAGE_1_CARRY_1_KS_PBS_TUNIFORM_2M128,

@@ -319,6 +319,35 @@ V1_4_PARAM_GPU_MULTI_BIT_GROUP_4_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = \
         grouping_factor=4,
     )
 
+# TPU-tuned multi-bit set for the fused v9 MXU kernel (not a reference
+# set): grouping 2 at N=2048 so the group update rides the middle-collapse
+# kernel family (the reference's GROUP_2 set uses N=4096, chosen for its
+# GPU backend).  n/noise match the classic 2_2 TUniform sets (estimator-
+# gated in tests/test_security_params.py); pbs_base_log 22 keeps the fused
+# kernel's grouped CRT bound (2 * 2^g * l*(k+1)*N * B/2 * 2^(63-rb)) inside
+# the 3-prime product at rb=16.  log2_p_fail computed with
+# core/noise.multibit_pbs_output_variance (worst-case noise level 5 +
+# KS + centered MS; the same model reproduces the reference's published
+# -134.345 for the GROUP_4 set and -129.58 for the classic 2_2 set) and
+# validated by the measured noise chain in tests/test_noise_multibit.py.
+TPU_PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = \
+    MultiBitPBSParameters(
+        lwe_dimension=918,
+        glwe_dimension=1,
+        polynomial_size=2048,
+        lwe_noise=TUniform(45),
+        glwe_noise=TUniform(17),
+        pbs_base_log=22,
+        pbs_level=1,
+        ks_base_log=3,
+        ks_level=5,
+        message_modulus=4,
+        carry_modulus=4,
+        max_noise_level=5,
+        log2_p_fail=-137.46,
+        grouping_factor=2,
+    )
+
 V1_4_PARAM_GPU_MULTI_BIT_GROUP_4_MESSAGE_1_CARRY_1_KS_PBS_TUNIFORM_2M128 = \
     MultiBitPBSParameters(
         lwe_dimension=760,

@@ -166,6 +166,43 @@ def _mxu_round_bits() -> int:
                               "15" if nprimes == 3 else "0"))
 
 
+def _mxu_family_mb(p) -> bool:
+    """Multi-bit families the fused v9 MXU kernel covers (static; see
+    _mxu_family)."""
+    from .params import EncryptionKeyChoice as _EKC
+
+    g = getattr(p, "grouping_factor", None)
+    return (g in (2, 3, 4) and p.polynomial_size == 2048
+            and p.glwe_dimension == 1 and p.pbs_level == 1
+            and p.pbs_base_log <= 23
+            and p.lwe_dimension % g == 0 and 128 % (2 * (1 << g)) == 0
+            and getattr(p, "encryption_key_choice", _EKC.BIG) == _EKC.BIG
+            and not getattr(p, "ks32", False))
+
+
+def _mxu_mb_round_bits(p) -> int:
+    """Resolved BSK rounding for the fused multi-bit kernel: the minimal rb
+    whose grouped CRT bound fits the 3-prime product (env-overridable)."""
+    import math
+    import os
+
+    from ..ops import mxu as _mxu
+
+    if os.environ.get("TFHE_TPU_MXU_MB_ROUND_BITS"):
+        return int(os.environ["TFHE_TPU_MXU_MB_ROUND_BITS"])
+    if int(os.environ.get("TFHE_TPU_MXU_PRIMES", "3")) != 3:
+        return 0
+    prod = math.prod(_mxu.MXU_PRIMES[:3])
+    g = p.grouping_factor
+    for rb in range(10, 25):
+        bmax = ((1 << 63) >> rb) + 1
+        max_x = (1 << g) * p.pbs_level * (p.glwe_dimension + 1) \
+            * p.polynomial_size * (1 << (p.pbs_base_log - 1)) * bmax
+        if prod > 2 * max_x:
+            return rb
+    return 0
+
+
 class ServerKey:
     def __init__(self, client_key: ClientKey, seed: int | None = None):
         p = client_key.params
@@ -186,11 +223,42 @@ class ServerKey:
             mb_bsk = mb.generate_multibit_bootstrap_key(
                 client_key.lwe_secret_key, client_key.glwe_secret_key,
                 core.pbs_decomp, p.grouping_factor, p.glwe_noise, gen, p.bits)
+            self._mb_floored = 0
+            if _mxu_family_mb(p) and _mxu_mb_round_bits(p) > 0:
+                # same keygen-side mask flooring + estimator guard as the
+                # classic arm (each subset GGSW is a GLWE ciphertext under
+                # the same key; flooring commutes with the Mobius transform
+                # the fused kernel applies — ops/mxu.mobius_multibit_bsk)
+                from ..core import security as _sec
+                from ..core.entities import LweBootstrapKey
+                from ..ops import mxu as _mxu
+
+                rb = _mxu_mb_round_bits(p)
+                kn = p.glwe_dimension * p.polynomial_size
+                ok_f, detail = _sec.check_lwe_noise_secure(
+                    p.glwe_noise, kn, p.bits, modulus_log2_shrink=rb)
+                ok_p, _ = _sec.check_lwe_noise_secure(p.glwe_noise, kn,
+                                                      p.bits)
+                if ok_f or not ok_p:
+                    shape = mb_bsk.shape
+                    flat = LweBootstrapKey(
+                        mb_bsk.reshape((-1,) + shape[2:]), core.pbs_decomp,
+                        p.bits)
+                    floored = _mxu.mask_floor_bsk(
+                        flat, client_key.glwe_secret_key, rb)
+                    mb_bsk = floored.data.reshape(shape)
+                    self._mb_floored = rb
+                else:
+                    raise ValueError(
+                        f"multi-bit BSK mask flooring at rb={rb} would "
+                        f"degrade a secure set below the estimator curve: "
+                        f"{detail}; use 4 primes")
             mb_mont, plan = mb.multibit_bsk_to_ntt(mb_bsk)
             self.params = p
             self.ksk = jnp.asarray(np.asarray(ksk.data))
             self.bsk_mont = None
             self.mb_bsk_mont = jnp.asarray(mb_mont)
+            self._mb_bsk_coeff = mb_bsk     # for the fused v9 key build
             self.plan = plan
             self.max_degree = p.total_modulus - 1
             self.max_noise_level = p.max_noise_level
@@ -308,6 +376,49 @@ class ServerKey:
             and p.glwe_dimension == 1
             and p.pbs_level == 1
         )
+
+    @property
+    def use_mxu_multibit(self) -> bool:
+        """Fused v9 multi-bit kernel (Mobius subset keys) — the multi-bit
+        production path on real TPU."""
+        import os
+
+        return (
+            getattr(self, "mb_bsk_mont", None) is not None
+            and getattr(self, "_mb_bsk_coeff", None) is not None
+            and jax.default_backend() not in ("cpu",)
+            and os.environ.get("TFHE_TPU_DISABLE_PALLAS") != "1"
+            and os.environ.get("TFHE_TPU_DISABLE_MXU") != "1"
+            and _mxu_family_mb(self.params)
+            and getattr(self, "_mb_floored", 0) >= _mxu_mb_round_bits(
+                self.params)
+        )
+
+    def _ensure_mxu_mb(self):
+        """Lazy build of the fused multi-bit middle tensors (v32, corr) on
+        device.  Env knobs: TFHE_TPU_MXU_SS (2), TFHE_TPU_MXU_MB_ROUND_BITS,
+        TFHE_TPU_MXU_TB."""
+        if getattr(self, "_mxu_mb_m", None) is None:
+            import os
+
+            from ..ops import mxu
+
+            p = self.params
+            rb = _mxu_mb_round_bits(p)
+            nprimes = int(os.environ.get("TFHE_TPU_MXU_PRIMES", "3"))
+            mplan = mxu.make_mxu_plan(p.polynomial_size, num_primes=nprimes,
+                                      round_bits=rb)
+            ss = int(os.environ.get("TFHE_TPU_MXU_SS", "2"))
+            bhat = mxu.multibit_eval_domain(
+                self._mb_bsk_coeff, p.core.pbs_decomp, mplan,
+                p.grouping_factor)
+            v32, corr = mxu.middle_v9_from_eval_device(
+                jax.device_put(bhat), mplan, p.pbs_base_log,
+                p.grouping_factor, ss=ss)
+            self._mxu_mb_m = v32
+            self._mxu_mb_corr = corr
+            self._mxu_mb_plan = mplan
+        return self._mxu_mb_m, self._mxu_mb_corr, self._mxu_mb_plan
 
     def _ensure_poly_shard(self, mesh, axis_name: str = "poly"):
         """Lazy poly-sharded eval-domain BSK for the latency mesh path
@@ -466,6 +577,20 @@ class ServerKey:
                 p.pbs_base_log, p.pbs_level, p.bits,
                 p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN,
                 self.use_pallas,
+            )
+        elif self.use_mxu_multibit:
+            import os
+
+            v32, corr, mplan = self._ensure_mxu_mb()
+            tb = min(int(os.environ.get("TFHE_TPU_MXU_TB", "128")),
+                     batch.shape[0])
+            ss = int(os.environ.get("TFHE_TPU_MXU_SS", "2"))
+            out = srv.ks_pbs_batch_mxu_multibit(
+                jnp.asarray(batch), jnp.asarray(lut_b), self.ksk, v32, corr,
+                mplan, p.ks_base_log, p.ks_level, p.pbs_base_log,
+                p.pbs_level, p.grouping_factor, p.bits,
+                p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN, tb,
+                getattr(p, "ks32", False), ss=ss,
             )
         elif getattr(self, "mb_bsk_mont", None) is not None:
             out = srv.ks_pbs_batch_multibit(
