@@ -895,6 +895,197 @@ static void miller_loop(Fp12 &f, const G2Aff &q, const Fp &xp, const Fp &yp) {
     }
 }
 
+// --------------------------------------------------------------------------
+// Jacobian Miller loop (no per-step field inversions) + shared-squaring
+// multi-pairing.  The affine loop above costs one Fp2 inversion (an Fp
+// exponentiation, ~450 muls) per step — ~80% of the pairing; the Jacobian
+// step is ~12 Fp2 muls.  Line values are scaled by Fp2 factors, which the
+// final exponentiation kills (x^(p^6-1) = 1 for x in Fp2).  Exceptional
+// cases (vertical line mid-loop, possible only for adversarial inputs)
+// set a degenerate flag and the caller falls back to the affine loop.
+// --------------------------------------------------------------------------
+
+static inline void fp2_mul_fp(Fp2 &r, const Fp2 &a, const Fp &s) {
+    fp_mul(r.c0, a.c0, s);
+    fp_mul(r.c1, a.c1, s);
+}
+
+// x * (a, b, 0): 6 fp2 muls
+static void fp6_mul_sp01(Fp6 &r, const Fp6 &x, const Fp2 &a, const Fp2 &b) {
+    Fp2 t0, t1, t2, u;
+    fp2_mul(t0, x.c0, a);
+    fp2_mul(t1, x.c2, b);
+    fp2_mul_xi(u, t1);
+    fp2_add(r.c0, t0, u);        // x0 a + xi x2 b
+    fp2_mul(t0, x.c0, b);
+    fp2_mul(t1, x.c1, a);
+    fp2_add(r.c1, t0, t1);       // x0 b + x1 a
+    fp2_mul(t0, x.c1, b);
+    fp2_mul(t2, x.c2, a);
+    fp2_add(r.c2, t0, t2);       // x1 b + x2 a
+}
+
+// x * (0, c, 0): 3 fp2 muls
+static void fp6_mul_sp1(Fp6 &r, const Fp6 &x, const Fp2 &c) {
+    Fp2 t;
+    fp2_mul(t, x.c2, c);
+    Fp2 r1, r2;
+    fp2_mul(r1, x.c0, c);
+    fp2_mul(r2, x.c1, c);
+    fp2_mul_xi(r.c0, t);
+    r.c1 = r1;
+    r.c2 = r2;
+}
+
+// f *= line(a + b w^2 + c w^3): Karatsuba with the sparse operand
+// L = (L0=(a,b,0), L1=(0,c,0)) — 15 fp2 muls vs 18 for a full fp12_mul
+static void fp12_mul_line(Fp12 &f, const Fp2 &a, const Fp2 &b, const Fp2 &c) {
+    Fp6 t0, t1, s, f01, u;
+    fp6_mul_sp01(t0, f.c0, a, b);
+    fp6_mul_sp1(t1, f.c1, c);
+    fp6_add(f01, f.c0, f.c1);
+    Fp2 bc;
+    fp2_add(bc, b, c);
+    fp6_mul_sp01(s, f01, a, bc);
+    fp6_sub(s, s, t0);
+    fp6_sub(s, s, t1);
+    fp6_mul_v(u, t1);
+    fp6_add(f.c0, t0, u);
+    f.c1 = s;
+}
+
+struct G2Jac {
+    Fp2 X, Y, Z;
+};
+
+// T <- 2T; line coefficients scaled by Z_old^6 relative to the affine line
+static void jac_dbl_step(G2Jac &T, Fp2 &la, Fp2 &lb, Fp2 &lc,
+                         const Fp &xp, const Fp &yp) {
+    Fp2 A, B, C, D, E, F, t, z2;
+    fp2_sqr(A, T.X);                     // X^2
+    fp2_sqr(B, T.Y);                     // Y^2
+    fp2_sqr(C, B);                       // Y^4
+    fp2_add(t, T.X, B);
+    fp2_sqr(t, t);
+    fp2_sub(t, t, A);
+    fp2_sub(t, t, C);
+    fp2_add(D, t, t);                    // 4 X Y^2
+    fp2_add(E, A, A);
+    fp2_add(E, E, A);                    // 3 X^2
+    fp2_sqr(F, E);
+    fp2_sqr(z2, T.Z);                    // Z_old^2
+    // line: a = E*X - 2B ; b = -(E * Z^2) * xp ; c = (Z3 * Z^2) * yp
+    Fp2 EX, twoB, EZ2;
+    fp2_mul(EX, E, T.X);
+    fp2_add(twoB, B, B);
+    fp2_sub(la, EX, twoB);
+    fp2_mul(EZ2, E, z2);
+    fp2_mul_fp(lb, EZ2, xp);
+    fp2_neg(lb, lb);
+    Fp2 X3, Y3, Z3, eightC;
+    fp2_sub(X3, F, D);
+    fp2_sub(X3, X3, D);                  // F - 2D
+    fp2_mul(Z3, T.Y, T.Z);
+    fp2_add(Z3, Z3, Z3);                 // 2 Y Z
+    fp2_sub(t, D, X3);
+    fp2_mul(Y3, E, t);
+    fp2_add(eightC, C, C);
+    fp2_add(eightC, eightC, eightC);
+    fp2_add(eightC, eightC, eightC);
+    fp2_sub(Y3, Y3, eightC);             // E(D - X3) - 8C
+    Fp2 Z3z2;
+    fp2_mul(Z3z2, Z3, z2);
+    fp2_mul_fp(lc, Z3z2, yp);
+    T.X = X3;
+    T.Y = Y3;
+    T.Z = Z3;
+}
+
+// T <- T + Q (Q affine); line scaled by (Z_old * lambda) vs affine.
+// Returns false on an exceptional case (T == +-Q): caller must fall back.
+static bool jac_add_step(G2Jac &T, const G2Aff &q, Fp2 &la, Fp2 &lb, Fp2 &lc,
+                         const Fp &xp, const Fp &yp) {
+    Fp2 z2, z3, theta, lam, t;
+    fp2_sqr(z2, T.Z);
+    fp2_mul(z3, z2, T.Z);
+    fp2_mul(t, q.y, z3);
+    fp2_sub(theta, t, T.Y);              // yq Z^3 - Y
+    fp2_mul(t, q.x, z2);
+    fp2_sub(lam, t, T.X);                // xq Z^2 - X
+    if (fp2_is_zero(lam)) return false;  // vertical or doubling: exceptional
+    // line: a = theta*xq - (Z*lam)*yq ; b = -theta*xp ; c = (Z*lam)*yp
+    Fp2 zl, u;
+    fp2_mul(zl, T.Z, lam);
+    fp2_mul(t, theta, q.x);
+    fp2_mul(u, zl, q.y);
+    fp2_sub(la, t, u);
+    fp2_mul_fp(lb, theta, xp);
+    fp2_neg(lb, lb);
+    fp2_mul_fp(lc, zl, yp);
+    Fp2 l2, l3, Xl2, X3, Y3;
+    fp2_sqr(l2, lam);
+    fp2_mul(l3, l2, lam);
+    fp2_mul(Xl2, T.X, l2);
+    fp2_sqr(t, theta);
+    fp2_sub(t, t, l3);
+    fp2_sub(t, t, Xl2);
+    fp2_sub(X3, t, Xl2);                 // theta^2 - lam^3 - 2 X lam^2
+    fp2_sub(t, Xl2, X3);
+    fp2_mul(Y3, theta, t);
+    fp2_mul(t, T.Y, l3);
+    fp2_sub(Y3, Y3, t);                  // theta(X lam^2 - X3) - Y lam^3
+    T.X = X3;
+    T.Y = Y3;
+    T.Z = zl;
+    return true;
+}
+
+// shared-squaring product of n Miller loops; false -> exceptional case,
+// caller must use the affine path
+static bool multi_miller_jac(Fp12 &f, const std::vector<G2Aff> &qs,
+                             const std::vector<Fp> &xps,
+                             const std::vector<Fp> &yps) {
+    size_t n = qs.size();
+    fp12_one(f);
+    std::vector<G2Jac> T(n);
+    for (size_t i = 0; i < n; i++) {
+        T[i].X = qs[i].x;
+        T[i].Y = qs[i].y;
+        memset(&T[i].Z, 0, sizeof(Fp2));
+        T[i].Z.c0 = ONE_M;
+    }
+    Fp2 la, lb, lc;
+    bool lead = true;
+    for (size_t i = 0; i < X_ABS_BE.size(); i++) {
+        for (int b = 7; b >= 0; b--) {
+            int bit = (X_ABS_BE[i] >> b) & 1;
+            if (lead) {
+                if (bit) lead = false;
+                continue;
+            }
+            fp12_sqr(f, f);
+            for (size_t j = 0; j < n; j++) {
+                jac_dbl_step(T[j], la, lb, lc, xps[j], yps[j]);
+                fp12_mul_line(f, la, lb, lc);
+            }
+            if (bit) {
+                for (size_t j = 0; j < n; j++) {
+                    if (!jac_add_step(T[j], qs[j], la, lb, lc,
+                                      xps[j], yps[j]))
+                        return false;
+                    fp12_mul_line(f, la, lb, lc);
+                }
+            }
+        }
+    }
+    if (X_NEG) {
+        Fp12 c;
+        fp12_conj(c, f);
+        f = c;
+    }
+    return true;
+}
+
 static void final_exponentiation(Fp12 &r, const Fp12 &f) {
     Fp12 fc, fi, f1, f2a, f2;
     fp12_conj(fc, f);
@@ -996,7 +1187,10 @@ void bls446_pairing(const uint8_t *p112, const uint8_t *q224, uint8_t *out672) {
         f_from_bytes<Fp2>(q.x, q224);
         f_from_bytes<Fp2>(q.y, q224 + 112);
         Fp12 m;
-        miller_loop(m, q, xp, yp);
+        std::vector<G2Aff> qs(1, q);
+        std::vector<Fp> xps(1, xp), yps(1, yp);
+        if (!multi_miller_jac(m, qs, xps, yps))
+            miller_loop(m, q, xp, yp);   // exceptional input: affine path
         final_exponentiation(f, m);
     }
     const Fp2 *cs[6] = {&f.c0.c0, &f.c0.c1, &f.c0.c2,
@@ -1010,8 +1204,9 @@ void bls446_pairing(const uint8_t *p112, const uint8_t *q224, uint8_t *out672) {
 // verifier (reference: pairing_check_two_steps, pke_v2/mod.rs:2545).
 void bls446_pairing_product(const uint8_t *ps, const uint8_t *qs, u64 n,
                             uint8_t *out672) {
-    Fp12 acc;
-    fp12_one(acc);
+    std::vector<G2Aff> qv;
+    std::vector<Fp> xv, yv;
+    qv.reserve(n); xv.reserve(n); yv.reserve(n);
     for (u64 i = 0; i < n; i++) {
         const uint8_t *p112 = ps + i * 112;
         const uint8_t *q224 = qs + i * 224;
@@ -1025,9 +1220,19 @@ void bls446_pairing_product(const uint8_t *ps, const uint8_t *qs, u64 n,
         G2Aff q;
         f_from_bytes<Fp2>(q.x, q224);
         f_from_bytes<Fp2>(q.y, q224 + 112);
-        Fp12 m;
-        miller_loop(m, q, xp, yp);
-        fp12_mul(acc, acc, m);
+        qv.push_back(q);
+        xv.push_back(xp);
+        yv.push_back(yp);
+    }
+    Fp12 acc;
+    if (!multi_miller_jac(acc, qv, xv, yv)) {
+        // exceptional input: per-pair affine loops (slow, always correct)
+        fp12_one(acc);
+        for (size_t i = 0; i < qv.size(); i++) {
+            Fp12 m;
+            miller_loop(m, qv[i], xv[i], yv[i]);
+            fp12_mul(acc, acc, m);
+        }
     }
     Fp12 f;
     final_exponentiation(f, acc);

@@ -275,12 +275,60 @@ def compute_r2(e2, c2, m, b, r, d, delta, decoded_q):
             for i in range(k)]
 
 
+def _kron_conv_window(kern, vals, start, count, stride_bits):
+    """Coefficients [start, start+count) of conv(kern, vals) via ONE GMP
+    Kronecker-substitution bigint product per sign half.  kern: signed
+    ints; vals: non-negative ints; every conv coefficient of each half
+    must be < 2^stride_bits (no digit carry)."""
+    from . import gmp_bigint as _g
+
+    assert stride_bits % 8 == 0
+    sb = stride_bits // 8
+    vbytes = b"".join(int(v).to_bytes(sb, "little") for v in vals)
+    zero = bytes(sb)
+    halves = []
+    for pos in (True, False):
+        kb = b"".join(
+            int(v if pos else -v).to_bytes(sb, "little")
+            if (v > 0) == pos and v != 0 else zero
+            for v in kern)
+        # mul_bytes exports the FULL product; size the buffer accordingly
+        prod = _g.mul_bytes(kb, vbytes, sb * (len(kern) + len(vals)))
+        halves.append([int.from_bytes(
+            prod[(start + i) * sb:(start + i + 1) * sb], "little")
+            for i in range(count)])
+    return [p - q for p, q in zip(halves[0], halves[1])]
+
+
 def a_theta_head(theta1, theta2, a, b, d, k):
     """The rot(a).T/rot(b).T head block shared by pke v1 and pke_v2:
     head[i] = (sum_{j>=i} a[j-i] th1[j] - sum_{j<i} a[d+j-i] th1[j]
                + sum_j ±b[...] th2[j]) mod R, vectorized as exact int64
     correlations (theta split into 14 u32 limbs, kernels into 5 balanced
-    16-bit pieces; |conv sums| < 2d * 2^15 * 2^32 < 2^60)."""
+    16-bit pieces; |conv sums| < 2d * 2^15 * 2^32 < 2^60).  With GMP
+    available the two convolutions run as Kronecker-substitution bigint
+    products instead (~10x; the verifier's critical path)."""
+    from . import gmp_bigint as _g
+
+    if _g.available():
+        return _a_theta_head_gmp(theta1, theta2, a, b, d, k)
+    return _a_theta_head_np(theta1, theta2, a, b, d, k)
+
+
+def _a_theta_head_gmp(theta1, theta2, a, b, d, k):
+    """Kronecker path: conv coefficients are |.| < 2d * 2^63 * R < 2^523;
+    stride 528 bits.  Signed kernels split into positive halves (two GMP
+    products per convolution)."""
+    kern = [-a[d + t] for t in range(-(d - 1), 0)] + list(a)
+    bs = [b[d - 1 - w] for w in range(d)] + \
+         [-b[2 * d - 1 - w] for w in range(d, d + k - 1)]
+    stride = 528                     # > log2(2d * 2^63 * R) ~ 521
+    g1 = _kron_conv_window(kern[::-1], theta1, d - 1, d, stride)
+    g2r = _kron_conv_window(bs[::-1], theta2, k - 1, d, stride)
+    return [(g1[i] + g2r[d - 1 - i]) % R for i in range(d)]
+
+
+def _a_theta_head_np(theta1, theta2, a, b, d, k):
     import numpy as _np
 
     NL = 14

@@ -268,8 +268,10 @@ def _phi_dot_R(phi: list, r_mat: list, j: int) -> int:
     """sum_i phi[i] * R(i, j) with R(i,j) = r_mat[i + 128*j] in {-1,0,1}."""
     acc = 0
     base = 128 * j
-    for i in range(128):
-        rij = r_mat[base + i]
+    row = r_mat[base:base + 128]
+    if hasattr(row, "tolist"):
+        row = row.tolist()
+    for i, rij in enumerate(row):
         if rij == 1:
             acc += phi[i]
         elif rij == -1:
@@ -402,18 +404,14 @@ def prove(pp: PublicParams, pc: PublicCommit, priv: PrivateCommit,
                             _g1_bytes(c_r_tilde))
 
     witness = e_all + r_all  # R sketch input, length 2(d+k)+4
-    w_R = []
-    for i in range(128):
-        acc = 0
-        for j, x in enumerate(witness):
-            rij = r_mat[i + 128 * j]
-            if rij == 1:
-                acc += x
-            elif rij == -1:
-                acc -= x
-        if _sanity_check:
-            assert acc * acc <= b_bound_sq, "sketch sum escaped the bound"
-        w_R.append(acc)
+    import numpy as _np
+
+    wv = _np.asarray(witness, dtype=_np.int64)
+    r2 = _np.asarray(r_mat, dtype=_np.int64).reshape(len(witness), 128)
+    w_R = [int(v) for v in wv @ r2]
+    if _sanity_check:
+        assert all(v * v <= b_bound_sq for v in w_R), \
+            "sketch sum escaped the bound"
 
     c_R = cv.g1_add(cv.g1_mul(cv.G1_GEN, gamma_R),
                     cv.msm_g1(g_list[:128], [x % R for x in w_R]))
@@ -426,10 +424,12 @@ def prove(pp: PublicParams, pc: PublicCommit, priv: PrivateCommit,
         w_bin.extend(_bit_iter(x, m))
     assert len(w_bin) == big_d + 128 * m
 
+    # sum of the w_bin-selected G2 basis points as ONE MSM (affine adds
+    # cost an Fp2 inversion each — ~1.5 s of Python at prod size)
+    sel = [g_hat_list[j] for j, wb in enumerate(w_bin) if wb]
     c_hat_bin = cv.g2_mul(cv.G2_GEN, gamma_bin)
-    for j, wb in enumerate(w_bin):
-        if wb:
-            c_hat_bin = cv.g2_add(c_hat_bin, g_hat_list[j])
+    if sel:
+        c_hat_bin = cv.g2_add(c_hat_bin, cv.msm_g2(sel, [1] * len(sel)))
     tr.absorb(_g2_bytes(c_hat_bin))
     xi = tr.zp(b"PKEv2/xi", 128)
     y = tr.zp(b"PKEv2/y", big_d + 128 * m)
