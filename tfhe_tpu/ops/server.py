@@ -1010,14 +1010,22 @@ def pbs_from_switched_batch_mxu(msed, lut, v32, corr_mid, mplan,
     """Blind rotate + extract from already modulus-switched values through
     the MXU kernel stack (the fast decompression path: the decompression
     BSK is 2_2-shaped, so CompressedModulusSwitchedCiphertext /
-    list-decompression reads ride the same v6/v7 kernels as the compute
+    list-decompression reads ride the same kernels as the compute
     key)."""
-    from .pallas_mxu import blind_rotate_pallas_v5
+    from .pallas_mxu import blind_rotate_pallas_v5, blind_rotate_pallas_v8
 
     msed_mask, body = msed[:, :-1], msed[:, -1]
-    acc = blind_rotate_pallas_v5(msed_mask, body, lut, v32, corr_mid, mplan,
-                                 pbs_base_log, pbs_levels, tb=tb,
-                                 interpret=interpret,
-                                 jfold=(kernel in ("v6", "v7")),
-                                 trunc_acc=(kernel == "v7"))
+    if kernel == "v8":
+        k1 = lut.shape[1]
+        ss = v32.shape[-1] // (k1 * (lut.shape[-1] // 128))
+        acc = blind_rotate_pallas_v8(msed_mask, body, lut, v32, corr_mid,
+                                     mplan, pbs_base_log, pbs_levels, tb=tb,
+                                     interpret=interpret, trunc_acc=True,
+                                     ss=ss)
+    else:
+        acc = blind_rotate_pallas_v5(msed_mask, body, lut, v32, corr_mid,
+                                     mplan, pbs_base_log, pbs_levels, tb=tb,
+                                     interpret=interpret,
+                                     jfold=(kernel in ("v6", "v7")),
+                                     trunc_acc=(kernel == "v7"))
     return sample_extract(acc)

@@ -107,31 +107,45 @@ class DecompressionKey:
     """BSK from the storage key (as LWE) to the compute GLWE key."""
 
     def __init__(self, bsk_mont, plan, br_base_log: int, br_level: int,
-                 bsk_coeff=None):
+                 bsk_coeff=None, bsk_floored: int = 0):
         self.bsk_mont = bsk_mont
         self.plan = plan
         self.br_base_log = br_base_log
         self.br_level = br_level
         # coefficient BSK kept for the lazy MXU-stack build (fast path)
         self._bsk_coeff = bsk_coeff
+        self._bsk_floored = bsk_floored
         self._mxu = None
 
     def ensure_mxu(self):
-        """Lazy v32/corr middle tensors for the decompression blind rotate
-        (~3.2 GB at the v1_4 compression family's 1024 steps).  The
-        decompression BSK is 2_2-shaped, so it rides the same v6/v7 kernel
-        as the compute key; the key is NOT mask-floored here, so the exact
-        4-prime plan is used (no rounding noise)."""
+        """Lazy v32/corr middle tensors for the decompression blind rotate,
+        in the v8 macro-step layout whose lane minor (ss*C = 128) the
+        (8,128) HBM tiling pads by NOTHING — the round-3 v5-layout build
+        (C=32 minor) padded 4x and OOM'd a 16 GB chip at the 4-prime plan
+        (the reference pre-checks allocations the same way,
+        core_crypto/gpu/mod.rs:234 check_valid_cuda_malloc).  Mask-floored
+        keys (CompressionKey keygen) ride the 3-prime rounded plan like the
+        compute ServerKey: ~2.7 GB resident and ~25% fewer matmuls."""
         if self._mxu is None:
+            import os
+
             import jax
 
             from ..ops import mxu as _mxu
+            from .server_key import _mxu_round_bits
 
             n_poly = self._bsk_coeff.data.shape[-1]
-            mplan = _mxu.make_mxu_plan(n_poly, num_primes=4, round_bits=0)
+            rb = _mxu_round_bits()
+            if rb and self._bsk_floored >= rb:
+                mplan = _mxu.make_mxu_plan(n_poly, num_primes=3,
+                                           round_bits=rb)
+            else:
+                mplan = _mxu.make_mxu_plan(n_poly, num_primes=4,
+                                           round_bits=0)
             bhat, _ = _mxu.bsk_eval_domain(self._bsk_coeff, mplan)
-            v32, corr = _mxu.middle_v5_from_eval_device(
-                jax.device_put(bhat), mplan)
+            ss = int(os.environ.get("TFHE_TPU_MXU_SS", "4"))
+            v32, corr = _mxu.middle_v8_from_eval_device(
+                jax.device_put(bhat), mplan, self.br_base_log, ss=ss)
             self._mxu = (v32, corr, mplan)
         return self._mxu
 
@@ -183,10 +197,30 @@ class CompressionKey:
         br_bsk = kg.generate_lwe_bootstrap_key(
             storage_lwe_sk, client_key.glwe_secret_key,
             DecompParams(cp.br_base_log, cp.br_level), p.glwe_noise, gen2)
+        # keygen-side mask flooring so decompression rides the 3-prime
+        # rounded MXU plan (same policy/estimator guard as ServerKey; the
+        # BSK is under the same compute GLWE key and noise)
+        br_floored = 0
+        from .server_key import _mxu_round_bits
+
+        rb = _mxu_round_bits()
+        if (rb > 0 and p.polynomial_size == 2048 and p.glwe_dimension == 1
+                and cp.br_level == 1 and cp.br_base_log <= 23):
+            from ..core import security as _sec
+            from ..ops import mxu as _mxu
+
+            kn = p.glwe_dimension * p.polynomial_size
+            ok_f, _ = _sec.check_lwe_noise_secure(
+                p.glwe_noise, kn, p.bits, modulus_log2_shrink=rb)
+            ok_p, _ = _sec.check_lwe_noise_secure(p.glwe_noise, kn, p.bits)
+            if ok_f or not ok_p:
+                br_bsk = _mxu.mask_floor_bsk(
+                    br_bsk, client_key.glwe_secret_key, rb)
+                br_floored = rb
         bsk_mont, br_plan = kg.bootstrap_key_to_ntt(br_bsk)
         self.decompression = DecompressionKey(
             jnp.asarray(bsk_mont), br_plan, cp.br_base_log, cp.br_level,
-            bsk_coeff=br_bsk)
+            bsk_coeff=br_bsk, bsk_floored=br_floored)
 
     def compress(self, cts: list) -> CompressedCiphertextList:
         p = self.params
@@ -263,21 +297,44 @@ def decompress(packed: CompressedCiphertextList, indices=None,
                and key.br_level == 1 and key.br_base_log <= 23
                and os.environ.get("TFHE_TPU_DISABLE_MXU") != "1")
     if use_mxu:
+        # HBM admission (check_valid_cuda_malloc analog): chunk the batch
+        # so per-element working tensors (~0.5 MB each: a_rows dominates at
+        # k1*N2 rows x pad128(n_in) i32) never push past free HBM.  The
+        # middle tensors count as `fixed` until ensure_mxu materializes
+        # them (afterwards they show up in bytes_in_use).
+        from ..utils import hbm as _hbm
+
+        fixed = 0
+        if key._mxu is None:
+            n_in = key._bsk_coeff.data.shape[0]
+            nprimes = 3 if getattr(key, "_bsk_floored", 0) else 4
+            fixed = n_in * nprimes * 128 * 64 * 32 * 4 * 2
+        chunk = _hbm.admit_chunk(b, 512 << 10, fixed_bytes=fixed)
+        chunk = max(8, 1 << (chunk.bit_length() - 1))  # power-of-two bins
         tb = min(int(os.environ.get("TFHE_TPU_MXU_TB", "256")),
-                 max(8, 1 << (b - 1).bit_length()))
-        b_pad = -(-b // tb) * tb
+                 max(8, min(chunk, 1 << (b - 1).bit_length())))
+        v32, corr, mplan = key.ensure_mxu()
+        kernel = "v8"      # ensure_mxu builds the v8 macro-step layout
+        outs = []
+        for s in range(0, b, chunk):
+            part = msed[s:s + chunk]
+            nb = part.shape[0]
+            nb_pad = -(-nb // tb) * tb
+            if nb_pad != nb:
+                part = np.concatenate(
+                    [part, np.repeat(part[:1], nb_pad - nb, 0)], 0)
+            lut_b = jnp.asarray(np.broadcast_to(lut, (nb_pad,) + lut.shape))
+            outs.append(np.asarray(srv.pbs_from_switched_batch_mxu(
+                jnp.asarray(part), lut_b, v32, corr, mplan,
+                key.br_base_log, key.br_level, p.bits, tb=tb,
+                kernel=kernel))[:nb])
+        out = np.concatenate(outs, axis=0)
     else:
         b_pad = ((b + 7) // 8) * 8 if on_tpu else b
-    if b_pad != b:
-        msed = np.concatenate([msed, np.repeat(msed[:1], b_pad - b, 0)], 0)
-    lut_b = jnp.asarray(np.broadcast_to(lut, (b_pad,) + lut.shape))
-    if use_mxu:
-        v32, corr, mplan = key.ensure_mxu()
-        out = np.asarray(srv.pbs_from_switched_batch_mxu(
-            jnp.asarray(msed), lut_b, v32, corr, mplan,
-            key.br_base_log, key.br_level, p.bits, tb=tb,
-            kernel=os.environ.get("TFHE_TPU_MXU_KERNEL", "v6")))[:b]
-    else:
+        if b_pad != b:
+            msed = np.concatenate(
+                [msed, np.repeat(msed[:1], b_pad - b, 0)], 0)
+        lut_b = jnp.asarray(np.broadcast_to(lut, (b_pad,) + lut.shape))
         out = np.asarray(srv.pbs_from_switched_batch(
             jnp.asarray(msed), lut_b, key.bsk_mont, key.plan,
             key.br_base_log, key.br_level, p.bits, on_tpu))[:b]
