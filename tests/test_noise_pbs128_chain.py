@@ -1,0 +1,117 @@
+"""dp_ks_pbs128_packingks noise chain at production parameters.
+
+The last of the reference's six noise-distribution chains
+(shortint/server_key/tests/noise_distribution/dp_ks_pbs128_packingks.rs):
+leveled DP -> u64 KS -> 128-bit PBS (noise squashing) -> u128 packing KS
+into the squashing-compression GLWE.  Two gates:
+
+  A. the squashed LWE phase variance matches pbs_output_variance at
+     bits=128 (the PBS128 output is input-independent — squashing resets
+     the noise);
+  B. the packed-GLWE slot phase variance matches A + the u128 packing-KS
+     closed form (packing_keyswitch_additive_variance at bits=128).
+
+Sample width defaults small for the CPU suite; override with
+TFHE_TPU_NOISE_SAMPLES on hardware runs (VERDICT r3 weak #8).
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from tfhe_tpu import shortint
+from tfhe_tpu.core import noise as nf
+from tfhe_tpu.shortint.noise_squashing import (
+    V1_4_NOISE_SQUASHING_COMP_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 as COMP,
+    V1_4_NOISE_SQUASHING_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 as SQ,
+    NoiseSquashingCompressionKey,
+    NoiseSquashingCompressionPrivateKey,
+    NoiseSquashingKey,
+    NoiseSquashingPrivateKey,
+)
+from tfhe_tpu.utils.csprng import TUniform
+from tfhe_tpu.utils.keycache import get_shortint_keys
+
+PROD = shortint.V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+
+
+def _signed128(lo: int, hi: int) -> float:
+    v = (int(hi) << 64) | int(lo)
+    if v >= 1 << 127:
+        v -= 1 << 128
+    return float(v)
+
+
+@pytest.fixture(scope="module")
+def chain_keys():
+    ck, sk = get_shortint_keys(PROD)
+    priv = NoiseSquashingPrivateKey(SQ, seed=0x1281)
+    nsk = NoiseSquashingKey(ck, priv, seed=0x1282)
+    cpriv = NoiseSquashingCompressionPrivateKey(COMP, seed=0x1283)
+    ckey = NoiseSquashingCompressionKey(priv, cpriv, seed=0x1284)
+    return ck, sk, priv, nsk, cpriv, ckey
+
+
+def test_dp_ks_pbs128_packingks_chain_production(chain_keys):
+    from tfhe_tpu.core import torus128
+
+    ck, sk, priv, nsk, cpriv, ckey = chain_keys
+    p = PROD
+    sp = SQ
+    cp = COMP
+    n_s = int(os.environ.get("TFHE_TPU_NOISE_SAMPLES", "32"))
+    n_s = min(n_s, cp.lwe_per_glwe)
+
+    # DP: leveled scalar-mul (the chain's dot-product stage), then the fused
+    # KS -> MS -> PBS128 squash
+    cts = [sk.unchecked_scalar_mul(ck.encrypt(0), 2) for _ in range(n_s)]
+    sq = nsk.squash_ciphertext_noise_batch(cts, sk)
+
+    # ---- gate A: squashed LWE phase variance = PBS128 output variance ----
+    key_bits = priv._key_bits
+    phases = []
+    for ct in sq:
+        pt = torus128.decrypt_lwe128(key_bits, ct.lo, ct.hi)
+        phases.append(_signed128(pt & ((1 << 64) - 1), pt >> 64))
+    ph = np.array(phases)
+    delta = float(sp.delta128)
+    ph = ph - np.round(ph / delta) * delta
+    want_pbs = nf.pbs_output_variance(
+        p.lwe_dimension, sp.glwe_dimension, sp.polynomial_size,
+        sp.decomp_base_log, sp.decomp_level_count,
+        nf.distribution_variance(TUniform(sp.glwe_noise_bound_log2), 128),
+        bits=128)
+    got = ph.var()
+    tol = 3.5 * math.sqrt(2.0 / n_s)
+    assert (1 - tol) * want_pbs < got < (1 + tol) * want_pbs, \
+        (got, want_pbs, n_s)
+
+    # ---- gate B: packed slot phases = A + u128 packing-KS additive ----
+    packed = ckey.compress(sq)
+    glwe_lo = packed.glwe_lo
+    glwe_hi = packed.glwe_hi
+    csk = cpriv.glwe_secret_key
+    from tfhe_tpu.ops import ntt
+
+    plan = ntt.make_plan(cp.packing_ks_polynomial_size, 8)
+    n_out = cp.packing_ks_polynomial_size
+    with np.errstate(over="ignore"):
+        a_lo = glwe_lo[-1].copy()
+        a_hi = glwe_hi[-1].copy()
+        for i in range(csk.glwe_dimension):
+            q_lo, q_hi = ntt.negacyclic_polymul_u128(
+                glwe_lo[i], glwe_hi[i], csk.data[i],
+                np.zeros(n_out, np.uint64), plan, np)
+            a_lo, a_hi = ntt.sub128(a_lo, a_hi, q_lo, q_hi, np)
+    slots = np.array([_signed128(a_lo[j], a_hi[j]) for j in range(n_s)])
+    slots = slots - np.round(slots / delta) * delta
+    n_in128 = sp.glwe_dimension * sp.polynomial_size
+    want = want_pbs + nf.packing_keyswitch_additive_variance(
+        n_in128, cp.packing_ks_base_log, cp.packing_ks_level,
+        nf.distribution_variance(TUniform(cp.packing_noise_bound_log2), 128),
+        n_s, bits=128)
+    got_b = slots.var()
+    assert (1 - tol - 0.15) * want < got_b < (1 + tol + 0.15) * want, \
+        (got_b, want, n_s)

@@ -126,3 +126,32 @@ def test_squashed_compression(keys):
     lwe_words = len(sq[0].lo) * len(msgs)
     glwe_words = packed.glwe_lo.size
     assert glwe_words < lwe_words
+
+
+def test_squash_pallas_kernel_parity(keys):
+    """ks_pbs128_batch through the fused quad-word kernel (interpret mode)
+    is bit-identical to the XLA path on real squashing keys — the wiring
+    NoiseSquashingKey uses on hardware."""
+    import jax.numpy as jnp
+
+    from tfhe_tpu.ops import server128
+
+    ck, sk, priv, nsk = keys
+    sp = nsk.params
+    p = sk.params
+    total = sp.total_modulus
+    lut_lo, lut_hi = server128.generate_lut128(
+        sp.polynomial_size, sp.glwe_dimension + 1, total, sp.delta128,
+        lambda x: x)
+    cts = [ck.encrypt(m % 4) for m in range(2)]
+    batch = jnp.asarray(np.stack([np.asarray(c.data) for c in cts]))
+    l_lo = jnp.asarray(np.broadcast_to(lut_lo, (2,) + lut_lo.shape))
+    l_hi = jnp.asarray(np.broadcast_to(lut_hi, (2,) + lut_hi.shape))
+    args = (batch, l_lo, l_hi, sk.ksk, nsk.bsk128_mont, sk.plan, nsk.plan128,
+            p.ks_base_log, p.ks_level, sp.decomp_base_log,
+            sp.decomp_level_count)
+    want_lo, want_hi = server128.ks_pbs128_batch(*args)
+    got_lo, got_hi = server128.ks_pbs128_batch(
+        *args, use_pallas=True, pallas_tb=2, pallas_interpret=True)
+    assert np.array_equal(np.asarray(got_lo), np.asarray(want_lo))
+    assert np.array_equal(np.asarray(got_hi), np.asarray(want_hi))

@@ -987,3 +987,305 @@ def from_chunk_layout(x, b: int, k1: int, n: int):
 # in the NTT domain) was prototyped and measured SLOWER than v2 and not
 # bit-identical to the classic path (decomposition is nonlinear); v2 stays
 # the production kernel.
+
+
+# ---------------------------------------------------------------------------
+# v2q: the u128-torus (PBS128 / noise squashing) variant of v2.
+#
+# Torus values travel as FOUR u32 words (little-endian w0..w3); the CRT-NTT
+# runs over 6 primes (~186 bits, exceeding the 2^166 external-product bound
+# of the v1_4 squashing family), so the kernel is exact — same guarantee the
+# XLA path (ops/server128.py) gives, fused into one VMEM-resident program.
+# Mirrors the reference's fft128 PBS role
+# (tfhe/src/core_crypto/fft_impl/fft128/, programmable_bootstrap_classic_128.cu)
+# with an exact integer engine instead of split-double f64.
+# ---------------------------------------------------------------------------
+
+
+def addq(a, b):
+    """Multi-word add (little-endian lists of u32 arrays), wrapping."""
+    out = []
+    carry = None
+    for i in range(len(a)):
+        s = a[i] + b[i]
+        c = (s < a[i]).astype(U32)
+        if carry is not None:
+            s2 = s + carry
+            c = c + (s2 < carry).astype(U32)
+            s = s2
+        out.append(s)
+        carry = c
+    return out
+
+
+def subq(a, b):
+    """Multi-word subtract, wrapping two's complement."""
+    out = []
+    borrow = None
+    for i in range(len(a)):
+        d = a[i] - b[i]
+        bo = (a[i] < b[i]).astype(U32)
+        if borrow is not None:
+            d2 = d - borrow
+            bo = bo + (d < borrow).astype(U32)
+            d = d2
+        out.append(d)
+        borrow = bo
+    return out
+
+
+def negq(a):
+    z = [jnp.zeros_like(a[0])] * len(a)
+    return subq(z, a)
+
+
+def _decompose128q(w, base_log: int, levels: int):
+    """Branch-free signed decomposition on u32 quads (decomposer.rs semantics
+    on the u128 torus; parity oracle: ops/server128.signed_decompose128).
+
+    Supports 32 < rep <= 96 (the v1_4 squashing family is base 24, l=3 ->
+    rep 72).  Digits are returned level-l-first as sign-wrapped u32 with
+    |digit| <= B/2 (they fit: base_log <= 31)."""
+    rep = base_log * levels
+    assert 32 < rep <= 96 and base_log <= 31
+    z = jnp.zeros_like(w[0])
+    s = 128 - rep - 1
+    wsh, bs = divmod(s, 32)
+    r = []
+    for i in range(4):
+        lo = w[i + wsh] if i + wsh < 4 else z
+        hi = w[i + wsh + 1] if i + wsh + 1 < 4 else z
+        r.append(((lo >> U32(bs)) | (hi << U32(32 - bs))) if bs else lo)
+    rounding = r[0] & U32(1)
+    one = [jnp.ones_like(r[0]), z, z, z]
+    r = addq(r, one)
+    r = [(r[i] >> U32(1)) | (r[i + 1] << U32(31)) for i in range(3)] + \
+        [r[3] >> U32(1)]
+    tw, tbits = divmod(rep, 32)
+    q = []
+    for i in range(4):
+        if i < tw:
+            q.append(r[i])
+        elif i == tw and tbits:
+            q.append(r[i] & U32((1 << tbits) - 1))
+        else:
+            q.append(z)
+    # need-balance bit at position rep-1 of ((q-1) | rounding<<(rep-1)) & q
+    m = subq(q, one)
+    nbw, nbb = divmod(rep - 1, 32)
+    t = (m[nbw] | (rounding << U32(nbb))) & q[nbw]
+    nb = (t >> U32(nbb)) & U32(1)
+    # state = q - nb*2^rep over W words of two's complement (bit rep lands in
+    # the top state word for every rep in (32, 96])
+    W = (rep + 1 + 31) // 32
+    st = [q[i] for i in range(W)]
+    st[W - 1] = st[W - 1] - (nb << U32(rep - 32 * (W - 1)))
+    mask = U32((1 << base_log) - 1)
+    digits = []
+    for _ in range(levels):
+        d = st[0] & mask
+        new = [(st[i] >> U32(base_log)) | (st[i + 1] << U32(32 - base_log))
+               for i in range(W - 1)]
+        new.append((st[W - 1].astype(jnp.int32) >> np.int32(base_log))
+                   .astype(U32))
+        st = new
+        carry = (((d - U32(1)) | st[0]) & d) >> U32(base_log - 1)
+        c = carry
+        for i in range(W):
+            s2 = st[i] + c
+            c = (s2 < c).astype(U32)
+            st[i] = s2
+        digits.append(d - (carry << U32(base_log)))
+    return digits
+
+
+def _words128(x: int):
+    return [(x >> (32 * i)) & 0xFFFFFFFF for i in range(4)]
+
+
+def _mulq_const128(a, cw):
+    """u32 array * 128-bit python-int constant words -> quad mod 2^128."""
+    z = jnp.zeros_like(a)
+    t = [z, z, z, z]
+    for j in range(4):
+        c = int(cw[j])
+        if c == 0:
+            continue
+        lo, hi = mulwide(a, jnp.full(a.shape, _u32(c), U32))
+        part = [z, z, z, z]
+        part[j] = lo
+        if j + 1 < 4:
+            part[j + 1] = hi
+        t = addq(t, part)
+    return t
+
+
+def build_blind_rotate_v2q(n: int, num_primes: int, base_log: int, levels: int,
+                           k1: int, tb: int, n_steps: int,
+                           interpret: bool = False):
+    """Chunk-layout whole-blind-rotate kernel over the u128 torus.
+
+    Caller-side layout: acc words w0..w3 each (C, B*k1, 128) u32 (C = n//128,
+    little-endian 32-bit words of the u128 coefficient); adegs (n_steps, B)
+    i32; bsk (n_steps, l, k1, k1, P, C, 128) u32 Montgomery eval-domain.
+    Returns the four accumulator words in the same chunk layout.
+    """
+    C = n // LANES
+    S = tb * k1
+    tables = make_stage_tables(n, num_primes)
+    plan = ntt_mod.make_plan(n, num_primes)
+    gc = ntt_mod._garner_consts(plan.primes)
+    num_stages = n.bit_length() - 1
+    primes = [int(p) for p in plan.primes]
+    inv_mont = [int(gc[f"inv_mont_{j}"]) for j in range(1, num_primes)]
+    pm_mont = {k: int(v) for k, v in gc["pm_mont"].items()}
+    half_digits = [int(v) for v in gc["half_digits"]]
+    prods128q = []
+    acc_p = 1
+    for p in primes:
+        prods128q.append(_words128(acc_p & ((1 << 128) - 1)))
+        acc_p *= p
+    p_mod128q = _words128(acc_p & ((1 << 128) - 1))
+
+    def kernel(*refs):
+        adeg_ref = refs[0]
+        acc_in = refs[1:5]
+        bsk_ref = refs[5]
+        fwd_refs = refs[6: 6 + num_stages]
+        inv_refs = refs[6 + num_stages: 6 + 2 * num_stages]
+        out_refs = refs[6 + 2 * num_stages: 10 + 2 * num_stages]
+        acc_s = refs[10 + 2 * num_stages: 14 + 2 * num_stages]
+        rot_refs = refs[14 + 2 * num_stages: 18 + 2 * num_stages]
+
+        t = pl.program_id(0)
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            for w in range(4):
+                acc_s[w][:] = acc_in[w][:]
+
+        acc = [acc_s[w][:] for w in range(4)]   # 4 x (C, S, 128)
+
+        # ---- monomial rotation, chunk layout (quad words) ----
+        neg = negq(acc)
+        y = [jnp.concatenate([acc[w], neg[w]], axis=0) for w in range(4)]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (2 * C, k1, LANES), 2)
+        for el in range(tb):
+            a = adeg_ref[0, 0, t * tb + el]
+            q_amt = jax.lax.div(a, np.int32(LANES))
+            rl = jax.lax.rem(a, np.int32(LANES))
+            cols = slice(el * k1, (el + 1) * k1)
+            sel = lane < rl
+            for w in range(4):
+                zw = pltpu.roll(y[w][:, cols, :], rl, axis=2)
+                zq = pltpu.roll(zw, q_amt, axis=0)
+                zq1 = pltpu.roll(zw, q_amt + np.int32(1), axis=0)
+                rot_refs[w][:, cols, :] = jnp.where(sel, zq1, zq)[:C]
+
+        ct1 = subq([rot_refs[w][:] for w in range(4)], acc)
+        digits = _decompose128q(ct1, base_log, levels)  # l x (C,S,128)
+
+        res_primes = []
+        for pi in range(num_primes):
+            p = _u32(primes[pi])
+            pinv = _u32(int(plan.plans[pi].p_inv_neg32))
+            fwd_digits = []
+            for lev in range(levels):
+                d = _digit_residue(digits[lev], p)
+                fwd_digits.append(_ntt_fwd_lazy(d, tables, pi, fwd_refs))
+            acc_cols = None
+            for c in range(k1):
+                col = None
+                for lev in range(levels):
+                    for r in range(k1):
+                        key = bsk_ref[0, lev, r, c, pi][:, None, :]
+                        fr = fwd_digits[lev].reshape(C, tb, k1, LANES)[:, :, r, :]
+                        prod = mont_mul32(fr, key, p, pinv)
+                        col = prod if col is None else add_mod32(col, prod, p)
+                col = _ntt_inv_lazy(col, tables, pi, inv_refs)
+                acc_cols = col[:, :, None, :] if acc_cols is None else jnp.concatenate(
+                    [acc_cols, col[:, :, None, :]], axis=2)
+            res_primes.append(acc_cols.reshape(C, S, LANES))
+
+        # Garner mixed-radix digits (identical to v2/garner_to_u64)
+        a_digits = [res_primes[0]]
+        for j in range(1, num_primes):
+            pj = _u32(primes[j])
+            pinv_j = _u32(int(plan.plans[j].p_inv_neg32))
+            v = jnp.where(a_digits[0] >= pj, a_digits[0] - pj, a_digits[0])
+            for i in range(1, j):
+                term = mont_mul32(a_digits[i], jnp.full(v.shape, _u32(pm_mont[(i - 1, j)]), U32), pj, pinv_j)
+                vv = v + term
+                v = jnp.where(vv >= pj, vv - pj, vv)
+            r = res_primes[j]
+            d = jnp.where(r >= v, r - v, r + pj - v)
+            a_digits.append(
+                mont_mul32(d, jnp.full(d.shape, _u32(inv_mont[j - 1]), U32), pj, pinv_j))
+        # reconstruction mod 2^128 + sign correction (garner_to_u128 analog)
+        zero = jnp.zeros_like(a_digits[0])
+        out = [a_digits[0], zero, zero, zero]
+        for i in range(1, num_primes):
+            out = addq(out, _mulq_const128(a_digits[i], prods128q[i]))
+        is_neg = a_digits[0] > _u32(half_digits[0])
+        for i in range(1, num_primes):
+            hd = _u32(half_digits[i])
+            is_neg = (a_digits[i] > hd) | ((a_digits[i] == hd) & is_neg)
+        pconst = [jnp.full(out[0].shape, _u32(pw), U32) for pw in p_mod128q]
+        corr = subq(out, pconst)
+        out = [jnp.where(is_neg, corr[w], out[w]) for w in range(4)]
+
+        new = addq(acc, out)
+        for w in range(4):
+            acc_s[w][:] = new[w]
+
+        @pl.when(s == pl.num_programs(1) - 1)
+        def _():
+            for w in range(4):
+                out_refs[w][:] = new[w]
+
+    fwd_tabs = [f.reshape(num_primes, C, LANES) for f in tables.fwd]
+    inv_tabs = [f.reshape(num_primes, C, LANES) for f in tables.inv]
+
+    def run(w0, w1, w2, w3, adegs, bsk):
+        batch_s = w0.shape[1]
+        assert w0.shape == (C, batch_s, LANES), w0.shape
+        assert batch_s % S == 0
+        n_tiles = batch_s // S
+        batch = batch_s // k1
+        l = bsk.shape[1]
+        vmem = pltpu.VMEM
+        z = lambda t: t * 0
+        in_specs = [
+            pl.BlockSpec((1, 1, batch), lambda t, s: (s, z(t), z(t)),
+                         memory_space=pltpu.SMEM),
+        ]
+        in_specs += [pl.BlockSpec((C, S, LANES), lambda t, s: (z(t), t, z(t)),
+                                  memory_space=vmem)] * 4
+        in_specs += [
+            pl.BlockSpec((1, l, k1, k1, num_primes, C, LANES),
+                         lambda t, s: (s, z(t), z(t), z(t), z(t), z(t), z(t)),
+                         memory_space=vmem),
+        ]
+        in_specs += [pl.BlockSpec((num_primes, C, LANES),
+                                  lambda t, s: (z(t), z(t), z(t)),
+                                  memory_space=vmem)] * (2 * num_stages)
+        out_specs = [pl.BlockSpec((C, S, LANES), lambda t, s: (z(t), t, z(t)),
+                                  memory_space=vmem)] * 4
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, n_steps),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[jax.ShapeDtypeStruct((C, batch_s, LANES), U32)] * 4,
+            scratch_shapes=[pltpu.VMEM((C, S, LANES), U32)] * 8,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+        )
+        return call(adegs.reshape(n_steps, 1, batch), w0, w1, w2, w3, bsk,
+                    *fwd_tabs, *inv_tabs)
+
+    return run

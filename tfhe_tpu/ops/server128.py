@@ -200,6 +200,35 @@ def blind_rotate128(msed_mask, msed_body, lut_lo, lut_hi, bsk_mont, plan,
     return acc_lo, acc_hi
 
 
+def blind_rotate128_pallas(msed_mask, msed_body, lut_lo, lut_hi, bsk_mont,
+                           plan, base_log: int, levels: int, tb: int = 32,
+                           interpret: bool = False):
+    """128-bit blind rotation through the fused quad-word Pallas kernel
+    (pallas_ntt.build_blind_rotate_v2q) — bit-identical to blind_rotate128.
+    interpret=True runs the kernel through the Pallas interpreter on CPU."""
+    from . import pallas_ntt
+
+    b, k1, n = lut_lo.shape
+    n_in = bsk_mont.shape[0]
+    acc_lo, acc_hi = monomial_div128(lut_lo, lut_hi, msed_body[:, None, None])
+    m32 = np.uint64(0xFFFFFFFF)
+    words = [
+        (acc_lo & m32).astype(jnp.uint32),
+        (acc_lo >> np.uint64(32)).astype(jnp.uint32),
+        (acc_hi & m32).astype(jnp.uint32),
+        (acc_hi >> np.uint64(32)).astype(jnp.uint32),
+    ]
+    words = [pallas_ntt.to_chunk_layout(w, k1, n) for w in words]
+    bsk_c = bsk_mont.reshape(*bsk_mont.shape[:-1], n // 128, 128)
+    run = pallas_ntt.build_blind_rotate_v2q(
+        n, plan.num_primes, base_log, levels, k1, tb, n_in, interpret)
+    ws = run(*words, msed_mask.T.astype(jnp.int32), bsk_c)
+    ws = [pallas_ntt.from_chunk_layout(w, b, k1, n).astype(U64) for w in ws]
+    out_lo = ws[0] | (ws[1] << np.uint64(32))
+    out_hi = ws[2] | (ws[3] << np.uint64(32))
+    return out_lo, out_hi
+
+
 def sample_extract128(g_lo, g_hi):
     """Constant-coefficient extraction; returns (B, k*N+1) pairs."""
     b, glwe_size, n = g_lo.shape
@@ -214,10 +243,14 @@ def sample_extract128(g_lo, g_hi):
 
 
 @partial(jax.jit, static_argnames=("ks_base_log", "ks_levels", "pbs_base_log",
-                                   "pbs_levels", "plan", "plan128"))
+                                   "pbs_levels", "plan", "plan128",
+                                   "use_pallas", "pallas_tb",
+                                   "pallas_interpret"))
 def ks_pbs128_batch(ct, lut_lo, lut_hi, ksk, bsk128_mont, plan, plan128,
                     ks_base_log: int, ks_levels: int,
-                    pbs_base_log: int, pbs_levels: int):
+                    pbs_base_log: int, pbs_levels: int,
+                    use_pallas: bool = False, pallas_tb: int = 32,
+                    pallas_interpret: bool = False):
     """Noise squashing pipeline: u64 KS -> MS -> 128-bit blind rotate -> SE.
 
     ct: (B, n_big+1) u64; lut pair: (B, k128+1, N128); ksk u64;
@@ -231,8 +264,15 @@ def ks_pbs128_batch(ct, lut_lo, lut_hi, ksk, bsk128_mont, plan, plan128,
     ks = keyswitch(ct, ksk, ks_base_log, ks_levels, 64)
     body = modulus_switch(ks[:, -1], log_mod, 64)
     msed_mask = modulus_switch(ks[:, :-1], log_mod, 64)
-    a_lo, a_hi = blind_rotate128(msed_mask, body, lut_lo, lut_hi, bsk128_mont,
-                                 plan128, pbs_base_log, pbs_levels)
+    if use_pallas:
+        a_lo, a_hi = blind_rotate128_pallas(
+            msed_mask, body, lut_lo, lut_hi, bsk128_mont, plan128,
+            pbs_base_log, pbs_levels, tb=pallas_tb,
+            interpret=pallas_interpret)
+    else:
+        a_lo, a_hi = blind_rotate128(msed_mask, body, lut_lo, lut_hi,
+                                     bsk128_mont, plan128, pbs_base_log,
+                                     pbs_levels)
     return sample_extract128(a_lo, a_hi)
 
 

@@ -127,6 +127,24 @@ class NoiseSquashingKey:
         self.message_modulus = sp.message_modulus
         self.carry_modulus = sp.carry_modulus
 
+    @property
+    def use_pallas(self) -> bool:
+        """Fused quad-word (u128) Pallas blind rotate on real TPU; the XLA
+        path stays for CPU tests and shapes the kernel does not cover."""
+        import os
+
+        import jax
+
+        sp = self.params
+        rep = sp.decomp_base_log * sp.decomp_level_count
+        return (
+            jax.default_backend() not in ("cpu",)
+            and os.environ.get("TFHE_TPU_DISABLE_PALLAS") != "1"
+            and sp.polynomial_size % 128 == 0
+            and 32 < rep <= 96
+            and sp.decomp_base_log <= 31
+        )
+
     def squash_ciphertext_noise(self, ct: Ciphertext, server_key) -> SquashedNoiseCiphertext:
         return self.squash_ciphertext_noise_batch([ct], server_key)[0]
 
@@ -140,14 +158,22 @@ class NoiseSquashingKey:
         lut_lo, lut_hi = server128.generate_lut128(
             sp.polynomial_size, sp.glwe_dimension + 1, total, sp.delta128,
             lambda x: x)
-        batch = jnp.asarray(np.stack([np.asarray(c.data) for c in cts]))
         n = len(cts)
-        l_lo = jnp.asarray(np.broadcast_to(lut_lo, (n,) + lut_lo.shape))
-        l_hi = jnp.asarray(np.broadcast_to(lut_hi, (n,) + lut_hi.shape))
+        use_pallas = self.use_pallas
+        tb = min(32, n) if use_pallas else 32
+        n_pad = n
+        if use_pallas and n % tb != 0:
+            n_pad = ((n + tb - 1) // tb) * tb
+        rows = [np.asarray(c.data) for c in cts]
+        rows += [rows[-1]] * (n_pad - n)
+        batch = jnp.asarray(np.stack(rows))
+        l_lo = jnp.asarray(np.broadcast_to(lut_lo, (n_pad,) + lut_lo.shape))
+        l_hi = jnp.asarray(np.broadcast_to(lut_hi, (n_pad,) + lut_hi.shape))
         out_lo, out_hi = server128.ks_pbs128_batch(
             batch, l_lo, l_hi, server_key.ksk, self.bsk128_mont,
             server_key.plan, self.plan128,
-            p.ks_base_log, p.ks_level, sp.decomp_base_log, sp.decomp_level_count)
+            p.ks_base_log, p.ks_level, sp.decomp_base_log, sp.decomp_level_count,
+            use_pallas=use_pallas, pallas_tb=tb)
         out_lo = np.asarray(out_lo)
         out_hi = np.asarray(out_hi)
         return [
