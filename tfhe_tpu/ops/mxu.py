@@ -1026,6 +1026,43 @@ def multibit_eval_domain(mb_data: np.ndarray, decomp, plan: MxuPlan,
     return np.ascontiguousarray(np.stack(outs, axis=-3))
 
 
+@lru_cache(maxsize=None)
+def _middle_v9_chunk_jit(plan: MxuPlan, base_log: int, grouping: int,
+                         ss: int):
+    """Chunk of the fused-multibit middle build, FINAL layout per macro
+    group — the pattern fold + ss-grouping run chunk-locally so the caller
+    never materializes the flat (n_g*2^g)-major tensor (at g=2/2_2 that
+    intermediate is 5.4 GiB and holding flat+folded+grouped copies OOMs the
+    16 GiB HBM — the round-3 decompression lesson, utils/hbm.py)."""
+    nsub = 1 << grouping
+
+    def fn(bh):
+        v32, corr = _middle_v8_chunk(bh, plan, base_log)
+        # (c, P, N1, 2K, C) -> per-group pattern fold along the contraction
+        # axis, fam-major: [M_u0..M_u{2^g-1} | M16_u0..M16_u{2^g-1}]
+        c_flat, p_, n1, twok, c_ = v32.shape
+        gsz = c_flat // nsub
+        k = twok // 2
+        v32 = v32.reshape(gsz, nsub, p_, n1, 2, k, c_)
+        v32 = jnp.transpose(v32, (0, 2, 3, 4, 1, 5, 6)).reshape(
+            gsz, p_, n1, 2 * nsub * k, c_)
+        # corr is linear in the st rows: sum per-pattern corrections mod p
+        corr = corr.reshape(gsz, nsub, p_, n1, c_).astype(jnp.uint64)
+        corr = corr.sum(axis=1)
+        ps = jnp.asarray(np.array(plan.primes, np.uint64))[None, :, None,
+                                                           None]
+        corr = (corr % ps).astype(jnp.uint32)
+        return _group_ss(v32, ss), _group_ss(corr, ss)
+
+    return jax.jit(fn)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _buf_write(buf, val, s):
+    idx = (s,) + (0,) * (buf.ndim - 1)
+    return jax.lax.dynamic_update_slice(buf, val, idx)
+
+
 def middle_v9_from_eval_device(bhat, plan: MxuPlan, base_log: int,
                                grouping: int, ss: int = 2, chunk: int = 32):
     """Device-side fused-multibit middle build.
@@ -1035,42 +1072,37 @@ def middle_v9_from_eval_device(bhat, plan: MxuPlan, base_log: int,
     (ceil(n_g/ss), P, N1, 2 * 2^g * K, ss*C) / (..., ss*C): per GROUP, the
     2^g pattern middles concatenated along the contraction axis within each
     of the two deferred-word families, then `ss` groups packed on the lane
-    axis (v8 layout rules; zero-padded tail groups are exact no-ops)."""
+    axis (v8 layout rules; zero-padded tail groups are exact no-ops).
+
+    Memory discipline: chunks are produced in the FINAL layout and written
+    into donated preallocated buffers (peak = final size + one chunk, not
+    3x the final size)."""
     nsub = 1 << grouping
     n_flat = bhat.shape[0]
     assert n_flat % nsub == 0
     n_g = n_flat // nsub
+    n_macro = -(-n_g // ss)
+    gsz = ss * nsub                       # flat entries per macro group
     c = _pick_chunk(n_flat, chunk * nsub)
-    if c % nsub:                  # chunks must hold whole groups
-        c = nsub * max(1, c // nsub)
-    fn = _middle_v8_chunk_jit(plan, base_log)
-    outs_m, outs_c = [], []
+    c = gsz * max(1, c // gsz)            # chunks hold whole MACRO groups
+    fn = _middle_v9_chunk_jit(plan, base_log, grouping, ss)
+    v32_buf = corr_buf = None
     for s in range(0, n_flat, c):
         bh = bhat[s:s + c]
         if bh.shape[0] < c:
             pad = c - bh.shape[0]
             bh = jnp.pad(bh, ((0, pad),) + ((0, 0),) * (bh.ndim - 1))
-            v32, corr = fn(bh)
-            v32, corr = v32[:n_flat - s], corr[:n_flat - s]
-        else:
-            v32, corr = fn(bh)
-        outs_m.append(v32)
-        outs_c.append(corr)
-    v32 = outs_m[0] if len(outs_m) == 1 else jnp.concatenate(outs_m, axis=0)
-    corr = outs_c[0] if len(outs_c) == 1 else jnp.concatenate(outs_c, axis=0)
-    # (n_g*2^g, P, N1, 2K, C): fold patterns into the contraction axis,
-    # fam-major over the pattern-expanded K: [M_u0..M_u3 | M16_u0..M16_u3]
-    _, p_, n1, twok, c_ = v32.shape
-    k = twok // 2
-    v32 = v32.reshape(n_g, nsub, p_, n1, 2, k, c_)
-    v32 = jnp.transpose(v32, (0, 2, 3, 4, 1, 5, 6)).reshape(
-        n_g, p_, n1, 2 * nsub * k, c_)
-    # corr is linear in the st rows: sum the per-pattern corrections mod p
-    corr = corr.reshape(n_g, nsub, p_, n1, c_).astype(jnp.uint64)
-    corr = corr.sum(axis=1)
-    ps = jnp.asarray(np.array(plan.primes, np.uint64))[None, :, None, None]
-    corr = (corr % ps).astype(jnp.uint32)
-    return _group_ss(v32, ss), _group_ss(corr, ss)
+        v32_c, corr_c = fn(bh)
+        if v32_buf is None:
+            v32_buf = jnp.zeros((n_macro,) + v32_c.shape[1:], v32_c.dtype)
+            corr_buf = jnp.zeros((n_macro,) + corr_c.shape[1:], corr_c.dtype)
+        sm = s // gsz
+        if sm + v32_c.shape[0] > n_macro:     # zero-padded tail groups
+            v32_c = v32_c[:n_macro - sm]
+            corr_c = corr_c[:n_macro - sm]
+        v32_buf = _buf_write(v32_buf, v32_c, sm)
+        corr_buf = _buf_write(corr_buf, corr_c, sm)
+    return v32_buf, corr_buf
 
 
 def blind_rotate_mxu_multibit(degrees, msed_body, lut, m_limbs,
