@@ -26,13 +26,8 @@ from tfhe_tpu.core import noise as nf
 from tfhe_tpu.shortint.noise_squashing import (
     V1_4_NOISE_SQUASHING_COMP_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 as COMP,
     V1_4_NOISE_SQUASHING_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 as SQ,
-    NoiseSquashingCompressionKey,
-    NoiseSquashingCompressionPrivateKey,
-    NoiseSquashingKey,
-    NoiseSquashingPrivateKey,
 )
 from tfhe_tpu.utils.csprng import TUniform
-from tfhe_tpu.utils.keycache import get_shortint_keys
 
 PROD = shortint.V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
 
@@ -46,11 +41,11 @@ def _signed128(lo: int, hi: int) -> float:
 
 @pytest.fixture(scope="module")
 def chain_keys():
-    ck, sk = get_shortint_keys(PROD)
-    priv = NoiseSquashingPrivateKey(SQ, seed=0x1281)
-    nsk = NoiseSquashingKey(ck, priv, seed=0x1282)
-    cpriv = NoiseSquashingCompressionPrivateKey(COMP, seed=0x1283)
-    ckey = NoiseSquashingCompressionKey(priv, cpriv, seed=0x1284)
+    from tfhe_tpu.utils.keycache import (get_squash_compression_keys,
+                                         get_squashing_keys)
+
+    ck, sk, priv, nsk = get_squashing_keys(PROD, SQ)
+    cpriv, ckey = get_squash_compression_keys(SQ, COMP, priv)
     return ck, sk, priv, nsk, cpriv, ckey
 
 

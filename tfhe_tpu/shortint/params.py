@@ -329,7 +329,7 @@ V1_4_PARAM_GPU_MULTI_BIT_GROUP_4_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = \
 # core/noise.multibit_pbs_output_variance (worst-case noise level 5 +
 # KS + centered MS; the same model reproduces the reference's published
 # -134.345 for the GROUP_4 set and -129.58 for the classic 2_2 set) and
-# validated by the measured noise chain in tests/test_noise_multibit.py.
+# validated by the measured noise chain in tests/test_multibit_fused.py.
 TPU_PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = \
     MultiBitPBSParameters(
         lwe_dimension=918,
