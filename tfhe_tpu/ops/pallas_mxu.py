@@ -1955,9 +1955,17 @@ def build_blind_rotate_v8(n: int, base_log: int, levels: int, k1: int,
                 dgB = pltpu.bitcast(diags[2] + (diags[3] << np.int32(8)),
                                     U32) + U32(OFFS)
                 base = lev * k1 * n2
-                for kk in range(k1 * n2):
-                    st_lo_s[:, base + kk, :] = dgA[:, kk * tb:(kk + 1) * tb]
-                    st_hi_s[:, base + kk, :] = dgB[:, kk * tb:(kk + 1) * tb]
+                if tb % LANES == 0:
+                    # single split-minor store (see v9 note: the unrolled
+                    # 32-store loops dominated Mosaic compile time)
+                    st_lo_s[:, base:base + k1 * n2, :] = \
+                        dgA.reshape(n1, k1 * n2, tb)
+                    st_hi_s[:, base:base + k1 * n2, :] = \
+                        dgB.reshape(n1, k1 * n2, tb)
+                else:
+                    for kk in range(k1 * n2):
+                        st_lo_s[:, base + kk, :] = dgA[:, kk * tb:(kk + 1) * tb]
+                        st_hi_s[:, base + kk, :] = dgB[:, kk * tb:(kk + 1) * tb]
 
             # ---- middle: two-family byte dot (fam1 = 2^16*M) ------------
             r_lo = pltpu.bitcast(st_lo_s[:] ^ XORC, jnp.int8)
@@ -1988,9 +1996,13 @@ def build_blind_rotate_v8(n: int, base_log: int, levels: int, k1: int,
                        + U32(mid_const[pi]))[:, :, None]
                 Vlo, Vhi, vb = mid_asm[pi](diags, cmv, 2 * (primes[pi] - 1))
                 assert (vb >> 32) < (1 << 31)
-                for cc in range(cmid):
-                    vt_lo_s[:, cc * tb:(cc + 1) * tb] = Vlo[:, cc, :]
-                    vt_hi_s[:, cc * tb:(cc + 1) * tb] = Vhi[:, cc, :]
+                if tb % LANES == 0:
+                    vt_lo_s[:] = Vlo.reshape(n1, cmid * tb)
+                    vt_hi_s[:] = Vhi.reshape(n1, cmid * tb)
+                else:
+                    for cc in range(cmid):
+                        vt_lo_s[:, cc * tb:(cc + 1) * tb] = Vlo[:, cc, :]
+                        vt_hi_s[:, cc * tb:(cc + 1) * tb] = Vhi[:, cc, :]
 
             # ---- inverse stage: 2^32-scaled tables + ONE REDC -----------
             rv = jnp.concatenate(
@@ -2367,11 +2379,22 @@ def build_blind_rotate_v9(n: int, base_log: int, levels: int, k1: int,
                     dgB = pltpu.bitcast(diags[2] + (diags[3] << np.int32(8)),
                                         U32) + U32(OFFS)
                     base = (T * levels + lev) * k1 * n2
-                    for kk in range(k1 * n2):
-                        st_lo_s[:, base + kk, :] = \
-                            dgA[:, kk * tb:(kk + 1) * tb]
-                        st_hi_s[:, base + kk, :] = \
-                            dgB[:, kk * tb:(kk + 1) * tb]
+                    if tb % LANES == 0:
+                        # one (128, k1*n2, tb) store: dgA's columns are
+                        # already (kk, el)-ordered, so the split-minor
+                        # reshape is layout-free; the 32-iteration store
+                        # loop was the dominant term in the unrolled
+                        # program size (Mosaic compile time, round 4)
+                        st_lo_s[:, base:base + k1 * n2, :] = \
+                            dgA.reshape(n1, k1 * n2, tb)
+                        st_hi_s[:, base:base + k1 * n2, :] = \
+                            dgB.reshape(n1, k1 * n2, tb)
+                    else:
+                        for kk in range(k1 * n2):
+                            st_lo_s[:, base + kk, :] = \
+                                dgA[:, kk * tb:(kk + 1) * tb]
+                            st_hi_s[:, base + kk, :] = \
+                                dgB[:, kk * tb:(kk + 1) * tb]
 
             # ---- middle: two-family byte dot over the expanded K --------
             r_lo = pltpu.bitcast(st_lo_s[:] ^ XORC, jnp.int8)
@@ -2398,9 +2421,13 @@ def build_blind_rotate_v9(n: int, base_log: int, levels: int, k1: int,
                        + U32(mid_const[pi]))[:, :, None]
                 Vlo, Vhi, vb = mid_asm[pi](diags, cmv, 2 * (primes[pi] - 1))
                 assert (vb >> 32) < (1 << 31)
-                for cc in range(cmid):
-                    vt_lo_s[:, cc * tb:(cc + 1) * tb] = Vlo[:, cc, :]
-                    vt_hi_s[:, cc * tb:(cc + 1) * tb] = Vhi[:, cc, :]
+                if tb % LANES == 0:
+                    vt_lo_s[:] = Vlo.reshape(n1, cmid * tb)
+                    vt_hi_s[:] = Vhi.reshape(n1, cmid * tb)
+                else:
+                    for cc in range(cmid):
+                        vt_lo_s[:, cc * tb:(cc + 1) * tb] = Vlo[:, cc, :]
+                        vt_hi_s[:, cc * tb:(cc + 1) * tb] = Vhi[:, cc, :]
 
             # ---- inverse stage: 2^32-scaled tables + ONE REDC -----------
             rv = jnp.concatenate(
