@@ -31,6 +31,8 @@ import random
 import secrets
 from dataclasses import dataclass
 
+import numpy as np
+
 from . import curve446 as cv
 from .pke import (PrivateCommit, PublicCommit, _bit_iter, _decode_q,
                   _g1_bytes, _g2_bytes, _zp_bytes, compute_r1, compute_r2,
@@ -235,16 +237,21 @@ class _Transcript:
     def u128(self, ds: bytes, count: int) -> list:
         return hash_128bit(count, ds, *self.chunks)
 
-    def ternary(self, ds: bytes, count: int) -> list:
+    def ternary(self, ds: bytes, count: int):
         import hashlib
+
+        import numpy as np
         h = hashlib.shake_256()
         h.update(ds)
         for c in self.chunks:
             h.update(len(c).to_bytes(8, "little"))
             h.update(c)
         raw = h.digest(count)
-        # two bits per byte: {0,1} -> 0 (p=1/2), 2 -> +1, 3 -> -1 (p=1/4 each)
-        return [(0, 0, 1, -1)[byte & 0b11] for byte in raw]
+        # two bits per byte: {0,1} -> 0 (p=1/2), 2 -> +1, 3 -> -1 (p=1/4
+        # each); vectorized — the verifier draws 541k of these and a Python
+        # listcomp was ~15% of total verify time
+        lut = np.array([0, 0, 1, -1], dtype=np.int8)
+        return lut[np.frombuffer(raw, dtype=np.uint8) & 0b11]
 
 
 def _x_bytes(pp: PublicParams, pc: PublicCommit, k: int) -> bytes:
@@ -277,6 +284,28 @@ def _phi_dot_R(phi: list, r_mat: list, j: int) -> int:
         elif rij == -1:
             acc -= phi[i]
     return acc % R
+
+
+def _phi_dot_R_all(phi: list, r_mat, ncols: int) -> list:
+    """[_phi_dot_R(phi, r_mat, j) for j in range(ncols)], vectorized: the
+    128 phi bigints split into 32-bit limbs, the ternary R contracted as one
+    int64 matmul (|entry| <= 128*(2^32-1) < 2^39), limbs recombined exactly."""
+    L = (R.bit_length() + 31) // 32
+    limbs = np.zeros((128, L), np.int64)
+    for i, v in enumerate(phi):
+        v = int(v)
+        for l in range(L):
+            limbs[i, l] = (v >> (32 * l)) & 0xFFFFFFFF
+    r2 = np.asarray(r_mat[: 128 * ncols], np.int64).reshape(ncols, 128)
+    m = r2 @ limbs
+    out = []
+    for j in range(ncols):
+        row = m[j]
+        acc = 0
+        for l in range(L - 1, -1, -1):
+            acc = (acc << 32) + int(row[l])
+        out.append(acc % R)
+    return out
 
 
 def compute_a_theta(theta: list, a: list, d: int, k: int, b: list,
@@ -341,7 +370,7 @@ def _challenges(pp: PublicParams, pc: PublicCommit, metadata: bytes,
                      _x_bytes(pp, pc, k))
     tr.absorb(c_hat_e_b, c_e_b, c_r_tilde_b)
     r_mat = tr.ternary(b"PKEv2/R", 128 * (2 * (d + k) + 4))
-    r_enc = bytes(x & 0xFF for x in r_mat)
+    r_enc = np.asarray(r_mat).astype(np.uint8).tobytes()
     tr.absorb(r_enc)
     return tr, r_mat
 
@@ -454,7 +483,7 @@ def prove(pp: PublicParams, pc: PublicCommit, priv: PrivateCommit,
     xi_powers = [(xi[j // m] << (j % m)) % R for j in range(128 * m)]
     delta_theta_q = delta_theta * (decoded_q % R) % R
 
-    phi_R = [_phi_dot_R(phi, r_mat, j) for j in range(2 * (d + k) + 4)]
+    phi_R = _phi_dot_R_all(phi, r_mat, 2 * (d + k) + 4)
 
     # ---- the six polynomial pairs (pke_v2/mod.rs:1395) ------------------
     def h1_term(j: int) -> int:
@@ -667,7 +696,7 @@ def verify(proof: Proof, pp: PublicParams, pc: PublicCommit,
                   zip(theta, list(pc.c1) + list(pc.c2))) % R
     xi_powers = [(xi[j // m] << (j % m)) % R for j in range(128 * m)]
     delta_theta_q = delta_theta * (decoded_q % R) % R
-    phi_R = [_phi_dot_R(phi, r_mat, j) for j in range(2 * (d + k) + 4)]
+    phi_R = _phi_dot_R_all(phi, r_mat, 2 * (d + k) + 4)
 
     def h1_term(j: int) -> int:
         acc = -delta_y * y[j]
