@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from tfhe_tpu.core import keygen as kg, multibit as mb
 from tfhe_tpu.core.entities import LweBootstrapKey
 from tfhe_tpu.core.params import DecompParams
-from tfhe_tpu.ops import mxu, pallas_mxu as pm
+from tfhe_tpu.ops import mxu, pallas_mxu as pm, server as srv
 from tfhe_tpu.utils.csprng import (DeterministicSeeder,
     EncryptionRandomGenerator, SecretRandomGenerator, TUniform)
 
@@ -26,17 +26,19 @@ mbk = mb.generate_multibit_bootstrap_key(
     lwe_sk, glwe_sk, decomp, G, TUniform(3), gen_e)
 plan = mxu.make_mxu_plan(N, num_primes=4)
 
-flat = mxu.mobius_multibit_bsk(mbk).reshape(-1, LEVELS, K + 1, K + 1, N)
-m_limbs, _ = mxu.bsk_to_mxu(LweBootstrapKey(flat, decomp, 64), plan)
+# indicator-key build (multibit_bsk_to_mxu flattens the pattern axis)
+m_limbs = mxu.multibit_bsk_to_mxu(mbk, decomp, plan, G)
 
 rng = np.random.default_rng(1)
 B = 8
 mask = rng.integers(0, 2 * N, (B, N_IN), dtype=np.uint64)
 body = rng.integers(0, 2 * N, (B,), dtype=np.uint64)
 lut = rng.integers(0, 1 << 64, (B, K + 1, N), dtype=np.uint64)
+degrees = srv.multibit_switched_degrees(jnp.asarray(mask), G,
+                                        N.bit_length(), raw=False)
 
 got = np.asarray(mxu.blind_rotate_mxu_multibit(
-    jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+    degrees, jnp.asarray(body), jnp.asarray(lut),
     jnp.asarray(m_limbs), plan, BASE_LOG, LEVELS, G))
 
 # ---- semantics: decrypt(acc) ~ X^{-b + sum a_i s_i} * decrypt(lut) --------
@@ -83,7 +85,7 @@ assert np.abs(diff).max() < (1 << 48), "phase mismatch"
 print("TWIN SEMANTICS OK")
 
 got_t = np.asarray(mxu.blind_rotate_mxu_multibit(
-    jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut),
+    degrees, jnp.asarray(body), jnp.asarray(lut),
     jnp.asarray(m_limbs), plan, BASE_LOG, LEVELS, G, trunc=True))
 dt = (dec_glwe(got_t) - ph_exp).view(np.int64)
 print("trunc twin max |noise|: 2^%.1f" % np.log2(np.abs(dt).max() + 1))
@@ -97,10 +99,10 @@ v32, corr = mxu.middle_v9_from_eval_device(jnp.asarray(bhat), plan,
                                            BASE_LOG, G, ss=2)
 for trunc in (True, False):
     want = np.asarray(mxu.blind_rotate_mxu_multibit(
-        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut_al),
+        degrees, jnp.asarray(body), jnp.asarray(lut_al),
         jnp.asarray(m_limbs), plan, BASE_LOG, LEVELS, G, trunc=trunc))
     got_k = np.asarray(pm.blind_rotate_pallas_v9(
-        jnp.asarray(mask), jnp.asarray(body), jnp.asarray(lut_al),
+        degrees, jnp.asarray(body), jnp.asarray(lut_al),
         v32, corr, plan, BASE_LOG, LEVELS, G, tb=4, interpret=True,
         trunc_acc=trunc, ss=2))
     if trunc:

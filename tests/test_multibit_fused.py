@@ -88,11 +88,19 @@ def test_multibit_twin_semantics(mb_setup):
     assert np.abs(diff).max() < (1 << 48), np.log2(np.abs(diff).max())
 
 
-@pytest.mark.parametrize("grouping,ss,nprimes", [(2, 2, 4), (4, 1, 4)])
-def test_v9_kernel_parity_interpret(mb_setup, grouping, ss, nprimes):
+@pytest.mark.parametrize("n_in,grouping,ss,nprimes", [
+    (4, 2, 2, 4), (4, 4, 1, 4),
+    # n_groups=3 with ss=2: padded tail macro group (the production g=2 set
+    # has 459 groups -> 230 macro groups with one padded sub-step; a zeroed
+    # tail group must be a no-op, not wipe the accumulator)
+    (6, 2, 2, 4),
+])
+def test_v9_kernel_parity_interpret(mb_setup, n_in, grouping, ss, nprimes):
     """The v9 fused kernel is bit-exact vs the XLA twin (trunc mode, the
     production configuration) in interpret mode."""
-    lwe_sk, glwe_sk, decomp, _, _, _ = mb_setup
+    _, glwe_sk, decomp, _, _, _ = mb_setup
+    gen_s = SecretRandomGenerator(321 + n_in)
+    lwe_sk = kg.generate_binary_lwe_secret_key(n_in, gen_s)
     gen_e = EncryptionRandomGenerator(17, DeterministicSeeder(5))
     mbk = mb.generate_multibit_bootstrap_key(
         lwe_sk, glwe_sk, decomp, grouping, TUniform(3), gen_e)
@@ -103,7 +111,7 @@ def test_v9_kernel_parity_interpret(mb_setup, grouping, ss, nprimes):
         jnp.asarray(bhat), plan, BASE_LOG, grouping, ss=ss)
     rng = np.random.default_rng(2)
     b = 4
-    mask = rng.integers(0, 2 * N, (b, N_IN), dtype=np.uint64)
+    mask = rng.integers(0, 2 * N, (b, n_in), dtype=np.uint64)
     body = rng.integers(0, 2 * N, (b,), dtype=np.uint64)
     lut = (rng.integers(0, 1 << 32, (b, K + 1, N), dtype=np.uint64)
            << np.uint64(32))

@@ -80,3 +80,26 @@ def test_insecure_set_is_rejected():
     bad = dataclasses.replace(p, glwe_noise=TUniform(16))
     checks = sec.check_shortint_params_secure(bad)
     assert not all(ok for _, ok, _ in checks)
+
+
+def test_classic_public_key_zero_encryption_count():
+    """The classic LwePublicKey defaults to the LHL-safe
+    n*ceil(log2 q) + 128 zero-encryption count
+    (lwe_public_key_generation.rs + the parameter sets' 
+    lwe_public_key_zero_encryption_count), and subset-sum encryption
+    decrypts correctly."""
+    import tfhe_tpu as t
+    from tfhe_tpu import shortint
+    from tfhe_tpu.hlapi import PublicKey
+
+    cfg = t.ConfigBuilder().use_custom_parameters(
+        shortint.TEST_PARAM_MESSAGE_2_CARRY_2).build()
+    ck, _sk = t.generate_keys(cfg)
+    pk = PublicKey(ck)
+    p = ck.integer_key.key.params
+    n = ck.integer_key.key.encryption_key.dimension
+    assert pk.zero_count == n * p.bits + 128
+    assert pk._zeros.shape == (pk.zero_count, n + 1)
+    for m in (0, 1, 3):
+        blk = pk.encrypt_block(m)
+        assert ck.integer_key.key.decrypt(blk) == m

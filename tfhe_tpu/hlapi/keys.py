@@ -84,21 +84,35 @@ class PublicKey:
     def __init__(self, client_key: ClientKey, zero_count: int | None = None):
         import numpy as np
 
-        from ..core.encrypt import encrypt_lwe
-
         ck = client_key.integer_key.key
         p = ck.params
-        # lwe_public_key_zero_encryption_count: n*ceil(log2 q)+128 in the
-        # reference; a smaller structured count keeps host keygen fast here.
-        self.zero_count = zero_count or (p.big_lwe_dimension + 128)
+        n = ck.encryption_key.dimension
+        # lwe_public_key_zero_encryption_count = n*ceil(log2 q) + 128
+        # (core_crypto/algorithms/lwe_public_key_generation.rs + the
+        # parameter sets): the count the leftover-hash-lemma argument needs.
+        # A custom smaller count may be passed for tests only.
+        self.zero_count = zero_count or (n * p.bits + 128)
         self.params = p
-        rows = []
-        for _ in range(self.zero_count):
-            rows.append(
-                encrypt_lwe(ck.encryption_key, 0, p.glwe_noise,
-                            ck.encryption_generator, p.bits).data
-            )
-        self._zeros = np.stack(rows)
+        # chunked batch generation: one mask-stream block and one noise
+        # block per chunk draw byte-identical streams to the sequential
+        # per-row encrypt_lwe loop (mask and noise generators are
+        # independent), but the binary-key multisum runs vectorized.
+        gen = ck.encryption_generator
+        dt = np.uint32 if p.bits == 32 else np.uint64
+        skd = np.asarray(ck.encryption_key.data).astype(dt)
+        ones = np.nonzero(skd)[0]
+        out = np.empty((self.zero_count, n + 1), dtype=dt)
+        chunk = max(1, (64 << 20) // (8 * n))      # ~64 MB of mask per chunk
+        with np.errstate(over="ignore"):
+            for s in range(0, self.zero_count, chunk):
+                c = min(chunk, self.zero_count - s)
+                mask = gen.mask.uniform_scalar(c * n, p.bits)
+                mask = mask.astype(dt).reshape(c, n)
+                noise = p.glwe_noise.sample(gen.noise, c, p.bits).astype(dt)
+                out[s:s + c, :n] = mask
+                out[s:s + c, n] = mask[:, ones].sum(axis=1,
+                                                    dtype=dt) + noise
+        self._zeros = out
 
     def encrypt_block(self, message: int):
         import secrets as _s

@@ -2279,10 +2279,23 @@ def build_blind_rotate_v9(n: int, base_log: int, levels: int, k1: int,
                 acc_lo_s[:] = acc_lo_in[:]
             acc_hi_s[:] = acc_hi_in[:]
 
+        rem = n_groups % ss
         for j in range(ss):
-            _group_step(j, sM, arow_ref, m_ref, cm_ref, L1_ref, L1i_ref,
-                        ci_ref, shd_ref, shu_ref, acc_lo_s, acc_hi_s,
-                        st_lo_s, st_hi_s, vt_lo_s, vt_hi_s)
+            if rem and j >= rem:
+                # Sub-steps past the real group count exist only in the
+                # zero-padded tail macro group; their keys are all-zero and
+                # the group step REPLACES the accumulator, so running them
+                # would wipe it.  Skip them there (exact no-op, bit-parity
+                # with the XLA twin which scans exactly n_groups).
+                @pl.when(sM != np.int32(n_macro - 1))
+                def _(j=j):
+                    _group_step(j, sM, arow_ref, m_ref, cm_ref, L1_ref,
+                                L1i_ref, ci_ref, shd_ref, shu_ref, acc_lo_s,
+                                acc_hi_s, st_lo_s, st_hi_s, vt_lo_s, vt_hi_s)
+            else:
+                _group_step(j, sM, arow_ref, m_ref, cm_ref, L1_ref, L1i_ref,
+                            ci_ref, shd_ref, shu_ref, acc_lo_s, acc_hi_s,
+                            st_lo_s, st_hi_s, vt_lo_s, vt_hi_s)
 
         @pl.when(sM == pl.num_programs(1) - 1)
         def _():
@@ -2577,3 +2590,402 @@ def blind_rotate_pallas_v9(degrees, msed_body, lut, v32, corr_mid, plan,
         return hi.astype(jnp.uint64) << np.uint64(32)
     lo = from_v4_layout(lo, b, k1, n, tb)
     return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))
+
+# ---------------------------------------------------------------------------
+# v9g: grid-scheduled fused multi-bit kernel (v9 semantics, small program)
+# ---------------------------------------------------------------------------
+# Same math and layout contract as v9 (indicator pattern keys from
+# middle_v9_from_eval_device), but the macro-group sub-step j AND the 2^g
+# pattern index T run on the GRID (tiles, n_macro, ss, 2^g) instead of being
+# unrolled into the kernel body; the j-th lane slice of the packed v32/corr
+# tensors is carved out by the BlockSpec index map rather than in-kernel.
+# The Mosaic program then contains ONE rotation + decompose + s1 front plus
+# ONE predicated epilogue — about 1/(ss*2^g) of the unrolled v9 program.
+# On this 1-core host the unrolled v9 body never finished compiling (>2 h,
+# perf_harness/_r4_queue3.log) while a v7-sized body compiles in ~15 min;
+# program size, not math, was the round-4 blocker.  trunc_acc-only (the
+# production configuration).  Bit-exact vs ops.mxu.blind_rotate_mxu_multibit
+# (trunc=True).  Reference: lwe_multi_bit_programmable_bootstrapping.rs:329.
+
+
+@lru_cache(maxsize=None)
+def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
+                           tb: int, n_groups: int, grouping: int,
+                           interpret: bool = False,
+                           ablate: str | None = None,
+                           num_primes: int = mxu_mod.N_PRIMES_DEFAULT,
+                           round_bits: int = 0, ss: int = 2,
+                           static_fronts: bool = False):
+    """Grid-scheduled fused multi-bit blind-rotate (see section comment).
+
+    Caller layout identical to build_blind_rotate_v9.  The st scratch holds
+    ALL primes: pattern T's s1 dots land in rows [T*levels*cmid, ...) as the
+    grid walks T, and the epilogue at T = 2^g - 1 consumes one VMEM-resident
+    contraction block per prime.  static_fronts=True unrolls one front per
+    pattern under pl.when (static store offsets) as a fallback in case the
+    dynamic sublane-offset stores don't lower.
+    """
+    nsub = 1 << grouping
+    assert base_log <= 23 and 128 % (ss * nsub) == 0
+    assert interpret or tb % LANES == 0, \
+        "v9g uses the collapsed (layout-free) stores"
+    n1 = LANES
+    n2 = n // n1
+    L1_np, L1i_np, invj_sum, plan = _kernel_tables_v8(n, num_primes, base_log)
+    primes = [int(p) for p in plan.primes]
+    pinvs = [int(ntt_mod.make_plan(n, num_primes, primes=plan.primes)
+               .plans[i].p_inv_neg32) for i in range(num_primes)]
+    gplan = plan.garner
+    gc = ntt_mod._garner_consts(gplan.primes)
+    inv_mont = [int(gc[f"inv_mont_{j}"]) for j in range(1, num_primes)]
+    pm_mont = {k: int(v) for k, v in gc["pm_mont"].items()}
+    prods64 = [int(v) for v in gc["prods64"]]
+    half_digits = [int(v) for v in gc["half_digits"]]
+    p_mod64 = int(gc["P_mod64"])
+
+    R = tb * k1 * n2
+    kmid = levels * k1 * n2
+    kmid_g = nsub * kmid
+    cmid = k1 * n2
+
+    ams = []
+    for p_ in primes:
+        e1 = (1 << 28) + 1 - p_
+        m_ = (e1 & -e1).bit_length() - 1
+        ams.append((e1 >> m_, m_))
+
+    OFF = 1 << (base_log - 1)
+    XORC = np.uint32(0x80808080)
+    _, OFFS = mxu_mod._v8_consts(plan, base_log)
+
+    b_inv = [8 * n1 * 128 * 128] * 4
+    live_m = [len([1 for e in range(4) for f in range(4) if e + f == d])
+              for d in range(7)]
+    b_mid = [2 * lv * kmid_g * 128 * 128 for lv in live_m]
+
+    mid_asm, inv_asm = [], []
+    corri_np = np.zeros((num_primes, n1, LANES), np.uint32)
+    mid_const = []
+    for pi, p_ in enumerate(primes):
+        a_, m_ = ams[pi]
+        # same assembled-bound split search as v9 (subset-expanded K)
+        eps_p = a_ * (1 << m_) - 1
+        asmm = compm = None
+        for hi_ds, eps_ds in (([4, 5], [6]), ([4], [5, 6]), ([], [4, 5, 6])):
+            ws_try = [(eps_p << (8 * d - 28)) if d in eps_ds
+                      else (1 << (8 * d)) for d in range(7)]
+            bound = sum(w * 2 * b for w, b in zip(ws_try, b_mid)) + p_
+            hi_ok = all((2 * b_mid[d]) << (8 * (d - hi_ds[0])) < (1 << 32)
+                        for d in hi_ds)
+            if bound < (1 << 63) and hi_ok:
+                wsm, asmm, compm = _weights_and_asm(b_mid, a_, m_,
+                                                    hi_ds, eps_ds)
+                break
+        assert asmm is not None, "no mid assembly split fits u64"
+        wsi, asmi, compi = _weights_and_asm(b_inv, a_, m_, [], [])
+        mid_asm.append(asmm)
+        inv_asm.append(asmi)
+        for k in range(n1):
+            corri_np[pi, k, :] = (128 * int(invj_sum[pi, k]) - compi) % p_
+        mid_const.append((-compm) % p_)
+
+    _blk = np.arange(8 * cmid) // cmid
+    SHD_NP = (8 * np.maximum(3 - _blk, 0)).astype(np.uint32)[None, None, :]
+    SHU_NP = (8 * np.maximum(_blk - 3, 0)).astype(np.uint32)[None, None, :]
+
+    n_macro = -(-n_groups // ss)
+    amounts_per_block = LANES // (ss * nsub)
+    rem_tail = n_groups % ss
+    assert (2 * n) & (2 * n - 1) == 0, "2N must be a power of two"
+
+    def kernel(arow_ref, acc_hi_in, m_ref, cm_ref, L1_ref, L1i_ref,
+               ci_ref, shd_ref, shu_ref, out_hi_ref,
+               acc_hi_s, st_lo_s, st_hi_s, vt_lo_s, vt_hi_s):
+        sM = pl.program_id(1)
+        jj = pl.program_id(2)
+        T = pl.program_id(3)
+
+        @pl.when((sM == 0) & (jj == 0) & (T == 0))
+        def _():
+            acc_hi_s[:] = acc_hi_in[:]
+
+        def front(Tdyn, base_rows):
+            """Rotation + decompose + s1 dots of this step's pattern.
+            Tdyn: traced or static pattern index; base_rows: st row offset
+            (static int or traced scalar; levels folded in by caller)."""
+            acc_hi = acc_hi_s[:]
+            # -- this step's pattern degree (one a_rows column) -----------
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+            col = jax.lax.rem(sM, np.int32(amounts_per_block)) \
+                * np.int32(ss * nsub) + jj * np.int32(nsub) + Tdyn
+            masked = jnp.where(lane2 == col, arow_ref[:], np.int32(0))
+            for sh in (64, 32, 16, 8, 4, 2, 1):
+                masked = masked + pltpu.roll(masked, np.int32(sh), 1)
+            a4 = masked[:, 0:1].reshape(k1, n2, tb, 1)
+
+            # -- X^{d} * acc (trunc: hi word only; d=0 is the identity) ---
+            i2r = jax.lax.broadcasted_iota(jnp.int32, (k1, n2, tb, 1), 1)
+            lane4 = jax.lax.broadcasted_iota(jnp.int32,
+                                             (k1, n2, tb, LANES), 3)
+            a1v = jax.lax.div(a4, np.int32(n2))
+            a2v = jax.lax.rem(a4, np.int32(n2))
+            q = a1v + (i2r < a2v).astype(jnp.int32)
+            qm = jax.lax.rem(q, np.int32(LANES))
+            qd = jax.lax.div(q, np.int32(LANES))
+            flip = (((lane4 < qm).astype(jnp.int32) + qd) & 1) == 1
+            if ablate == "rot":
+                rot_hi = pltpu.roll(acc_hi, np.int32(1), 1)
+            else:
+                y = acc_hi.reshape(k1, n2, tb, LANES)
+                for b in range(n2.bit_length() - 1):
+                    rr = pltpu.roll(y, np.int32(1 << b), 1)
+                    y = jnp.where((a2v >> b) & 1 == 1, rr, y)
+                for b in range(7):
+                    rr = pltpu.roll(y, np.int32(1 << b), 3)
+                    y = jnp.where((qm >> b) & 1 == 1, rr, y)
+                rot_hi = jnp.where(flip, jnp.zeros_like(y) - y,
+                                   y).reshape(R, LANES)
+
+            digits = _decompose32(jnp.zeros_like(rot_hi), rot_hi,
+                                  base_log, levels)
+            for lev in range(levels):
+                dT = jnp.transpose(digits[lev]) + U32(OFF)
+                plane = pltpu.bitcast(dT ^ XORC, jnp.int8)
+                for pi in range(num_primes):
+                    if ablate == "s1":
+                        diags = [plane[:n1].astype(jnp.int32)] * 4
+                    else:
+                        diags = [jax.lax.dot_general(
+                            L1_ref[pi, d], plane,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                            for d in range(4)]
+                    dgA = pltpu.bitcast(diags[0] + (diags[1] << np.int32(8)),
+                                        U32) + U32(OFFS)
+                    dgB = pltpu.bitcast(diags[2] + (diags[3] << np.int32(8)),
+                                        U32) + U32(OFFS)
+                    row0 = base_rows + lev * cmid if levels > 1 else base_rows
+                    if isinstance(row0, int):
+                        st_lo_s[pi, :, row0:row0 + cmid, :] = \
+                            dgA.reshape(n1, cmid, tb)
+                        st_hi_s[pi, :, row0:row0 + cmid, :] = \
+                            dgB.reshape(n1, cmid, tb)
+                    else:
+                        st_lo_s[pi, :, pl.ds(row0, cmid), :] = \
+                            dgA.reshape(n1, cmid, tb)
+                        st_hi_s[pi, :, pl.ds(row0, cmid), :] = \
+                            dgB.reshape(n1, cmid, tb)
+
+        def epilogue():
+            """Mid + inverse + Garner over the group's full st block;
+            REPLACES the accumulator (v9 semantics)."""
+            res_primes = []
+            for pi in range(num_primes):
+                # ---- middle: two-family byte dot over the expanded K ----
+                r_lo = pltpu.bitcast(st_lo_s[pi] ^ XORC, jnp.int8)
+                r_hi = pltpu.bitcast(st_hi_s[pi] ^ XORC, jnp.int8)
+                rhs = jnp.concatenate([r_lo, r_hi], axis=1)
+                if ablate == "mid":
+                    diags = [rhs[:, :cmid, :].astype(jnp.int32)] * 7
+                else:
+                    # j-th lane slice of the ss-packed middle tensor
+                    # (Pallas block minors must be full-width; the slice
+                    # choices are static, select_n picks by the grid index)
+                    mj = [m_ref[0, pi][:, :, jc * cmid:(jc + 1) * cmid]
+                          for jc in range(ss)]
+                    v_pack = mj[0] if ss == 1 else jax.lax.select_n(jj, *mj)
+                    tiled = pltpu.repeat(v_pack, 8, 2)
+                    w_all = (tiled >> shd_ref[:]) << shu_ref[:]
+                    lhs = pltpu.bitcast(w_all, jnp.int8)
+                    out = jax.lax.dot_general(
+                        lhs, rhs,
+                        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)  # (n1,8cmid,tb)
+                    diags = [out[:, d * cmid:(d + 1) * cmid, :]
+                             for d in range(7)]
+                if ablate == "mida":
+                    vt_lo_s[:, :tb] = diags[0][:, 0, :].astype(U32)
+                    vt_hi_s[:, :tb] = diags[1][:, 0, :].astype(U32)
+                else:
+                    cj = [cm_ref[0, pi][:, jc * cmid:(jc + 1) * cmid]
+                          for jc in range(ss)]
+                    cmv = ((cj[0] if ss == 1 else jax.lax.select_n(jj, *cj))
+                           + U32(mid_const[pi]))[:, :, None]
+                    Vlo, Vhi, vb = mid_asm[pi](diags, cmv,
+                                               2 * (primes[pi] - 1))
+                    assert (vb >> 32) < (1 << 31)
+                    vt_lo_s[:] = Vlo.reshape(n1, cmid * tb)
+                    vt_hi_s[:] = Vhi.reshape(n1, cmid * tb)
+
+                # ---- inverse stage: 2^32-scaled tables + ONE REDC -------
+                rv = jnp.concatenate(
+                    [pltpu.bitcast(vt_lo_s[:] ^ XORC, jnp.int8),
+                     pltpu.bitcast(vt_hi_s[:] ^ XORC, jnp.int8)], axis=0)
+                if ablate == "inv":
+                    diags = [rv[:n1].astype(jnp.int32)] * 4
+                else:
+                    lhs_i = L1i_ref[pi].reshape(4 * n1, 8 * n1)
+                    y_all = jax.lax.dot_general(
+                        lhs_i, rv, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    diags = [y_all[d * n1:(d + 1) * n1] for d in range(4)]
+                if ablate == "inva":
+                    y = pltpu.bitcast(diags[0], U32)
+                else:
+                    ylo, yhi, yb = inv_asm[pi](diags, ci_ref[pi][:, :1],
+                                               primes[pi] - 1)
+                    p_int = primes[pi]
+                    assert yb < (p_int << 32), hex(yb)
+                    mm = ylo * _u32(pinvs[pi])
+                    mp_lo, mp_hi = mulwide(mm, U32(p_int))
+                    carry = (ylo != U32(0)).astype(U32)
+                    res = mp_hi + carry
+                    if yhi is not None:
+                        res = res + yhi
+                    rbnd = p_int + (yb >> 32) + 1
+                    while rbnd >= p_int:
+                        res = jnp.where(res >= U32(p_int), res - U32(p_int),
+                                        res)
+                        rbnd = max(p_int - 1, rbnd - p_int)
+                    y = res
+                res_primes.append(jnp.transpose(y))         # (R, 128)
+
+            # ---- Garner once per group; REPLACE the accumulator ---------
+            out_lo, out_hi = _garner_acc(
+                res_primes, None, None, primes, pinvs, inv_mont, pm_mont,
+                prods64, half_digits, p_mod64, num_primes, round_bits,
+                ablate)
+            acc_hi_s[:] = out_hi + (out_lo >> U32(31))
+
+        def step():
+            if static_fronts:
+                for Tc in range(nsub):
+                    @pl.when(T == Tc)
+                    def _(Tc=Tc):
+                        front(np.int32(Tc), Tc * levels * cmid)
+            else:
+                front(T, T * np.int32(levels * cmid))
+
+            @pl.when(T == nsub - 1)
+            def _():
+                epilogue()
+
+        if rem_tail:
+            # tail-padded sub-groups exist only at sM == n_macro - 1 (zero
+            # keys; running them would REPLACE acc with zero) — skip them
+            @pl.when((sM != np.int32(n_macro - 1))
+                     | (jj < np.int32(rem_tail)))
+            def _():
+                step()
+        else:
+            step()
+
+        @pl.when((sM == pl.num_programs(1) - 1)
+                 & (jj == pl.num_programs(2) - 1)
+                 & (T == pl.num_programs(3) - 1))
+        def _():
+            out_hi_ref[:] = acc_hi_s[:]
+
+    n_amounts = n_groups * nsub
+    n_steps_pad = -(-n_amounts // LANES) * LANES
+
+    def run(acc_hi, a_rows, v32, corr_mid):
+        batch_rows = acc_hi.shape[0]
+        assert acc_hi.shape == (batch_rows, LANES)
+        assert batch_rows % R == 0
+        assert a_rows.shape == (batch_rows, n_steps_pad), a_rows.shape
+        assert v32.shape == (n_macro, num_primes, n1, 2 * kmid_g,
+                             ss * cmid), v32.shape
+        assert corr_mid.shape == (n_macro, num_primes, n1, ss * cmid)
+        n_tiles = batch_rows // R
+        vmem = pltpu.VMEM
+        z = lambda t: t * 0
+        in_specs = [
+            pl.BlockSpec(
+                (R, LANES),
+                lambda t, s, j, T: (t, jax.lax.div(
+                    s, np.int32(amounts_per_block))),
+                memory_space=vmem),
+            pl.BlockSpec((R, LANES), lambda t, s, j, T: (t, z(t)),
+                         memory_space=vmem),
+            pl.BlockSpec((1, num_primes, n1, 2 * kmid_g, ss * cmid),
+                         lambda t, s, j, T: (s, z(t), z(t), z(t), z(t)),
+                         memory_space=vmem),
+            pl.BlockSpec((1, num_primes, n1, ss * cmid),
+                         lambda t, s, j, T: (s, z(t), z(t), z(t)),
+                         memory_space=vmem),
+            pl.BlockSpec((num_primes, 4, n1, 4 * n1),
+                         lambda t, s, j, T: (z(t),) * 4, memory_space=vmem),
+            pl.BlockSpec((num_primes, 4, n1, 8 * n1),
+                         lambda t, s, j, T: (z(t),) * 4, memory_space=vmem),
+            pl.BlockSpec((num_primes, n1, LANES),
+                         lambda t, s, j, T: (z(t),) * 3, memory_space=vmem),
+            pl.BlockSpec((1, 1, 8 * cmid),
+                         lambda t, s, j, T: (z(t),) * 3, memory_space=vmem),
+            pl.BlockSpec((1, 1, 8 * cmid),
+                         lambda t, s, j, T: (z(t),) * 3, memory_space=vmem),
+        ]
+        out_specs = [pl.BlockSpec((R, LANES), lambda t, s, j, T: (t, z(t)),
+                                  memory_space=vmem)]
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, n_macro, ss, nsub),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[jax.ShapeDtypeStruct((batch_rows, LANES), U32)],
+            scratch_shapes=[pltpu.VMEM((R, LANES), U32)] +
+                           [pltpu.VMEM((num_primes, n1, kmid_g, tb),
+                                       U32)] * 2 +
+                           [pltpu.VMEM((n1, cmid * tb), U32)] * 2,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=126 * 1024 * 1024,
+                dimension_semantics=("arbitrary",) * 4,
+            ),
+        )
+        return call(a_rows, acc_hi, v32, corr_mid,
+                    jnp.asarray(L1_np), jnp.asarray(L1i_np),
+                    jnp.asarray(corri_np), jnp.asarray(SHD_NP),
+                    jnp.asarray(SHU_NP))[0]
+
+    return run
+
+
+def blind_rotate_pallas_v9g(degrees, msed_body, lut, v32, corr_mid, plan,
+                            base_log: int, levels: int, grouping: int,
+                            tb: int = 128, interpret: bool = False,
+                            ablate: str | None = None, ss: int = 2,
+                            static_fronts: bool = False):
+    """Multi-bit blind rotation through the grid-scheduled v9g kernel;
+    trunc-mode semantics of ops.mxu.blind_rotate_mxu_multibit(trunc=True).
+    (v32, corr_mid) from mxu.middle_v9_from_eval_device with the same ss/g.
+    degrees: (B, n_g, 2^g) u64 pattern degrees in [0, 2N) from
+    server.multibit_switched_degrees."""
+    from .server import monomial_div
+
+    b, k1, n = lut.shape
+    nsub = 1 << grouping
+    b_d, n_groups, nsub_d = degrees.shape
+    assert (b_d, nsub_d) == (b, nsub)
+    assert v32.shape[0] == -(-n_groups // ss), (v32.shape, n_groups, ss)
+    assert v32.shape[-2] == 2 * nsub * levels * k1 * (n // 128)
+    assert b % tb == 0, (b, tb)
+    acc0 = monomial_div(lut, msed_body[:, None, None])
+    acc0 = (acc0 + np.uint64(1 << 31)) & np.uint64(0xFFFFFFFF00000000)
+    hi0 = to_v4_layout((acc0 >> np.uint64(32)).astype(jnp.uint32), k1, n, tb)
+    run = build_blind_rotate_v9g(n, base_log, levels, k1, tb, n_groups,
+                                 grouping, interpret, ablate=ablate,
+                                 num_primes=plan.num_primes,
+                                 round_bits=plan.round_bits, ss=ss,
+                                 static_fronts=static_fronts)
+    n2 = n // 128
+    n_amounts = n_groups * nsub
+    n_pad = -(-n_amounts // 128) * 128
+    di = degrees.reshape(b, n_amounts).astype(jnp.int32)
+    a_rows = jnp.tile(di.reshape(b // tb, 1, tb, n_amounts),
+                      (1, k1 * n2, 1, 1))
+    a_rows = a_rows.reshape(b * k1 * n2, n_amounts)
+    a_rows = jnp.pad(a_rows, ((0, 0), (0, n_pad - n_amounts)))
+    hi = run(hi0, a_rows, v32, corr_mid)
+    hi = from_v4_layout(hi, b, k1, n, tb)
+    return hi.astype(jnp.uint64) << np.uint64(32)

@@ -974,7 +974,7 @@ def ks_pbs_batch_mxu_multibit(ct, lut, ksk, v32, corr_mid, mplan,
                               ks32: bool = False, interpret: bool = False,
                               ss: int = 2):
     """Multi-bit atomic pattern over the fused v9 MXU kernel: keyswitch
-    matmul, modulus switch, Mobius-subset fused blind rotate, sample
+    matmul, modulus switch, indicator-pattern fused blind rotate, sample
     extract.  (v32, corr_mid) from mxu.middle_v9_from_eval_device with the
     same ss."""
     from .pallas_mxu import blind_rotate_pallas_v9

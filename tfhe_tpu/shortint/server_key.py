@@ -226,9 +226,9 @@ class ServerKey:
             self._mb_floored = 0
             if _mxu_family_mb(p) and _mxu_mb_round_bits(p) > 0:
                 # same keygen-side mask flooring + estimator guard as the
-                # classic arm (each subset GGSW is a GLWE ciphertext under
-                # the same key; flooring commutes with the Mobius transform
-                # the fused kernel applies — ops/mxu.mobius_multibit_bsk)
+                # classic arm (each indicator-pattern GGSW is a GLWE
+                # ciphertext under the same key; the fused kernel consumes
+                # the flattened pattern key — ops/mxu.multibit_bsk_to_mxu)
                 from ..core import security as _sec
                 from ..core.entities import LweBootstrapKey
                 from ..ops import mxu as _mxu
@@ -379,7 +379,7 @@ class ServerKey:
 
     @property
     def use_mxu_multibit(self) -> bool:
-        """Fused v9 multi-bit kernel (Mobius subset keys) — the multi-bit
+        """Fused v9 multi-bit kernel (indicator pattern keys) — the multi-bit
         production path on real TPU."""
         import os
 
