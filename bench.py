@@ -71,7 +71,8 @@ def main():
     # warm-up / compile
     t0 = time.time()
     sk.apply_lookup_table_batch(ct_sets[0], lut)
-    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"# compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
     # steady state
     iters = 3
@@ -91,6 +92,7 @@ def main():
         "value": round(pbs_per_s, 2),
         "unit": "PBS/s per chip",
         "vs_baseline": round(pbs_per_s / 10000.0, 4),
+        "compile_s": round(compile_s, 1),
     }))
 
 
@@ -152,7 +154,8 @@ def bench_v3(ck, sk, params, batch):
     t0 = time.time()
     out = run(ct_sets[0])
     np.asarray(out)
-    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"# compile+first run: {compile_s:.1f}s", file=sys.stderr)
     iters = 3
     t0 = time.time()
     for it in range(iters):
@@ -172,6 +175,7 @@ def bench_v3(ck, sk, params, batch):
         "value": round(pbs_per_s, 2),
         "unit": "PBS/s per chip",
         "vs_baseline": round(pbs_per_s / 10000.0, 4),
+        "compile_s": round(compile_s, 1),
     }))
 
 

@@ -13,7 +13,7 @@ from tfhe_tpu.utils.csprng import (DeterministicSeeder,
     EncryptionRandomGenerator, SecretRandomGenerator, TUniform)
 
 N, K, BASE_LOG, LEVELS, G = 512, 1, 23, 1, 2
-for n_in, ss in ((8, 2), (6, 2)):
+for n_in, ss in ((8, 2), (6, 2), (8, 4), (6, 4)):
     gen_s = SecretRandomGenerator(123 + n_in)
     lwe_sk = kg.generate_binary_lwe_secret_key(n_in, gen_s)
     glwe_sk = kg.generate_binary_glwe_secret_key(K, N, gen_s)
@@ -25,7 +25,8 @@ for n_in, ss in ((8, 2), (6, 2)):
     m_limbs = mxu.multibit_bsk_to_mxu(mbk, decomp, plan, G)
     bhat = mxu.multibit_eval_domain(mbk, decomp, plan, G)
     v32, corr = mxu.middle_v9_from_eval_device(jnp.asarray(bhat), plan,
-                                               BASE_LOG, G, ss=ss)
+                                               BASE_LOG, G, ss=ss,
+                                               subset_major=True)
     rng = np.random.default_rng(2)
     b = 4
     mask = rng.integers(0, 2 * N, (b, n_in), dtype=np.uint64)
@@ -37,13 +38,11 @@ for n_in, ss in ((8, 2), (6, 2)):
     want = np.asarray(mxu.blind_rotate_mxu_multibit(
         degrees, jnp.asarray(body), jnp.asarray(lut),
         jnp.asarray(m_limbs), plan, BASE_LOG, LEVELS, G, trunc=True))
-    for sf in (False, True):
-        got = np.asarray(pm.blind_rotate_pallas_v9g(
-            degrees, jnp.asarray(body), jnp.asarray(lut),
-            v32, corr, plan, BASE_LOG, LEVELS, G, tb=4, interpret=True,
-            ss=ss, static_fronts=sf))
-        eq = (got == want)
-        print(f"n_in={n_in} ss={ss} static_fronts={sf}: "
-              f"{eq.mean()*100:.2f}% equal")
-        assert eq.all(), np.argwhere(~eq)[:5]
+    got = np.asarray(pm.blind_rotate_pallas_v9g(
+        degrees, jnp.asarray(body), jnp.asarray(lut),
+        v32, corr, plan, BASE_LOG, LEVELS, G, tb=4, interpret=True,
+        ss=ss))
+    eq = (got == want)
+    print(f"n_in={n_in} ss={ss}: {eq.mean()*100:.2f}% equal")
+    assert eq.all(), np.argwhere(~eq)[:5]
 print("V9G PARITY OK")

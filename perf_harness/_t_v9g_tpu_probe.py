@@ -1,5 +1,5 @@
 """v9g Mosaic lowering probe on the real chip: toy shape (N=512) compile +
-decrypt-parity vs the XLA twin, then timing.  SF=1 -> static_fronts."""
+decrypt-parity vs the XLA twin, then timing."""
 import os, sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
@@ -14,7 +14,6 @@ N_IN = int(os.environ.get("N_IN", "6"))
 TB = int(os.environ.get("TB", "128"))
 B = int(os.environ.get("B", "128"))
 SS = int(os.environ.get("SS", "2"))
-SF = os.environ.get("SF") == "1"
 
 gen_s = SecretRandomGenerator(123 + N_IN)
 lwe_sk = kg.generate_binary_lwe_secret_key(N_IN, gen_s)
@@ -27,7 +26,8 @@ plan = mxu.make_mxu_plan(N, num_primes=4)
 m_limbs = mxu.multibit_bsk_to_mxu(mbk, decomp, plan, G)
 bhat = mxu.multibit_eval_domain(mbk, decomp, plan, G)
 v32, corr = mxu.middle_v9_from_eval_device(jnp.asarray(bhat), plan,
-                                           BASE_LOG, G, ss=SS)
+                                           BASE_LOG, G, ss=SS,
+                                           subset_major=True)
 rng = np.random.default_rng(2)
 mask = rng.integers(0, 2 * N, (B, N_IN), dtype=np.uint64)
 body = rng.integers(0, 2 * N, (B,), dtype=np.uint64)
@@ -39,11 +39,10 @@ want = np.asarray(mxu.blind_rotate_mxu_multibit(
     degrees, jnp.asarray(body), jnp.asarray(lut),
     jnp.asarray(m_limbs), plan, BASE_LOG, LEVELS, G, trunc=True))
 f = jax.jit(lambda d, bo, l, v, c: pm.blind_rotate_pallas_v9g(
-    d, bo, l, v, c, plan, BASE_LOG, LEVELS, G, tb=TB, ss=SS,
-    static_fronts=SF))
+    d, bo, l, v, c, plan, BASE_LOG, LEVELS, G, tb=TB, ss=SS))
 t0 = time.time()
 got = np.asarray(f(degrees, jnp.asarray(body), jnp.asarray(lut), v32, corr))
-print(f"toy compile+first: {time.time()-t0:.1f}s sf={SF}", flush=True)
+print(f"toy compile+first: {time.time()-t0:.1f}s", flush=True)
 eq = (got == want)
 print(f"toy parity on TPU: {eq.mean()*100:.2f}% equal", flush=True)
 assert eq.all(), np.argwhere(~eq)[:8]

@@ -226,3 +226,40 @@ def test_tpu_multibit_set_pfail_model():
     log2_pfail = -x * x / math.log(2) - math.log2(x * math.sqrt(math.pi))
     assert abs(log2_pfail - P.log2_p_fail) < 1.0, (log2_pfail, P.log2_p_fail)
     assert log2_pfail < -128
+
+
+@pytest.mark.parametrize("n_in,grouping,ss,nprimes", [
+    (4, 2, 2, 4), (4, 4, 1, 4), (6, 2, 2, 4),
+])
+def test_v9g_kernel_parity_interpret(mb_setup, n_in, grouping, ss, nprimes):
+    """The grid-scheduled v9g kernel (subset-major middle layout,
+    per-pattern mid-dot accumulation) is bit-exact vs the XLA twin —
+    including the padded-tail case (n_groups=3, ss=2)."""
+    _, glwe_sk, decomp, _, _, _ = mb_setup
+    gen_s = SecretRandomGenerator(321 + n_in)
+    lwe_sk = kg.generate_binary_lwe_secret_key(n_in, gen_s)
+    gen_e = EncryptionRandomGenerator(17, DeterministicSeeder(5))
+    mbk = mb.generate_multibit_bootstrap_key(
+        lwe_sk, glwe_sk, decomp, grouping, TUniform(3), gen_e)
+    plan = mxu.make_mxu_plan(N, num_primes=nprimes)
+    m_limbs = mxu.multibit_bsk_to_mxu(mbk, decomp, plan, grouping)
+    bhat = mxu.multibit_eval_domain(mbk, decomp, plan, grouping)
+    v32, corr = mxu.middle_v9_from_eval_device(
+        jnp.asarray(bhat), plan, BASE_LOG, grouping, ss=ss,
+        subset_major=True)
+    rng = np.random.default_rng(2)
+    b = 4
+    mask = rng.integers(0, 2 * N, (b, n_in), dtype=np.uint64)
+    body = rng.integers(0, 2 * N, (b,), dtype=np.uint64)
+    lut = (rng.integers(0, 1 << 32, (b, K + 1, N), dtype=np.uint64)
+           << np.uint64(32))
+    degrees = srv.multibit_switched_degrees(jnp.asarray(mask), grouping,
+                                            N.bit_length(), raw=False)
+    want = np.asarray(mxu.blind_rotate_mxu_multibit(
+        degrees, jnp.asarray(body), jnp.asarray(lut),
+        jnp.asarray(m_limbs), plan, BASE_LOG, LEVELS, grouping, trunc=True))
+    got = np.asarray(pm.blind_rotate_pallas_v9g(
+        degrees, jnp.asarray(body), jnp.asarray(lut),
+        v32, corr, plan, BASE_LOG, LEVELS, grouping, tb=4, interpret=True,
+        ss=ss))
+    assert (got == want).all()

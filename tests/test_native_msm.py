@@ -125,3 +125,56 @@ def test_native_pairing_matches_python():
     rhs = cv.f12_pow(e_native, a * b)
     assert lhs == rhs
     assert cv.pairing(None, q) == cv.F12_ONE
+
+
+def test_native_pairing_product_matches_python_random_points():
+    """The native Jacobian multi-Miller pairing_product (one shared final
+    exponentiation) agrees with the pure-Python affine tower on RANDOM
+    points — the affine fallback only triggers on exceptional inputs in
+    production, so without this diff a regression in either path would
+    pass CI (ADVICE r4)."""
+    import random
+
+    from tfhe_tpu.zk import curve446 as cv
+
+    if cv._NATIVE is None or not getattr(cv._NATIVE,
+                                         "_has_pairing_product", False):
+        import pytest
+        pytest.skip("native pairing_product not built")
+    rng = random.Random(42)
+    pairs = [(cv.g1_mul(cv.G1_GEN, rng.randrange(2, cv.R)),
+              cv.g2_mul(cv.G2_GEN, rng.randrange(2, cv.R)))
+             for _ in range(3)] + [(None, cv.G2_GEN)]
+    got = cv.pairing_product(pairs)
+    nat = cv._NATIVE
+    try:
+        cv._NATIVE = None
+        want = cv.pairing_product(pairs)
+    finally:
+        cv._NATIVE = nat
+    assert got == want
+
+
+def test_a_theta_head_gmp_matches_numpy():
+    """Kronecker-substitution (GMP) vs exact-int64-correlation (numpy)
+    builds of the rot(a).T/rot(b).T head block (zk/pke.py) — the GMP path
+    is the verifier's critical path and was previously untested against
+    the numpy twin (ADVICE r4)."""
+    import random
+
+    from tfhe_tpu.zk import curve446 as cv
+    from tfhe_tpu.zk import gmp_bigint as g
+    from tfhe_tpu.zk import pke
+
+    if not g.available():
+        import pytest
+        pytest.skip("libgmp not available")
+    rng = random.Random(7)
+    d, k = 64, 8
+    theta1 = [rng.randrange(cv.R) for _ in range(d)]
+    theta2 = [rng.randrange(cv.R) for _ in range(k - 1)]
+    a = [rng.randrange(-(1 << 63), 1 << 63) for _ in range(2 * d)]
+    b = [rng.randrange(-(1 << 63), 1 << 63) for _ in range(2 * d)]
+    got = pke._a_theta_head_gmp(theta1, theta2, a, b, d, k)
+    want = pke._a_theta_head_np(theta1, theta2, a, b, d, k)
+    assert [x % cv.R for x in got] == [x % cv.R for x in want]

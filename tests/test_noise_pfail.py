@@ -232,3 +232,73 @@ def test_rerand_chain_production(prod_keys):
     got = dph.var()
     tol = 3.5 * math.sqrt(2.0 / n_s)
     assert (1 - tol - 0.1) * want < got < (1 + tol + 0.1) * want, (got, want)
+
+
+def test_cast_to_small_ms_chain_production(prod_keys):
+    """Cast-to-small (PKE -> compute) chain at the modulus-switch point
+    (cpk-casting analog of dp_ks_ms.rs; VERDICT r4 weak #8): fresh
+    dedicated-PKE encryption -> casting keyswitch to the small key ->
+    CENTERED-MEAN modulus switch (the exact ops cast_batch runs before its
+    PBS refresh, hlapi/compact_list.py).  The measured 2N-domain phase
+    variance must match var_pke + ks_additive + centered_ms_additive — an
+    un-centered switch misses by ~the raw-MS excess — and the closed-form
+    total must keep the refresh's p_fail under 2^-128."""
+    from tfhe_tpu.hlapi.compact_list import (
+        CompactPkeCastingKey, CompactPrivateKey, CompactPublicKey,
+    )
+    from tfhe_tpu.shortint.params import (
+        V1_4_PARAM_KEYSWITCH_PKE_TO_SMALL_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+        as SMALL,
+        V1_4_PARAM_PKE_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 as PKE,
+    )
+
+    ck, sk = prod_keys
+    p = PROD
+    pke_key = CompactPrivateKey(PKE, seed=0xCA57)
+    pk = CompactPublicKey(pke_key, seed=0xCA58)
+    cast = CompactPkeCastingKey(pke_key, ck, SMALL, server_key=sk,
+                                seed=0xCA59)
+    n_s = 512
+    lst = pk.encrypt_list([0] * n_s)
+    lst.needs_casting = False          # stats need the pre-cast LWEs
+    rows = np.stack([np.asarray(c.data) for c in lst.expand()])
+
+    ks = np.asarray(srv.keyswitch(jnp.asarray(rows), cast.ksk,
+                                  SMALL.ks_base_log, SMALL.ks_level, p.bits))
+    small_sk = ck.lwe_secret_key.data.astype(np.uint64)
+    ph_ks = _phase(small_sk, ks)
+    var_pke = nf.distribution_variance(PKE.encryption_noise, p.bits)
+    ks_add = nf.keyswitch_additive_variance(
+        PKE.encryption_lwe_dimension, SMALL.ks_base_log, SMALL.ks_level,
+        nf.distribution_variance(p.lwe_noise, p.bits), p.bits)
+    tol = 3.5 * math.sqrt(2.0 / n_s)
+    got_ks = ph_ks.var()
+    want_ks = var_pke + ks_add
+    assert (1 - tol) * want_ks < got_ks < (1 + tol) * want_ks, \
+        (got_ks, want_ks)
+
+    # centered-mean MS exactly as cast_batch does it
+    log_mod = p.polynomial_size.bit_length()
+    ksj = jnp.asarray(ks)
+    corr = srv.centered_binary_ms_correction(ksj, log_mod, p.bits)
+    body = np.asarray(srv.modulus_switch(ksj[:, -1] + corr, log_mod, p.bits))
+    mask_ms = np.asarray(srv.modulus_switch(ksj[:, :-1], log_mod, p.bits))
+    two_n = 1 << log_mod
+    ph2n = (body.astype(np.int64)
+            - (mask_ms * small_sk[None, :]).sum(axis=1,
+                                                dtype=np.uint64).astype(
+                                                    np.int64)) % two_n
+    ph2n = np.where(ph2n >= two_n // 2, ph2n - two_n, ph2n)
+    noise = ph2n.astype(np.float64) * 2.0 ** (p.bits - log_mod)
+    ms_add = nf.centered_ms_additive_variance(p.lwe_dimension, log_mod,
+                                              p.bits)
+    want_ms = want_ks + ms_add
+    got_ms = noise.var()
+    assert (1 - tol) * want_ms < got_ms < (1 + tol) * want_ms, \
+        (got_ms, want_ms, got_ms / want_ms)
+
+    # the closed-form total keeps the PBS-refresh p_fail within budget
+    half_box = 2.0 ** p.bits / (2 * p.total_modulus) / 2.0
+    x = half_box / math.sqrt(2.0 * want_ms)
+    log2_pfail = -x * x / math.log(2) - math.log2(x * math.sqrt(math.pi))
+    assert log2_pfail < -128, log2_pfail

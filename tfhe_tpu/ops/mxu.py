@@ -1028,7 +1028,7 @@ def multibit_eval_domain(mb_data: np.ndarray, decomp, plan: MxuPlan,
 
 @lru_cache(maxsize=None)
 def _middle_v9_chunk_jit(plan: MxuPlan, base_log: int, grouping: int,
-                         ss: int):
+                         ss: int, subset_major: bool = False):
     """Chunk of the fused-multibit middle build, FINAL layout per macro
     group — the pattern fold + ss-grouping run chunk-locally so the caller
     never materializes the flat (n_g*2^g)-major tensor (at g=2/2_2 that
@@ -1044,8 +1044,16 @@ def _middle_v9_chunk_jit(plan: MxuPlan, base_log: int, grouping: int,
         gsz = c_flat // nsub
         k = twok // 2
         v32 = v32.reshape(gsz, nsub, p_, n1, 2, k, c_)
-        v32 = jnp.transpose(v32, (0, 2, 3, 4, 1, 5, 6)).reshape(
-            gsz, p_, n1, 2 * nsub * k, c_)
+        if subset_major:
+            # [u0: M|M16][u1: M|M16]... — each pattern owns a contiguous
+            # 2*kmid row block so the v9g kernel can BlockSpec-slice the
+            # middle tensor by the pattern grid index (rows are the
+            # second-minor dim; lane slicing is illegal on TPU)
+            v32 = jnp.transpose(v32, (0, 2, 3, 1, 4, 5, 6)).reshape(
+                gsz, p_, n1, 2 * nsub * k, c_)
+        else:
+            v32 = jnp.transpose(v32, (0, 2, 3, 4, 1, 5, 6)).reshape(
+                gsz, p_, n1, 2 * nsub * k, c_)
         # corr is linear in the st rows: sum per-pattern corrections mod p
         corr = corr.reshape(gsz, nsub, p_, n1, c_).astype(jnp.uint64)
         corr = corr.sum(axis=1)
@@ -1064,7 +1072,8 @@ def _buf_write(buf, val, s):
 
 
 def middle_v9_from_eval_device(bhat, plan: MxuPlan, base_log: int,
-                               grouping: int, ss: int = 2, chunk: int = 32):
+                               grouping: int, ss: int = 2, chunk: int = 32,
+                               subset_major: bool = False):
     """Device-side fused-multibit middle build.
 
     bhat: (n_g * 2^g, l, k+1, k+1, P, N1, N2) u32 from multibit_eval_domain
@@ -1085,7 +1094,7 @@ def middle_v9_from_eval_device(bhat, plan: MxuPlan, base_log: int,
     gsz = ss * nsub                       # flat entries per macro group
     c = _pick_chunk(n_flat, chunk * nsub)
     c = gsz * max(1, c // gsz)            # chunks hold whole MACRO groups
-    fn = _middle_v9_chunk_jit(plan, base_log, grouping, ss)
+    fn = _middle_v9_chunk_jit(plan, base_log, grouping, ss, subset_major)
     v32_buf = corr_buf = None
     for s in range(0, n_flat, c):
         bh = bhat[s:s + c]

@@ -2594,18 +2594,28 @@ def blind_rotate_pallas_v9(degrees, msed_body, lut, v32, corr_mid, plan,
 # ---------------------------------------------------------------------------
 # v9g: grid-scheduled fused multi-bit kernel (v9 semantics, small program)
 # ---------------------------------------------------------------------------
-# Same math and layout contract as v9 (indicator pattern keys from
-# middle_v9_from_eval_device), but the macro-group sub-step j AND the 2^g
-# pattern index T run on the GRID (tiles, n_macro, ss, 2^g) instead of being
-# unrolled into the kernel body; the j-th lane slice of the packed v32/corr
-# tensors is carved out by the BlockSpec index map rather than in-kernel.
-# The Mosaic program then contains ONE rotation + decompose + s1 front plus
-# ONE predicated epilogue — about 1/(ss*2^g) of the unrolled v9 program.
-# On this 1-core host the unrolled v9 body never finished compiling (>2 h,
-# perf_harness/_r4_queue3.log) while a v7-sized body compiles in ~15 min;
-# program size, not math, was the round-4 blocker.  trunc_acc-only (the
-# production configuration).  Bit-exact vs ops.mxu.blind_rotate_mxu_multibit
-# (trunc=True).  Reference: lwe_multi_bit_programmable_bootstrapping.rs:329.
+# Same math as v9 (indicator pattern keys), but scheduled for compilability
+# and VMEM instead of maximal fusion:
+#   * the macro-group sub-step j and the 2^g pattern index T run on the
+#     GRID (tiles, n_macro, ss, 2^g) instead of being unrolled — the Mosaic
+#     program contains ONE front (rotate + decompose + s1) and one
+#     predicated epilogue, ~1/(ss*2^g) of the unrolled v9 program.  On this
+#     1-core host the unrolled v9 body never finished compiling (>2 h,
+#     perf_harness/_r4_queue3.log); a v7-sized body compiles in ~15 min.
+#   * the subset-expanded middle contraction is SPLIT per pattern: the
+#     middle tensor is SUBSET-MAJOR (middle_v9_from_eval_device
+#     subset_major=True), each grid step runs its own v7-sized mid dot
+#     right after its front and accumulates the raw i32 diagonals in
+#     scratch (exact — the dot is linear in its contraction), and the
+#     epilogue at T = 2^g - 1 assembles/inverts/Garners ONCE per group.
+#     The one-shot epilogue variant held 2^g x bigger mid temporaries and
+#     overflowed VMEM at production shape (302 MB > 128 MB).
+#   * the per-pattern key row block rides the BlockSpec index map (rows
+#     are second-minor — sliceable; lanes are not), so only 2*kmid key
+#     rows are VMEM-resident per step instead of the whole group.
+# trunc_acc-only (the production configuration).  Bit-exact vs
+# ops.mxu.blind_rotate_mxu_multibit(trunc=True).
+# Reference semantics: lwe_multi_bit_programmable_bootstrapping.rs:329-451.
 
 
 @lru_cache(maxsize=None)
@@ -2614,16 +2624,12 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
                            interpret: bool = False,
                            ablate: str | None = None,
                            num_primes: int = mxu_mod.N_PRIMES_DEFAULT,
-                           round_bits: int = 0, ss: int = 2,
-                           static_fronts: bool = False):
+                           round_bits: int = 0, ss: int = 2):
     """Grid-scheduled fused multi-bit blind-rotate (see section comment).
 
-    Caller layout identical to build_blind_rotate_v9.  The st scratch holds
-    ALL primes: pattern T's s1 dots land in rows [T*levels*cmid, ...) as the
-    grid walks T, and the epilogue at T = 2^g - 1 consumes one VMEM-resident
-    contraction block per prime.  static_fronts=True unrolls one front per
-    pattern under pl.when (static store offsets) as a fallback in case the
-    dynamic sublane-offset stores don't lower.
+    Caller layout: acc via to_v4_layout; a_rows group-major pattern degrees
+    (as v9); (v32, corr) from mxu.middle_v9_from_eval_device with the same
+    ss and subset_major=True.
     """
     nsub = 1 << grouping
     assert base_log <= 23 and 128 % (ss * nsub) == 0
@@ -2644,8 +2650,8 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
     p_mod64 = int(gc["P_mod64"])
 
     R = tb * k1 * n2
-    kmid = levels * k1 * n2
-    kmid_g = nsub * kmid
+    kmid = levels * k1 * n2              # per-pattern contraction rows
+    kmid_g = nsub * kmid                 # subset-expanded (bounds only)
     cmid = k1 * n2
 
     ams = []
@@ -2661,16 +2667,26 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
     b_inv = [8 * n1 * 128 * 128] * 4
     live_m = [len([1 for e in range(4) for f in range(4) if e + f == d])
               for d in range(7)]
+    # accumulated-diagonal bounds: the per-pattern partial dots sum to the
+    # same totals as the one-shot subset-expanded dot (v9's b_mid)
     b_mid = [2 * lv * kmid_g * 128 * 128 for lv in live_m]
+
+    # per-pattern partial-assembly bounds: each grid step assembles ONE
+    # pattern's diagonals (bounds b_mid/2^g) and the pairs are summed with
+    # carries across the 2^g steps; the per-call +bd offsets then total
+    # exactly the one-shot compensation (b_mid is divisible by 2^g), so
+    # mid_const is unchanged and the accumulated pair is bit-identical to
+    # the one-shot assembly of the summed diagonals.
+    b_mid_sub = [b // nsub for b in b_mid]
+    assert all(b % nsub == 0 for b in b_mid)
 
     mid_asm, inv_asm = [], []
     corri_np = np.zeros((num_primes, n1, LANES), np.uint32)
     mid_const = []
     for pi, p_ in enumerate(primes):
         a_, m_ = ams[pi]
-        # same assembled-bound split search as v9 (subset-expanded K)
         eps_p = a_ * (1 << m_) - 1
-        asmm = compm = None
+        asmm = None
         for hi_ds, eps_ds in (([4, 5], [6]), ([4], [5, 6]), ([], [4, 5, 6])):
             ws_try = [(eps_p << (8 * d - 28)) if d in eps_ds
                       else (1 << (8 * d)) for d in range(7)]
@@ -2678,16 +2694,20 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
             hi_ok = all((2 * b_mid[d]) << (8 * (d - hi_ds[0])) < (1 << 32)
                         for d in hi_ds)
             if bound < (1 << 63) and hi_ok:
-                wsm, asmm, compm = _weights_and_asm(b_mid, a_, m_,
-                                                    hi_ds, eps_ds)
+                wsm, asmm, compm_sub = _weights_and_asm(b_mid_sub, a_, m_,
+                                                        hi_ds, eps_ds)
                 break
         assert asmm is not None, "no mid assembly split fits u64"
+        # accumulated-pair bound over 2^g partial assemblies + corr once
+        vb_acc = (sum(w * 2 * b for w, b in zip(wsm, b_mid_sub)) * nsub
+                  + 2 * (p_ - 1))
+        assert (vb_acc >> 32) < (1 << 31), hex(vb_acc)
         wsi, asmi, compi = _weights_and_asm(b_inv, a_, m_, [], [])
         mid_asm.append(asmm)
         inv_asm.append(asmi)
         for k in range(n1):
             corri_np[pi, k, :] = (128 * int(invj_sum[pi, k]) - compi) % p_
-        mid_const.append((-compm) % p_)
+        mid_const.append((-(compm_sub * nsub)) % p_)
 
     _blk = np.arange(8 * cmid) // cmid
     SHD_NP = (8 * np.maximum(3 - _blk, 0)).astype(np.uint32)[None, None, :]
@@ -2709,15 +2729,14 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
         def _():
             acc_hi_s[:] = acc_hi_in[:]
 
-        def front(Tdyn, base_rows):
-            """Rotation + decompose + s1 dots of this step's pattern.
-            Tdyn: traced or static pattern index; base_rows: st row offset
-            (static int or traced scalar; levels folded in by caller)."""
+        def front_and_partial():
+            """Rotation + decompose + s1 dots of this step's pattern, then
+            the pattern's v7-sized mid-dot partial, accumulated in acm_s."""
             acc_hi = acc_hi_s[:]
             # -- this step's pattern degree (one a_rows column) -----------
             lane2 = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
             col = jax.lax.rem(sM, np.int32(amounts_per_block)) \
-                * np.int32(ss * nsub) + jj * np.int32(nsub) + Tdyn
+                * np.int32(ss * nsub) + jj * np.int32(nsub) + T
             masked = jnp.where(lane2 == col, arow_ref[:], np.int32(0))
             for sh in (64, 32, 16, 8, 4, 2, 1):
                 masked = masked + pltpu.roll(masked, np.int32(sh), 1)
@@ -2751,6 +2770,7 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
             for lev in range(levels):
                 dT = jnp.transpose(digits[lev]) + U32(OFF)
                 plane = pltpu.bitcast(dT ^ XORC, jnp.int8)
+                base = lev * cmid
                 for pi in range(num_primes):
                     if ablate == "s1":
                         diags = [plane[:n1].astype(jnp.int32)] * 4
@@ -2764,63 +2784,71 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
                                         U32) + U32(OFFS)
                     dgB = pltpu.bitcast(diags[2] + (diags[3] << np.int32(8)),
                                         U32) + U32(OFFS)
-                    row0 = base_rows + lev * cmid if levels > 1 else base_rows
-                    if isinstance(row0, int):
-                        st_lo_s[pi, :, row0:row0 + cmid, :] = \
-                            dgA.reshape(n1, cmid, tb)
-                        st_hi_s[pi, :, row0:row0 + cmid, :] = \
-                            dgB.reshape(n1, cmid, tb)
-                    else:
-                        st_lo_s[pi, :, pl.ds(row0, cmid), :] = \
-                            dgA.reshape(n1, cmid, tb)
-                        st_hi_s[pi, :, pl.ds(row0, cmid), :] = \
-                            dgB.reshape(n1, cmid, tb)
+                    st_lo_s[pi, :, base:base + cmid, :] = \
+                        dgA.reshape(n1, cmid, tb)
+                    st_hi_s[pi, :, base:base + cmid, :] = \
+                        dgB.reshape(n1, cmid, tb)
 
-        def epilogue():
-            """Mid + inverse + Garner over the group's full st block;
-            REPLACES the accumulator (v9 semantics)."""
-            res_primes = []
+            # -- this pattern's middle partial: v7-sized dot, assembled
+            # and accumulated as an exact u64 PAIR (same weights for every
+            # pattern; the corr constant rides pattern 0 only, so the
+            # accumulated pair equals the one-shot asm of the summed
+            # diagonals bit-exactly, at 2 MB of scratch per word instead
+            # of a 50 MB raw-i32 accumulator -- the VMEM wall)
             for pi in range(num_primes):
-                # ---- middle: two-family byte dot over the expanded K ----
                 r_lo = pltpu.bitcast(st_lo_s[pi] ^ XORC, jnp.int8)
                 r_hi = pltpu.bitcast(st_hi_s[pi] ^ XORC, jnp.int8)
-                rhs = jnp.concatenate([r_lo, r_hi], axis=1)
+                rhs = jnp.concatenate([r_lo, r_hi], axis=1)  # (n1,8kmid,tb)
                 if ablate == "mid":
-                    diags = [rhs[:, :cmid, :].astype(jnp.int32)] * 7
+                    outd = jnp.zeros((n1, 8 * cmid, tb), jnp.int32)
                 else:
-                    # j-th lane slice of the ss-packed middle tensor
-                    # (Pallas block minors must be full-width; the slice
-                    # choices are static, select_n picks by the grid index)
+                    # this pattern's 2*kmid key rows arrived via the
+                    # BlockSpec (row-block T); jj picks the lane slice
                     mj = [m_ref[0, pi][:, :, jc * cmid:(jc + 1) * cmid]
                           for jc in range(ss)]
                     v_pack = mj[0] if ss == 1 else jax.lax.select_n(jj, *mj)
-                    tiled = pltpu.repeat(v_pack, 8, 2)
+                    tiled = pltpu.repeat(v_pack, 8, 2)  # (n1,2kmid,8cmid)
                     w_all = (tiled >> shd_ref[:]) << shu_ref[:]
                     lhs = pltpu.bitcast(w_all, jnp.int8)
-                    out = jax.lax.dot_general(
+                    outd = jax.lax.dot_general(
                         lhs, rhs,
                         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.int32)  # (n1,8cmid,tb)
-                    diags = [out[:, d * cmid:(d + 1) * cmid, :]
-                             for d in range(7)]
-                if ablate == "mida":
-                    vt_lo_s[:, :tb] = diags[0][:, 0, :].astype(U32)
-                    vt_hi_s[:, :tb] = diags[1][:, 0, :].astype(U32)
-                else:
-                    cj = [cm_ref[0, pi][:, jc * cmid:(jc + 1) * cmid]
-                          for jc in range(ss)]
-                    cmv = ((cj[0] if ss == 1 else jax.lax.select_n(jj, *cj))
-                           + U32(mid_const[pi]))[:, :, None]
-                    Vlo, Vhi, vb = mid_asm[pi](diags, cmv,
-                                               2 * (primes[pi] - 1))
-                    assert (vb >> 32) < (1 << 31)
-                    vt_lo_s[:] = Vlo.reshape(n1, cmid * tb)
-                    vt_hi_s[:] = Vhi.reshape(n1, cmid * tb)
+                diags = [outd[:, d * cmid:(d + 1) * cmid, :]
+                         for d in range(7)]
+                cj = [cm_ref[0, pi][:, jc * cmid:(jc + 1) * cmid]
+                      for jc in range(ss)]
+                cmv = ((cj[0] if ss == 1 else jax.lax.select_n(jj, *cj))
+                       + U32(mid_const[pi]))[:, :, None]
+                cmv = jnp.where(T == 0, cmv, jnp.zeros_like(cmv))
+                Vlo, Vhi, vb = mid_asm[pi](diags, cmv,
+                                           2 * (primes[pi] - 1))
+                assert (vb >> 32) < (1 << 31)
+                lo_u = Vlo.reshape(n1, cmid * tb)
+                hi_u = Vhi.reshape(n1, cmid * tb)
 
+                @pl.when(T == 0)
+                def _(pi=pi, lo_u=lo_u, hi_u=hi_u):
+                    vt_lo_s[pi] = lo_u
+                    vt_hi_s[pi] = hi_u
+
+                @pl.when(T != 0)
+                def _(pi=pi, lo_u=lo_u, hi_u=hi_u):
+                    lo_old = vt_lo_s[pi]
+                    lo_new = lo_old + lo_u
+                    carry = (lo_new < lo_old).astype(U32)
+                    vt_lo_s[pi] = lo_new
+                    vt_hi_s[pi] = vt_hi_s[pi] + hi_u + carry
+
+        def epilogue():
+            """Inverse + Garner over the accumulated assembled pairs;
+            REPLACES the accumulator (v9 semantics)."""
+            res_primes = []
+            for pi in range(num_primes):
                 # ---- inverse stage: 2^32-scaled tables + ONE REDC -------
                 rv = jnp.concatenate(
-                    [pltpu.bitcast(vt_lo_s[:] ^ XORC, jnp.int8),
-                     pltpu.bitcast(vt_hi_s[:] ^ XORC, jnp.int8)], axis=0)
+                    [pltpu.bitcast(vt_lo_s[pi] ^ XORC, jnp.int8),
+                     pltpu.bitcast(vt_hi_s[pi] ^ XORC, jnp.int8)], axis=0)
                 if ablate == "inv":
                     diags = [rv[:n1].astype(jnp.int32)] * 4
                 else:
@@ -2858,13 +2886,7 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
             acc_hi_s[:] = out_hi + (out_lo >> U32(31))
 
         def step():
-            if static_fronts:
-                for Tc in range(nsub):
-                    @pl.when(T == Tc)
-                    def _(Tc=Tc):
-                        front(np.int32(Tc), Tc * levels * cmid)
-            else:
-                front(T, T * np.int32(levels * cmid))
+            front_and_partial()
 
             @pl.when(T == nsub - 1)
             def _():
@@ -2908,8 +2930,9 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
                 memory_space=vmem),
             pl.BlockSpec((R, LANES), lambda t, s, j, T: (t, z(t)),
                          memory_space=vmem),
-            pl.BlockSpec((1, num_primes, n1, 2 * kmid_g, ss * cmid),
-                         lambda t, s, j, T: (s, z(t), z(t), z(t), z(t)),
+            # per-pattern key row block: subset-major rows sliced by T
+            pl.BlockSpec((1, num_primes, n1, 2 * kmid, ss * cmid),
+                         lambda t, s, j, T: (s, z(t), z(t), T, z(t)),
                          memory_space=vmem),
             pl.BlockSpec((1, num_primes, n1, ss * cmid),
                          lambda t, s, j, T: (s, z(t), z(t), z(t)),
@@ -2934,9 +2957,9 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
             out_specs=out_specs,
             out_shape=[jax.ShapeDtypeStruct((batch_rows, LANES), U32)],
             scratch_shapes=[pltpu.VMEM((R, LANES), U32)] +
-                           [pltpu.VMEM((num_primes, n1, kmid_g, tb),
-                                       U32)] * 2 +
-                           [pltpu.VMEM((n1, cmid * tb), U32)] * 2,
+                           [pltpu.VMEM((num_primes, n1, kmid, tb), U32)] * 2 +
+                           [pltpu.VMEM((num_primes, n1, cmid * tb),
+                                       U32)] * 2,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=126 * 1024 * 1024,
@@ -2954,13 +2977,12 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
 def blind_rotate_pallas_v9g(degrees, msed_body, lut, v32, corr_mid, plan,
                             base_log: int, levels: int, grouping: int,
                             tb: int = 128, interpret: bool = False,
-                            ablate: str | None = None, ss: int = 2,
-                            static_fronts: bool = False):
+                            ablate: str | None = None, ss: int = 4):
     """Multi-bit blind rotation through the grid-scheduled v9g kernel;
     trunc-mode semantics of ops.mxu.blind_rotate_mxu_multibit(trunc=True).
-    (v32, corr_mid) from mxu.middle_v9_from_eval_device with the same ss/g.
-    degrees: (B, n_g, 2^g) u64 pattern degrees in [0, 2N) from
-    server.multibit_switched_degrees."""
+    (v32, corr_mid) from mxu.middle_v9_from_eval_device with the same ss/g
+    and subset_major=True.  degrees: (B, n_g, 2^g) u64 pattern degrees in
+    [0, 2N) from server.multibit_switched_degrees."""
     from .server import monomial_div
 
     b, k1, n = lut.shape
@@ -2976,8 +2998,7 @@ def blind_rotate_pallas_v9g(degrees, msed_body, lut, v32, corr_mid, plan,
     run = build_blind_rotate_v9g(n, base_log, levels, k1, tb, n_groups,
                                  grouping, interpret, ablate=ablate,
                                  num_primes=plan.num_primes,
-                                 round_bits=plan.round_bits, ss=ss,
-                                 static_fronts=static_fronts)
+                                 round_bits=plan.round_bits, ss=ss)
     n2 = n // 128
     n_amounts = n_groups * nsub
     n_pad = -(-n_amounts // 128) * 128

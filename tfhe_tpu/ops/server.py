@@ -973,11 +973,11 @@ def ks_pbs_batch_mxu_multibit(ct, lut, ksk, v32, corr_mid, mplan,
                               centered_ms: bool = False, tb: int = 64,
                               ks32: bool = False, interpret: bool = False,
                               ss: int = 2):
-    """Multi-bit atomic pattern over the fused v9 MXU kernel: keyswitch
+    """Multi-bit atomic pattern over the fused v9g MXU kernel: keyswitch
     matmul, modulus switch, indicator-pattern fused blind rotate, sample
     extract.  (v32, corr_mid) from mxu.middle_v9_from_eval_device with the
-    same ss."""
-    from .pallas_mxu import blind_rotate_pallas_v9
+    same ss and subset_major=True (the v9g layout)."""
+    from .pallas_mxu import blind_rotate_pallas_v9g
 
     n_poly = lut.shape[-1]
     log_mod = n_poly.bit_length()
@@ -996,9 +996,9 @@ def ks_pbs_batch_mxu_multibit(ct, lut, ksk, v32, corr_mid, mplan,
             body = modulus_switch(ks[:, -1], log_mod, bits)
         degrees = multibit_switched_degrees(ks[:, :-1], grouping, log_mod,
                                             bits, raw=True)
-    acc = blind_rotate_pallas_v9(degrees, body, lut, v32, corr_mid, mplan,
-                                 pbs_base_log, pbs_levels, grouping, tb=tb,
-                                 interpret=interpret, trunc_acc=True, ss=ss)
+    acc = blind_rotate_pallas_v9g(degrees, body, lut, v32, corr_mid, mplan,
+                                  pbs_base_log, pbs_levels, grouping, tb=tb,
+                                  interpret=interpret, ss=ss)
     return sample_extract(acc)
 
 

@@ -408,13 +408,13 @@ class ServerKey:
             nprimes = int(os.environ.get("TFHE_TPU_MXU_PRIMES", "3"))
             mplan = mxu.make_mxu_plan(p.polynomial_size, num_primes=nprimes,
                                       round_bits=rb)
-            ss = int(os.environ.get("TFHE_TPU_MXU_SS", "2"))
+            ss = int(os.environ.get("TFHE_TPU_MXU_SS", "4"))
             bhat = mxu.multibit_eval_domain(
                 self._mb_bsk_coeff, p.core.pbs_decomp, mplan,
                 p.grouping_factor)
             v32, corr = mxu.middle_v9_from_eval_device(
                 jax.device_put(bhat), mplan, p.pbs_base_log,
-                p.grouping_factor, ss=ss)
+                p.grouping_factor, ss=ss, subset_major=True)
             self._mxu_mb_m = v32
             self._mxu_mb_corr = corr
             self._mxu_mb_plan = mplan
@@ -584,7 +584,7 @@ class ServerKey:
             v32, corr, mplan = self._ensure_mxu_mb()
             tb = min(int(os.environ.get("TFHE_TPU_MXU_TB", "128")),
                      batch.shape[0])
-            ss = int(os.environ.get("TFHE_TPU_MXU_SS", "2"))
+            ss = int(os.environ.get("TFHE_TPU_MXU_SS", "4"))
             out = srv.ks_pbs_batch_mxu_multibit(
                 jnp.asarray(batch), jnp.asarray(lut_b), self.ksk, v32, corr,
                 mplan, p.ks_base_log, p.ks_level, p.pbs_base_log,
