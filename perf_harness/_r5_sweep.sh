@@ -1,0 +1,18 @@
+#!/bin/bash
+# Round-5 COMPLETE hardware sweep (VERDICT r4 next-#3): every suite, one
+# log, then the regression gate vs the round-3 partial sweep.
+cd /root/repo
+LOG=perf_harness/_benches_r5.txt
+: > "$LOG"
+for s in ks ks_pbs multibit pbs128 compression integer integer_throughput sizes; do
+  echo "=== suite $s ===" | tee -a "$LOG"
+  timeout 5400 python benches/run.py --suite "$s" --params prod >> "$LOG" 2>&1
+  echo "--- exit=$? ---" >> "$LOG"
+done
+echo "=== suite zk (host) ===" | tee -a "$LOG"
+JAX_PLATFORMS=cpu timeout 5400 python benches/run.py --suite zk --params prod >> "$LOG" 2>&1
+echo "--- exit=$? ---" >> "$LOG"
+echo "=== regression gate vs r3 ===" | tee -a "$LOG"
+python benches/regress.py perf_harness/_benches_r3.txt "$LOG" >> "$LOG" 2>&1
+echo "--- gate exit=$? ---" >> "$LOG"
+echo "=== sweep done ===" | tee -a "$LOG"

@@ -2618,6 +2618,15 @@ def blind_rotate_pallas_v9(degrees, msed_body, lut, v32, corr_mid, plan,
 # Reference semantics: lwe_multi_bit_programmable_bootstrapping.rs:329-451.
 
 
+def _sel_by_scalar(idx, parts):
+    """parts[idx] for a traced scalar idx via a where-chain (Mosaic's
+    select_n lowering only supports 2 cases)."""
+    out = parts[0]
+    for i in range(1, len(parts)):
+        out = jnp.where(idx == i, parts[i], out)
+    return out
+
+
 @lru_cache(maxsize=None)
 def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
                            tb: int, n_groups: int, grouping: int,
@@ -2806,7 +2815,7 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
                     # BlockSpec (row-block T); jj picks the lane slice
                     mj = [m_ref[0, pi][:, :, jc * cmid:(jc + 1) * cmid]
                           for jc in range(ss)]
-                    v_pack = mj[0] if ss == 1 else jax.lax.select_n(jj, *mj)
+                    v_pack = mj[0] if ss == 1 else _sel_by_scalar(jj, mj)
                     tiled = pltpu.repeat(v_pack, 8, 2)  # (n1,2kmid,8cmid)
                     w_all = (tiled >> shd_ref[:]) << shu_ref[:]
                     lhs = pltpu.bitcast(w_all, jnp.int8)
@@ -2818,7 +2827,7 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
                          for d in range(7)]
                 cj = [cm_ref[0, pi][:, jc * cmid:(jc + 1) * cmid]
                       for jc in range(ss)]
-                cmv = ((cj[0] if ss == 1 else jax.lax.select_n(jj, *cj))
+                cmv = ((cj[0] if ss == 1 else _sel_by_scalar(jj, cj))
                        + U32(mid_const[pi]))[:, :, None]
                 cmv = jnp.where(T == 0, cmv, jnp.zeros_like(cmv))
                 Vlo, Vhi, vb = mid_asm[pi](diags, cmv,

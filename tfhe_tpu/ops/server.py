@@ -396,8 +396,16 @@ def multibit_switched_degrees(mask, grouping: int, log_mod: int,
     values in [0, 2N) (raw=False, used by the compressed-modulus-switched
     format which only stores switched values; d_u = sum mod 2N, paying up
     to g rounding errors — still no worse than the classic per-element
-    MS).  Selection bits are BIG-ENDIAN: the group's first element maps to
-    u's most significant bit.  Returns (B, n/g, 2^g) u64 in [0, 2N).
+    MS).  NOTE: the reference's compressed multi-bit format instead packs
+    per-pattern DIFFS so reconstruction equals modulus_switch(raw sums)
+    exactly (compressed_modulus_switched_multi_bit_lwe_ciphertext.rs:
+    430-476); our raw=False degrees are therefore NOT bit-compatible with
+    reference-compressed multi-bit ciphertexts, and the ≤(g-1) extra MS
+    roundings per pattern are the documented cost (they add at most the
+    classic per-element MS variance, which the noise budget already
+    covers — core/noise.multibit_pbs_output_variance).  Selection bits
+    are BIG-ENDIAN: the group's first element maps to u's most
+    significant bit.  Returns (B, n/g, 2^g) u64 in [0, 2N).
     """
     b, n = mask.shape
     g = grouping
