@@ -13,6 +13,7 @@ TB = int(os.environ.get("TB", "128"))
 B = int(os.environ.get("B", "512"))
 SS = int(os.environ.get("SS", "4"))
 ABL = os.environ.get("ABL") or None
+TL = os.environ.get("TL") == "1"
 ITERS = int(os.environ.get("ITERS", "4"))
 G = P.grouping_factor
 
@@ -28,7 +29,8 @@ print(f"host eval domain: {time.time()-t0:.1f}s bhat={bhat.shape}", flush=True)
 t0 = time.time()
 v32, corr = mxu.middle_v9_from_eval_device(jax.device_put(bhat), mplan,
                                            P.pbs_base_log, G, ss=SS,
-                                           subset_major=True)
+                                           subset_major=("t_lanes" if TL
+                                                         else True))
 np.asarray(v32[0, 0, 0, 0])
 print(f"middle build: {time.time()-t0:.1f}s v32={v32.shape} "
       f"{v32.size*4/2**30:.2f} GiB logical", flush=True)
@@ -50,7 +52,7 @@ luts = [jnp.asarray(rng.integers(0, 1 << 5, (B, 2, N), dtype=np.uint64)
 def run(deg, body, lut, v32, corr):
     return pm.blind_rotate_pallas_v9g(deg, body, lut, v32, corr, mplan,
                                       P.pbs_base_log, P.pbs_level, G, tb=TB,
-                                      ss=SS, ablate=ABL)
+                                      ss=SS, ablate=ABL, t_lanes=TL)
 
 
 f = jax.jit(run)
@@ -63,5 +65,5 @@ for i in range(ITERS):
     out = f(degs[i], bodys[i], luts[i], v32, corr)
 np.asarray(out)
 dt = time.time() - t0
-print(f"v9g g={G} tb={TB} B={B} ss={SS} ablate={ABL}: "
+print(f"v9g g={G} tb={TB} B={B} ss={SS} tl={TL} ablate={ABL}: "
       f"{B*ITERS/dt:.1f} BR/s  ({dt/ITERS*1e3:.1f} ms/batch)", flush=True)

@@ -1044,7 +1044,17 @@ def _middle_v9_chunk_jit(plan: MxuPlan, base_log: int, grouping: int,
         gsz = c_flat // nsub
         k = twok // 2
         v32 = v32.reshape(gsz, nsub, p_, n1, 2, k, c_)
-        if subset_major:
+        if subset_major == "t_lanes":
+            # rows [fam][k] (one group = 2*kmid rows, ss groups stacked on
+            # rows below), lanes [u][cmid] (pattern-packed, nsub*cmid=128
+            # at g=2/N=2048): the v9g kernel BlockSpec-slices ROWS by the
+            # sub-group grid index jj and selects the pattern lane slice
+            # in-kernel — the block index then changes only every 2^g
+            # inner steps, so Pallas re-uses the DMA'd block across the
+            # whole group (4x less key traffic than pattern-sliced rows)
+            v32 = jnp.transpose(v32, (0, 2, 3, 4, 5, 1, 6)).reshape(
+                gsz, p_, n1, 2 * k, nsub * c_)
+        elif subset_major:
             # [u0: M|M16][u1: M|M16]... — each pattern owns a contiguous
             # 2*kmid row block so the v9g kernel can BlockSpec-slice the
             # middle tensor by the pattern grid index (rows are the
@@ -1060,6 +1070,12 @@ def _middle_v9_chunk_jit(plan: MxuPlan, base_log: int, grouping: int,
         ps = jnp.asarray(np.array(plan.primes, np.uint64))[None, :, None,
                                                            None]
         corr = (corr % ps).astype(jnp.uint32)
+        if subset_major == "t_lanes":
+            g_, p2, n1_, r_, l_ = v32.shape
+            v32g = jnp.transpose(
+                v32.reshape(g_ // ss, ss, p2, n1_, r_, l_),
+                (0, 2, 3, 1, 4, 5)).reshape(g_ // ss, p2, n1_, ss * r_, l_)
+            return v32g, _group_ss(corr, ss)
         return _group_ss(v32, ss), _group_ss(corr, ss)
 
     return jax.jit(fn)

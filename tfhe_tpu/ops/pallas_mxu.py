@@ -2492,8 +2492,12 @@ def build_blind_rotate_v9(n: int, base_log: int, levels: int, k1: int,
         assert acc_lo.shape == (batch_rows, LANES)
         assert batch_rows % R == 0
         assert a_rows.shape == (batch_rows, n_steps_pad), a_rows.shape
-        assert v32.shape == (n_macro, num_primes, n1, 2 * kmid_g,
-                             ss * cmid), v32.shape
+        if t_lanes:
+            assert v32.shape == (n_macro, num_primes, n1, ss * 2 * kmid,
+                                 nsub * cmid), v32.shape
+        else:
+            assert v32.shape == (n_macro, num_primes, n1, 2 * kmid_g,
+                                 ss * cmid), v32.shape
         assert corr_mid.shape == (n_macro, num_primes, n1, ss * cmid)
         n_tiles = batch_rows // R
         vmem = pltpu.VMEM
@@ -2633,7 +2637,8 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
                            interpret: bool = False,
                            ablate: str | None = None,
                            num_primes: int = mxu_mod.N_PRIMES_DEFAULT,
-                           round_bits: int = 0, ss: int = 2):
+                           round_bits: int = 0, ss: int = 2,
+                           t_lanes: bool = False):
     """Grid-scheduled fused multi-bit blind-rotate (see section comment).
 
     Caller layout: acc via to_v4_layout; a_rows group-major pattern degrees
@@ -2811,11 +2816,21 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
                 if ablate == "mid":
                     outd = jnp.zeros((n1, 8 * cmid, tb), jnp.int32)
                 else:
-                    # this pattern's 2*kmid key rows arrived via the
-                    # BlockSpec (row-block T); jj picks the lane slice
-                    mj = [m_ref[0, pi][:, :, jc * cmid:(jc + 1) * cmid]
-                          for jc in range(ss)]
-                    v_pack = mj[0] if ss == 1 else _sel_by_scalar(jj, mj)
+                    if t_lanes:
+                        # the group's 2*kmid key rows arrived via the
+                        # BlockSpec (row-block jj, constant across the 2^g
+                        # inner steps -> one DMA per group); T picks the
+                        # pattern lane slice
+                        mj = [m_ref[0, pi][:, :, u * cmid:(u + 1) * cmid]
+                              for u in range(nsub)]
+                        v_pack = _sel_by_scalar(T, mj)
+                    else:
+                        # this pattern's 2*kmid key rows arrived via the
+                        # BlockSpec (row-block T); jj picks the lane slice
+                        mj = [m_ref[0, pi][:, :, jc * cmid:(jc + 1) * cmid]
+                              for jc in range(ss)]
+                        v_pack = (mj[0] if ss == 1
+                                  else _sel_by_scalar(jj, mj))
                     tiled = pltpu.repeat(v_pack, 8, 2)  # (n1,2kmid,8cmid)
                     w_all = (tiled >> shd_ref[:]) << shu_ref[:]
                     lhs = pltpu.bitcast(w_all, jnp.int8)
@@ -2925,8 +2940,12 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
         assert acc_hi.shape == (batch_rows, LANES)
         assert batch_rows % R == 0
         assert a_rows.shape == (batch_rows, n_steps_pad), a_rows.shape
-        assert v32.shape == (n_macro, num_primes, n1, 2 * kmid_g,
-                             ss * cmid), v32.shape
+        if t_lanes:
+            assert v32.shape == (n_macro, num_primes, n1, ss * 2 * kmid,
+                                 nsub * cmid), v32.shape
+        else:
+            assert v32.shape == (n_macro, num_primes, n1, 2 * kmid_g,
+                                 ss * cmid), v32.shape
         assert corr_mid.shape == (n_macro, num_primes, n1, ss * cmid)
         n_tiles = batch_rows // R
         vmem = pltpu.VMEM
@@ -2939,10 +2958,14 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
                 memory_space=vmem),
             pl.BlockSpec((R, LANES), lambda t, s, j, T: (t, z(t)),
                          memory_space=vmem),
-            # per-pattern key row block: subset-major rows sliced by T
-            pl.BlockSpec((1, num_primes, n1, 2 * kmid, ss * cmid),
-                         lambda t, s, j, T: (s, z(t), z(t), T, z(t)),
-                         memory_space=vmem),
+            # key row block: t_lanes slices rows by the sub-group jj
+            # (pattern on lanes; one DMA per group), else by the pattern T
+            (pl.BlockSpec((1, num_primes, n1, 2 * kmid, nsub * cmid),
+                          lambda t, s, j, T: (s, z(t), z(t), j, z(t)),
+                          memory_space=vmem) if t_lanes else
+             pl.BlockSpec((1, num_primes, n1, 2 * kmid, ss * cmid),
+                          lambda t, s, j, T: (s, z(t), z(t), T, z(t)),
+                          memory_space=vmem)),
             pl.BlockSpec((1, num_primes, n1, ss * cmid),
                          lambda t, s, j, T: (s, z(t), z(t), z(t)),
                          memory_space=vmem),
@@ -2986,7 +3009,8 @@ def build_blind_rotate_v9g(n: int, base_log: int, levels: int, k1: int,
 def blind_rotate_pallas_v9g(degrees, msed_body, lut, v32, corr_mid, plan,
                             base_log: int, levels: int, grouping: int,
                             tb: int = 128, interpret: bool = False,
-                            ablate: str | None = None, ss: int = 4):
+                            ablate: str | None = None, ss: int = 4,
+                            t_lanes: bool = False):
     """Multi-bit blind rotation through the grid-scheduled v9g kernel;
     trunc-mode semantics of ops.mxu.blind_rotate_mxu_multibit(trunc=True).
     (v32, corr_mid) from mxu.middle_v9_from_eval_device with the same ss/g
@@ -2998,8 +3022,13 @@ def blind_rotate_pallas_v9g(degrees, msed_body, lut, v32, corr_mid, plan,
     nsub = 1 << grouping
     b_d, n_groups, nsub_d = degrees.shape
     assert (b_d, nsub_d) == (b, nsub)
+    kmid_ = levels * k1 * (n // 128)
     assert v32.shape[0] == -(-n_groups // ss), (v32.shape, n_groups, ss)
-    assert v32.shape[-2] == 2 * nsub * levels * k1 * (n // 128)
+    if t_lanes:
+        assert v32.shape[-2:] == (ss * 2 * kmid_,
+                                  nsub * k1 * (n // 128)), v32.shape
+    else:
+        assert v32.shape[-2] == 2 * nsub * kmid_, v32.shape
     assert b % tb == 0, (b, tb)
     acc0 = monomial_div(lut, msed_body[:, None, None])
     acc0 = (acc0 + np.uint64(1 << 31)) & np.uint64(0xFFFFFFFF00000000)
@@ -3007,7 +3036,8 @@ def blind_rotate_pallas_v9g(degrees, msed_body, lut, v32, corr_mid, plan,
     run = build_blind_rotate_v9g(n, base_log, levels, k1, tb, n_groups,
                                  grouping, interpret, ablate=ablate,
                                  num_primes=plan.num_primes,
-                                 round_bits=plan.round_bits, ss=ss)
+                                 round_bits=plan.round_bits, ss=ss,
+                                 t_lanes=t_lanes)
     n2 = n // 128
     n_amounts = n_groups * nsub
     n_pad = -(-n_amounts // 128) * 128
