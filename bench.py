@@ -124,7 +124,11 @@ def bench_v3(ck, sk, params, batch):
                               round_bits=rb)
     bhat, _ = mxu.bsk_eval_domain(bsk, mplan, mont=(fold == "redc"))
     corr_dev = None
-    if kernel in ("v5", "v6", "v7"):
+    if kernel == "v8":
+        ss = int(os.environ.get("TFHE_TPU_BENCH_V8_SS", "1"))
+        m_dev, corr_dev = mxu.middle_v8_from_eval_device(
+            jax.device_put(bhat), mplan, p.pbs_base_log, ss=ss)
+    elif kernel in ("v5", "v6", "v7"):
         m_dev, corr_dev = mxu.middle_v5_from_eval_device(
             jax.device_put(bhat), mplan)
     else:

@@ -980,7 +980,7 @@ def ks_pbs_batch_mxu_multibit(ct, lut, ksk, v32, corr_mid, mplan,
                               grouping: int, bits: int = 64,
                               centered_ms: bool = False, tb: int = 64,
                               ks32: bool = False, interpret: bool = False,
-                              ss: int = 2):
+                              ss: int = 2, t_lanes: bool = False):
     """Multi-bit atomic pattern over the fused v9g MXU kernel: keyswitch
     matmul, modulus switch, indicator-pattern fused blind rotate, sample
     extract.  (v32, corr_mid) from mxu.middle_v9_from_eval_device with the
@@ -1006,7 +1006,8 @@ def ks_pbs_batch_mxu_multibit(ct, lut, ksk, v32, corr_mid, mplan,
                                             bits, raw=True)
     acc = blind_rotate_pallas_v9g(degrees, body, lut, v32, corr_mid, mplan,
                                   pbs_base_log, pbs_levels, grouping, tb=tb,
-                                  interpret=interpret, ss=ss)
+                                  interpret=interpret, ss=ss,
+                                  t_lanes=t_lanes)
     return sample_extract(acc)
 
 

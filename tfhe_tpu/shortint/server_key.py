@@ -409,15 +409,20 @@ class ServerKey:
             mplan = mxu.make_mxu_plan(p.polynomial_size, num_primes=nprimes,
                                       round_bits=rb)
             ss = int(os.environ.get("TFHE_TPU_MXU_SS", "4"))
+            tl = os.environ.get("TFHE_TPU_MXU_TL", "1") == "1" and (
+                (1 << p.grouping_factor) * (p.glwe_dimension + 1)
+                * (p.polynomial_size // 128) == 128)
             bhat = mxu.multibit_eval_domain(
                 self._mb_bsk_coeff, p.core.pbs_decomp, mplan,
                 p.grouping_factor)
             v32, corr = mxu.middle_v9_from_eval_device(
                 jax.device_put(bhat), mplan, p.pbs_base_log,
-                p.grouping_factor, ss=ss, subset_major=True)
+                p.grouping_factor, ss=ss,
+                subset_major=("t_lanes" if tl else True))
             self._mxu_mb_m = v32
             self._mxu_mb_corr = corr
             self._mxu_mb_plan = mplan
+            self._mxu_mb_tl = tl
         return self._mxu_mb_m, self._mxu_mb_corr, self._mxu_mb_plan
 
     def _ensure_poly_shard(self, mesh, axis_name: str = "poly"):
@@ -440,7 +445,7 @@ class ServerKey:
         (~1.4 GB at 3-prime 2_2; ~70 s first time).  Env knobs:
         TFHE_TPU_MXU_PRIMES (3), TFHE_TPU_MXU_ROUND_BITS (15 when 3-prime),
         TFHE_TPU_MXU_FOLD (solinas), TFHE_TPU_MXU_TB (128),
-        TFHE_TPU_MXU_KERNEL (v3 | v4 | v5)."""
+        TFHE_TPU_MXU_KERNEL (v3 | v4 | v5 | v6 | v7 | v8)."""
         if getattr(self, "_mxu_m", None) is None:
             import os
 
@@ -462,7 +467,11 @@ class ServerKey:
                                           mont=(fold == "redc"))
             bhat_d = jax.device_put(bhat)
             self._mxu_corr = None
-            if kernel in ("v5", "v6", "v7"):
+            if kernel == "v8":
+                ss = int(os.environ.get("TFHE_TPU_MXU_V8_SS", "1"))
+                self._mxu_m, self._mxu_corr = mxu.middle_v8_from_eval_device(
+                    bhat_d, mplan, p.pbs_base_log, ss=ss)
+            elif kernel in ("v5", "v6", "v7"):
                 self._mxu_m, self._mxu_corr = mxu.middle_v5_from_eval_device(
                     bhat_d, mplan)
             elif kernel == "v4":
@@ -591,6 +600,7 @@ class ServerKey:
                 p.pbs_level, p.grouping_factor, p.bits,
                 p.ms_noise_reduction == MsNoiseReduction.CENTERED_MEAN, tb,
                 getattr(p, "ks32", False), ss=ss,
+                t_lanes=getattr(self, "_mxu_mb_tl", False),
             )
         elif getattr(self, "mb_bsk_mont", None) is not None:
             out = srv.ks_pbs_batch_multibit(
