@@ -2492,12 +2492,8 @@ def build_blind_rotate_v9(n: int, base_log: int, levels: int, k1: int,
         assert acc_lo.shape == (batch_rows, LANES)
         assert batch_rows % R == 0
         assert a_rows.shape == (batch_rows, n_steps_pad), a_rows.shape
-        if t_lanes:
-            assert v32.shape == (n_macro, num_primes, n1, ss * 2 * kmid,
-                                 nsub * cmid), v32.shape
-        else:
-            assert v32.shape == (n_macro, num_primes, n1, 2 * kmid_g,
-                                 ss * cmid), v32.shape
+        assert v32.shape == (n_macro, num_primes, n1, 2 * kmid_g,
+                             ss * cmid), v32.shape
         assert corr_mid.shape == (n_macro, num_primes, n1, ss * cmid)
         n_tiles = batch_rows // R
         vmem = pltpu.VMEM
