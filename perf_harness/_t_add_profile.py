@@ -17,7 +17,12 @@ ck, sk = get_shortint_keys(P)
 from tfhe_tpu.integer.server_key import ServerKey as IntSk
 from tfhe_tpu.integer.client_key import ClientKey as IntCk
 ick = IntCk.__new__(IntCk); ick.key = ck; ick.params = P
-isk = IntSk(ck)
+# wrap the KEYCACHED shortint server key (IntSk(ck) would re-run keygen)
+isk = IntSk.__new__(IntSk)
+isk.key = sk
+isk.params = sk.params
+isk.msg = sk.params.message_modulus
+isk._luts = {}
 NB = 32
 
 def enc(v):

@@ -143,11 +143,13 @@ class DecompressionKey:
                 mplan = _mxu.make_mxu_plan(n_poly, num_primes=4,
                                            round_bits=0)
             bhat, _ = _mxu.bsk_eval_domain(self._bsk_coeff, mplan)
-            # ss=2: the ss=4 macro body is in the never-compiles class on
-            # this host's Mosaic service (round-5 finding: program size,
-            # not math, gates compiles); ss=2 keeps the lane minor at 64
-            # (2x HBM padding, 5.4 GB — admissible) with a 2-step body
-            ss = int(os.environ.get("TFHE_TPU_MXU_V8_SS", "2"))
+            # ss=1: bodies with >=2 fully unrolled steps OOM-kill the
+            # Mosaic compile helper (round-5 finding — ss=4 AND ss=2 both
+            # died; program size, not math, gates compiles).  ss=1 pays
+            # 4x HBM tile padding on the key (2.7 -> 10.8 GB, admission-
+            # controlled) but shares the exact kernel build with the
+            # classic v8 path (same 2_2 shape, base 23 / l=1).
+            ss = int(os.environ.get("TFHE_TPU_MXU_V8_SS", "1"))
             v32, corr = _mxu.middle_v8_from_eval_device(
                 jax.device_put(bhat), mplan, self.br_base_log, ss=ss)
             self._mxu = (v32, corr, mplan)
