@@ -974,6 +974,10 @@ def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
     return sample_extract(acc)
 
 
+@partial(jax.jit, static_argnames=("mplan", "ks_base_log", "ks_levels",
+                                   "pbs_base_log", "pbs_levels", "grouping",
+                                   "bits", "centered_ms", "tb", "ks32",
+                                   "interpret", "ss", "t_lanes"))
 def ks_pbs_batch_mxu_multibit(ct, lut, ksk, v32, corr_mid, mplan,
                               ks_base_log: int, ks_levels: int,
                               pbs_base_log: int, pbs_levels: int,
@@ -984,7 +988,13 @@ def ks_pbs_batch_mxu_multibit(ct, lut, ksk, v32, corr_mid, mplan,
     """Multi-bit atomic pattern over the fused v9g MXU kernel: keyswitch
     matmul, modulus switch, indicator-pattern fused blind rotate, sample
     extract.  (v32, corr_mid) from mxu.middle_v9_from_eval_device with the
-    same ss and subset_major=True (the v9g layout)."""
+    same ss and subset_major=True (the v9g layout).
+
+    Jitted END-TO-END: eagerly-dispatched, this chain runs ~27x slower on
+    the axon runtime (36 s vs 1.3 s per 512-batch, round-5 probe) — the
+    eager per-op round trips around the 5.4 GB key-tensor kernel call
+    dominate.  The classic path tolerates eager dispatch; this one must
+    not be unjitted."""
     from .pallas_mxu import blind_rotate_pallas_v9g
 
     n_poly = lut.shape[-1]
