@@ -74,11 +74,14 @@ def main():
     compile_s = time.time() - t0
     print(f"# compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
-    # steady state
+    # steady state (sync before reading the clock: the product path's
+    # outputs are device-resident async handles — without materializing,
+    # dt measures enqueue time only)
     iters = 3
     t0 = time.time()
     for it in range(iters):
         out = sk.apply_lookup_table_batch(ct_sets[it % 3], lut)
+    np.asarray(out[-1].data)
     dt = time.time() - t0
     pbs_per_s = batch * iters / dt
 

@@ -974,10 +974,6 @@ def ks_pbs_batch_mxu(ct, lut, ksk, m_limbs, mplan, ks_base_log: int,
     return sample_extract(acc)
 
 
-@partial(jax.jit, static_argnames=("mplan", "ks_base_log", "ks_levels",
-                                   "pbs_base_log", "pbs_levels", "grouping",
-                                   "bits", "centered_ms", "tb", "ks32",
-                                   "interpret", "ss", "t_lanes"))
 def ks_pbs_batch_mxu_multibit(ct, lut, ksk, v32, corr_mid, mplan,
                               ks_base_log: int, ks_levels: int,
                               pbs_base_log: int, pbs_levels: int,
@@ -990,11 +986,17 @@ def ks_pbs_batch_mxu_multibit(ct, lut, ksk, v32, corr_mid, mplan,
     extract.  (v32, corr_mid) from mxu.middle_v9_from_eval_device with the
     same ss and subset_major=True (the v9g layout).
 
-    Jitted END-TO-END: eagerly-dispatched, this chain runs ~27x slower on
-    the axon runtime (36 s vs 1.3 s per 512-batch, round-5 probe) — the
-    eager per-op round trips around the 5.4 GB key-tensor kernel call
-    dominate.  The classic path tolerates eager dispatch; this one must
-    not be unjitted."""
+    KNOWN PERF ISSUE (round-5 probe, perf_harness/_t_prod_mb_probe.py):
+    through this product path the fused kernel runs ~36 s per 512-batch
+    (~14 PBS/s) while the jitted kernel harness runs the identical shapes
+    at 1.32 s (387 BR/s); wrapping this whole function in jax.jit made it
+    WORSE (>280 s/batch — the jitted executable appears to re-stage the
+    5.4 GB v32 key argument per call).  Root cause is the per-call
+    handling of the key tensor, not Python dispatch (pre-stacked eager
+    arrays reproduce the 36 s).  Fix direction: persist the kernel-layout
+    key buffer on device once (as the v7 classic path effectively does via
+    its jitted-argument reuse) — round-6 work; the committed multibit
+    evidence is the kernel-level BR/s."""
     from .pallas_mxu import blind_rotate_pallas_v9g
 
     n_poly = lut.shape[-1]
